@@ -1,0 +1,129 @@
+"""Text-analysis kernel: tokenization, shingles, quality, language ID.
+
+All builders are native Spark column expressions chosen so the duckdb
+oracle can reproduce them exactly (same regexes, same null conventions).
+The 100 TB rationale: text scoring is a narrow per-row map — no shuffle,
+fully codegen'd, and the parquet scan reads only the ``text`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and engine-portable (plain IN-list membership).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+TOKEN_SEP_RE = "[^a-z0-9]+"  # applied after lower(); identical in Java & RE2
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace/punctuation tokenization after lowercasing.
+
+    lower → replace non-alnum runs with a space → trim → split → drop
+    empties. Matches :func:`tokens_sql` byte-for-byte.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.trim(F.regexp_replace(F.lower(c), TOKEN_SEP_RE, " "))
+    return F.filter(F.split(cleaned, " "), lambda x: x != "")
+
+
+def tokens_sql(expr: str) -> str:
+    """duckdb equivalent of :func:`tokens`."""
+    return (
+        f"list_filter(string_split(trim(regexp_replace(lower({expr}), "
+        f"'{TOKEN_SEP_RE}', ' ', 'g')), ' '), x -> x != '')"
+    )
+
+
+def word_shingles(tok: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array: space-joined windows of n
+    consecutive tokens. Empty array when fewer than n tokens."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    count = F.size(t) - (n - 1)
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # guard short docs explicitly (duckdb's generate_series is empty there).
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(t, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles_sql(tokens_expr: str, n: int = 3) -> str:
+    """duckdb equivalent of :func:`word_shingles` (list comprehension over
+    generate_series; list_slice is 1-based inclusive)."""
+    return (
+        f"[array_to_string(list_slice(t.toks, i, i + {n - 1}), ' ') "
+        f"for i in generate_series(1, greatest(len(t.toks) - {n - 1}, 0))]"
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count (whitespace+punct tokenizer)."""
+    return F.size(tokens(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] after lowercasing."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    stripped = F.regexp_replace(low, "[^a-z0-9 ]", "")
+    return F.when(F.length(low) > 0,
+                  (F.length(low) - F.length(stripped)) / F.length(low)
+                  ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(tok: Column | str) -> Column:
+    """Fraction of tokens that are stopwords; 0 for empty docs."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    return F.when(F.size(t) > 0, n_stop / F.size(t)).otherwise(F.lit(0.0))
+
+
+def lang_scores(tok: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token array."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+
+    def matcher(markers):
+        return lambda x: x.isin(*markers)
+
+    return {
+        lang: F.size(F.filter(t, matcher(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(tok: Column | str) -> Column:
+    """Argmax language by marker count with deterministic tie-break
+    (alphabetical language code); 'und' when no marker hits."""
+    scores = lang_scores(tok)
+    # greatest marker count
+    ordered = sorted(scores.items())  # alphabetical => deterministic ties
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # fold right-to-left so earlier (alphabetically smaller) langs win ties
+    for lang, score in reversed(ordered):
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def rolling_fingerprint(tok: Column | str, window: int = 8) -> Column:
+    """Document fingerprint: 60-bit hash of the first ``window`` tokens —
+    a cheap content-defined prefix fingerprint for clustering near-identical
+    heads. Deterministic and oracle-portable."""
+    from fink_science_spark.functions.hashing import hash64
+
+    t = F.col(tok) if isinstance(tok, str) else tok
+    return hash64(F.concat_ws(" ", F.slice(t, 1, window)))

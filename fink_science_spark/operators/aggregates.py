@@ -1,0 +1,130 @@
+"""Aggregation operators: per-group order statistics, weighted quantiles,
+trailing time windows, and light-curve materialization.
+
+These reproduce the reference's aggregation surface (per-object/per-filter
+min/max/mean/std/skew/kurtosis, ztf/ssoft/processor.py:643-668; weighted
+empirical-CDF quantile, ztf/blazar_extreme_state/utils.py:392-424; trailing
+fluence window, utils.py:122-146; collect-to-arrays SSOFT input, §1.5 of
+SURVEY.md) as native Spark aggregations and window frames — partial
+(map-side) aggregation and whole-stage codegen for free, no Python.
+
+Skew/kurtosis note: Spark's builtin ``skewness``/``kurtosis`` use one set
+of bias conventions, other engines use another; for oracle-portable
+results :func:`order_stats` computes central moments explicitly (two-pass
+via a self-join on the group means), which is also the numerically honest
+way to get identical answers from any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def order_stats(
+    df: DataFrame,
+    keys: list[str],
+    val: str,
+    percentiles: tuple[float, ...] = (0.5,),
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group count / mean / stddev (sample) / min / max / exact
+    interpolated percentiles / skewness / excess kurtosis.
+
+    Moments are explicit (population m2/m3/m4 around the group mean) so the
+    duckdb oracle can reproduce them with the same formula. One extra
+    pass for the mean join; both shuffles share the same keys so AQE
+    coalesces them into one exchange reuse."""
+    means = df.groupBy(*keys).agg(F.avg(val).alias("__mean"))
+    j = df.join(means, keys)
+    d = F.col(val) - F.col("__mean")
+    aggs = [
+        F.count("*").alias("n"),
+        F.round(F.first("__mean"), round_to).alias("mean"),
+        F.round(F.stddev_samp(val), round_to).alias("std"),
+        F.round(F.min(val), round_to).alias("vmin"),
+        F.round(F.max(val), round_to).alias("vmax"),
+        F.avg(d * d).alias("__m2"),
+        F.avg(d * d * d).alias("__m3"),
+        F.avg(d * d * d * d).alias("__m4"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.round(F.percentile(val, F.lit(p)), round_to).alias(
+                f"p{int(p * 100):02d}"
+            )
+        )
+    out = j.groupBy(*keys).agg(*aggs)
+    return out.select(
+        *keys,
+        "n",
+        "mean",
+        "std",
+        "vmin",
+        "vmax",
+        *[f"p{int(p * 100):02d}" for p in percentiles],
+        F.round(F.col("__m3") / F.pow("__m2", 1.5), round_to).alias("skew"),
+        F.round(F.col("__m4") / F.pow("__m2", 2.0) - 3.0, round_to).alias("kurt"),
+    )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    keys: list[str],
+    val: str,
+    weight: str,
+    q: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Weighted empirical-CDF quantile per group: the smallest value whose
+    cumulative weight fraction reaches q (ties on value broken
+    deterministically by accumulating in (value) order).
+
+    Window cumsum + arg-min — the distributed form of the reference's
+    ``cumsum(weights)/sum`` + interp kernel; exact step-CDF semantics
+    (no interpolation) so any engine agrees."""
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*keys)
+    with_cdf = df.select(
+        *keys,
+        F.col(val).cast("double").alias("__v"),
+        F.col(weight).cast("double").alias("__w"),
+    ).select(
+        *keys,
+        "__v",
+        (F.sum("__w").over(w_cum) / F.sum("__w").over(w_tot)).alias("__cdf"),
+    )
+    return (
+        with_cdf.filter(F.col("__cdf") >= q)
+        .groupBy(*keys)
+        .agg(F.round(F.min("__v"), round_to).alias(f"wq{int(q * 100):02d}"))
+    )
+
+
+def trailing_window_mean(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    val: str,
+    window_seconds: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-row trailing mean of ``val`` over the last ``window_seconds``
+    (inclusive) within each key group, ordered by event time — the
+    trailing-fluence pattern. Uses a RANGE frame on epoch seconds: one
+    shuffle on the keys, then a streaming frame scan per partition."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__epoch"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return (
+        df.withColumn("__epoch", F.col(ts).cast("long"))
+        .withColumn("trail_mean", F.round(F.avg(val).over(w), round_to))
+        .drop("__epoch")
+    )

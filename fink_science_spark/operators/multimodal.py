@@ -1,0 +1,117 @@
+"""Multimodal (binary) column plumbing: images/audio/video as opaque
+``binary`` columns with typed metadata, processed in Arrow batches.
+
+The reference decodes gzipped FITS image stamps from a
+``struct<fileName string, stampData binary>`` column inside UDFs
+(reference semantics: ztf/hostless_detection/pipeline_utils.py:46-57).
+This module generalizes that to the training-data-pipeline shape:
+
+    blob column + metadata struct → mapInPandas decode/feature kernel
+    → typed feature columns
+
+The decode step itself needs image/audio libraries that are not in this
+environment, so the codec boundary is explicit: :func:`register_codec`
+installs a real decoder; the built-in ``"fake"`` codec is a deterministic
+stand-in (byte-length / first-bytes features) that keeps every piece of
+Spark plumbing — schema, Arrow batch shape, partition sizing — real and
+testable. Real deployments register e.g. a PIL/ffmpeg codec with the same
+signature.
+
+At 100 TB: blobs dominate row size, so the operators (a) never shuffle
+blob columns (features are extracted before any join/agg), (b) use
+``mapInPandas`` so one Arrow batch holds only
+``spark.sql.execution.arrow.maxRecordsPerBatch`` blobs, bounding executor
+memory, and (c) drop the blob column as the first projection after
+feature extraction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CODECS: dict[str, Callable[[bytes], dict]] = {}
+
+
+def register_codec(name: str, fn: Callable[[bytes], dict]) -> None:
+    """Install a blob decoder: bytes → {feature: value} dict."""
+    _CODECS[name] = fn
+
+
+def _fake_decode(blob: bytes) -> dict:
+    """Deterministic stand-in decoder: structural byte features only.
+    Real image decode (PIL/cv2) is not available in this environment —
+    swap via register_codec("image", ...)."""
+    if blob is None:
+        return {"byte_len": 0, "first_byte": -1, "checksum": 0}
+    return {
+        "byte_len": len(blob),
+        "first_byte": blob[0] if blob else -1,
+        "checksum": sum(blob[:64]) % 997,
+    }
+
+
+register_codec("fake", _fake_decode)
+
+DECODE_SCHEMA = "byte_len int, first_byte int, checksum int"
+
+
+def decode_image(blob: bytes):  # pragma: no cover - explicit stub
+    """Real image decoding requires PIL/cv2, absent in this container."""
+    raise NotImplementedError(
+        "image decode requires an image library; register a codec via "
+        "register_codec('image', fn)"
+    )
+
+
+def extract_blob_features(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    codec: str = "fake",
+) -> DataFrame:
+    """mapInPandas feature extraction over a binary column.
+
+    Returns (id_col, byte_len, first_byte, checksum); the blob column is
+    projected away before anything downstream can shuffle it."""
+    fn = _CODECS[codec]
+    out_schema = f"{id_col} long, {DECODE_SCHEMA}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[blob_col].map(fn)
+            out = pd.DataFrame(list(feats))
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    frame_size: int = 256,
+    stride: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame/chunk sampling of a binary payload (the video/audio shape):
+    emit up to ``max_frames`` fixed-size byte windows per blob as
+    (id, frame_idx, frame_bytes). Pure Spark byte slicing — no Python."""
+    idx = F.sequence(F.lit(0), F.lit(max_frames - 1))
+    frames = df.select(
+        F.col(id_col),
+        F.posexplode(idx).alias("frame_idx", "__i"),
+        F.col(blob_col).alias("__blob"),
+    ).select(
+        id_col,
+        "frame_idx",
+        F.expr(f"substring(__blob, frame_idx * {stride} + 1, {frame_size})").alias(
+            "frame_bytes"
+        ),
+    )
+    return frames.filter(F.length("frame_bytes") > 0)

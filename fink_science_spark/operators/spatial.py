@@ -1,0 +1,129 @@
+"""Bucketed nearest-neighbor and range joins — the crossmatch family.
+
+The reference's flagship join is the 1-NN sky crossmatch: for each left
+row the nearest right row within radius r (reference semantics:
+cross_match_astropy KD-tree + d2d < r, ztf/xmatch/utils.py:32-82, with
+manual dec-band pruning rubin/xmatch/processor.py:674-687). A KD-tree
+doesn't distribute; the Spark-native shape is:
+
+    bucket both sides on floor(coord / radius)
+    → candidates = equi-join on bucket, with the LEFT side exploded to
+      its 3 adjacent buckets (so every true neighbor lands in some bucket)
+    → refine with the exact distance predicate
+    → arg-min per left row (window row_number == 1, deterministic ties)
+
+The bucket column is the generalized "zone/healpix id": the equi-join key
+that lets Catalyst plan a plain shuffled (or broadcast) hash join and
+prune partitions, instead of a cross join. At 100 TB the right side is
+usually a small catalog → broadcast; both sides large → the bucket join
+shuffles each side once, keys are uniform by construction (fixed-width
+buckets), and no pair outside ±1 bucket is ever materialized.
+
+1-D here (acctbal/price/jd domains of the test tables); the 2-D sky
+version composes two of these bucket dimensions with a great-circle
+refine — same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _bucket(col: Column, width: float) -> Column:
+    return F.floor(col / F.lit(width)).cast("long")
+
+
+def nearest_join_1d(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_coord: str,
+    right_id: str,
+    right_coord: str,
+    radius: float,
+    broadcast_right: bool = True,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, the single nearest right row with
+    |left_coord − right_coord| ≤ radius. Ties break on smallest right id
+    (deterministic). Left rows with no neighbor in radius are dropped
+    (semi-join semantics, as in the reference's match-only output).
+
+    Returns (left_id, right_id, dist, *payload).
+    """
+    l = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_coord).cast("double").alias("__lc"),
+    ).withColumn("__b0", _bucket(F.col("__lc"), radius))
+    # explode left row into its 3 candidate buckets
+    l = l.withColumn(
+        "__b", F.explode(F.array(F.col("__b0") - 1, F.col("__b0"), F.col("__b0") + 1))
+    ).drop("__b0")
+
+    r = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_coord).cast("double").alias("__rc"),
+        *[F.col(p) for p in (payload or [])],
+    ).withColumn("__b", _bucket(F.col("__rc"), radius))
+    if broadcast_right:
+        r = F.broadcast(r)
+
+    cand = (
+        l.join(r, "__b")
+        .withColumn("__dist", F.abs(F.col("__lc") - F.col("__rc")))
+        .filter(F.col("__dist") <= radius)
+    )
+    w = Window.partitionBy("__lid").orderBy(F.col("__dist").asc(), F.col("__rid").asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.col("__dist").alias("dist"),
+            *[F.col(p) for p in (payload or [])],
+        )
+    )
+
+
+def range_count_join_1d(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_coord: str,
+    right_coord: str,
+    radius: float,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Count right rows within ±radius of each left coordinate — the band
+    (range) join, bucketed exactly like :func:`nearest_join_1d`. Left rows
+    with zero neighbors keep count 0 via the left join + coalesce."""
+    l = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_coord).cast("double").alias("__lc"),
+    ).withColumn("__b0", _bucket(F.col("__lc"), radius))
+    l = l.withColumn(
+        "__b", F.explode(F.array(F.col("__b0") - 1, F.col("__b0"), F.col("__b0") + 1))
+    ).drop("__b0")
+
+    r = right.select(F.col(right_coord).cast("double").alias("__rc")).withColumn(
+        "__b", _bucket(F.col("__rc"), radius)
+    )
+    if broadcast_right:
+        r = F.broadcast(r)
+
+    counted = (
+        l.join(r, "__b", "left")
+        .withColumn(
+            "__hit",
+            F.when(F.abs(F.col("__lc") - F.col("__rc")) <= radius, 1).otherwise(0),
+        )
+        .groupBy("__lid")
+        .agg(F.sum("__hit").alias("n_neighbors"))
+    )
+    return counted.select(
+        F.col("__lid").alias(left_id),
+        F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+    )

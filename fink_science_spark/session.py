@@ -1,0 +1,84 @@
+"""SparkSession factory tuned for the alert-analytics workload.
+
+Mirrors the session requirements observed in the reference test harness
+(reference: fink_science/tester.py:82-114 — Arrow enabled, nested schema
+handling, local master) but expressed as engine policy:
+
+- AQE on (runtime coalescing + skew-join handling replaces the reference's
+  hand-tuned ``repartition(4 * ncores)`` rule, ztf/ssoft/processor.py:690).
+- Nested schema pruning on, so ``candidate.x`` projections prune the
+  parquet scan to the referenced struct fields only.
+- Arrow on for every pandas interchange (pandas UDFs, toPandas).
+- ``parquet.nanosAsLong`` for timestamp[ns] sources (tester.py:82-84).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "fink_science_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local-mode defaults are sized for the test container; on a real
+    cluster every setting here remains valid — AQE re-plans shuffle
+    partition counts at runtime, so ``shuffle_partitions`` is only the
+    initial value.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the standard parquet tables of a scale-factor directory and
+    register each as a temp view; returns {name: DataFrame}."""
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,109 @@
+"""Structured Streaming shell.
+
+The reference's modules are all stateless per-micro-batch column appends —
+the broker applies them inside a streaming query (SURVEY.md §2.9). This
+module provides that shell natively:
+
+- :func:`enrich_stream` — readStream → the same enrichment DAG used in
+  batch (one code path for both, the property the reference gets from
+  per-row statelessness) → sink via foreachBatch or direct writeStream.
+- :func:`windowed_counts` — watermarked tumbling-window aggregation
+  (the late-data-safe form of "events per window").
+- :func:`windowed_history` — the one cross-batch stateful op the ecosystem
+  implies: per-key collect_list of recent measurements with a watermark
+  (the streaming materialization of the aggregated light-curve table,
+  SURVEY.md §1.5).
+
+All transformations are identical DataFrame expressions in batch and
+streaming; tests run them with ``availableNow`` triggers against the same
+parquet the batch queries read, asserting batch/stream result equality.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Apply a batch-identical enrichment DAG to a streaming frame.
+    Stateless transforms (select/withColumn/filter/broadcast join) pass
+    through unchanged — this is the engine's core streaming contract."""
+    return transform(stream_df)
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    window: str = "1 week",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked tumbling-window count+sum — late rows beyond the
+    watermark are dropped instead of growing state forever."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def windowed_history(
+    stream_df: DataFrame,
+    ts_col: str,
+    key: str,
+    value_cols: list[str],
+    window: str = "30 days",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-key windowed light-curve materialization: time-sorted struct
+    arrays per (key, window) — the streaming equivalent of the aggregated
+    SSO table (groupBy + collect_list + sort under a watermark)."""
+    struct_col = F.struct(F.col(ts_col).alias("t"), *[F.col(c) for c in value_cols])
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key))
+        .agg(F.array_sort(F.collect_list(struct_col)).alias("history"))
+        .select(F.col("w.start").alias("window_start"), key, "history")
+    )
+
+
+def run_to_memory(
+    stream_result: DataFrame, query_name: str, spark: SparkSession
+) -> DataFrame:
+    """Execute a streaming frame with an availableNow trigger into a memory
+    sink and return the completed static result — used by tests and the
+    correctness harness to check stream/batch parity."""
+    q = (
+        stream_result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
