@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Execution is timed end-to-end per query with a noop sink (full plan
+execution, no driver-side row transfer), after a JVM/session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "cheapest_order_per_customer",
+    "user_history_stats",
+    "event_type_stats",
+    "trailing_mean",
+    "weekly_counts",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "spatial_nn",
+    "enrich_score",
+    "stream_weekly_counts",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from fink_science_spark.session import get_session
+
+    import __spark_entry__ as entrymod
+
+    spark = get_session(app_name="fink_science_spark_bench")
+    queries = entrymod.queries()
+
+    # warm-up: JVM, parquet footer reads, codegen
+    queries["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - a failed query must not hide the rest
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

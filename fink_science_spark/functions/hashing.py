@@ -105,6 +105,21 @@ def simhash_sql(tokens_expr: str, bits: int = 64) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+def simhash_sql_hashed(hashed_expr: str, bits: int = 64) -> str:
+    """duckdb equivalent of :func:`simhash64` over a PRE-HASHED token list
+    (each element already a 60-bit hash). Avoids re-running md5 per bit —
+    use ``list_transform(toks, x -> {hash64_sql('x')})`` once in a CTE."""
+    bits = min(bits, 60)
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform({hashed_expr}, "
+            f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN ({vote}) > 0 THEN (1::BIGINT << {j}) ELSE 0 END)")
+    return "(" + " | ".join(terms) + ")"
+
+
 def hamming_distance(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two packed-bit BIGINT signatures."""
     ca = F.col(a) if isinstance(a, str) else a

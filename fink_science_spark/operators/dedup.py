@@ -72,14 +72,24 @@ def minhash_lsh_pairs(
         F.col(shingles_col or tokens_col).alias("__sh"),
     )
 
-    # one row per (doc, band): band_hash = hash of the band's slice
+    # one row per (doc, band): the band key is the concatenated slice of
+    # the signature — engine-portable (no Spark-specific hash) and
+    # collision-free, so the oracle reproduces the exact candidate set.
+    # (Production at 100 TB: swap for xxhash64 of the slice to shrink the
+    # shuffle key; the operator shape is unchanged.)
     band_rows = sig.select(
         "__id",
         "__sh",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(*[F.col("__sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)])
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("__sig")[i]
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
                     for b in range(bands)
                 ]
             )
@@ -158,7 +168,9 @@ def simhash_pairs(
 
     return (
         candidates.dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("__sima").bitwiseXOR("__simb")))
+        .withColumn(
+            "hamming", F.bit_count(F.col("__sima").bitwiseXOR(F.col("__simb")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -169,6 +181,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingles_col: str,
     threshold: float = 0.5,
+    hash_join_key: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted-index self-join.
 
@@ -185,9 +198,12 @@ def ngram_jaccard_pairs(
         F.array_distinct(F.col(shingles_col)).alias("__s"),
     ).withColumn("__n", F.size("__s"))
 
-    inv = sets.select(
-        "__id", "__n", F.explode("__s").alias("__shingle")
-    ).withColumn("__shingle", F.hash("__shingle"))
+    inv = sets.select("__id", "__n", F.explode("__s").alias("__shingle"))
+    if hash_join_key:
+        # scale path: 32-bit murmur3 join key shrinks shuffle bytes; a
+        # collision can inflate an intersection count, so oracle-checked
+        # queries keep the raw shingle key (hash_join_key=False).
+        inv = inv.withColumn("__shingle", F.hash("__shingle"))
 
     a = inv.select(
         F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__shingle"

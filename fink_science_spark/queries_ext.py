@@ -1,0 +1,665 @@
+"""Query registry, wave 2: dedup / text-analysis / similarity-search /
+spatial-join / multimodal / enrichment / streaming operators — the
+LLM-training-data-pipeline surface plus the crossmatch family, each with a
+bit-portable duckdb oracle (or an explicit rows-only entry where the
+kernel is genuinely non-SQL, e.g. seeded Monte-Carlo).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fink_science_spark.functions.hashing import (
+    hash64,
+    hash64_sql,
+    minhash_signature,
+    minhash_sql,
+    simhash64,
+    simhash_sql_hashed,
+)
+from fink_science_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_id,
+    punct_ratio,
+    stopword_ratio,
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+from fink_science_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from fink_science_spark.operators.enrich import apply_masked_pandas_kernel
+from fink_science_spark.operators.multimodal import extract_blob_features
+from fink_science_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_component,
+    lsh_bucketed_topk,
+)
+from fink_science_spark.operators.spatial import (
+    nearest_join_1d,
+    range_count_join_1d,
+)
+from fink_science_spark.queries import _events_us, _t
+
+# Shared oracle CTE: tokenized + 3-gram-shingled documents
+_DOCS_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, toks,
+         list_distinct({word_shingles_sql('t.toks', 3)}) AS shingles
+  FROM tok t
+)
+"""
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens("text").alias("toks")
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_tokens(spark, sf_dir).withColumn(
+        "shingles", F.array_distinct(word_shingles(F.col("toks"), 3))
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup family (M7 / BASELINE north star)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text (hash-groupBy on a 60-bit content
+    hash; SURVEY §2.4 distinct/dedup)."""
+    docs = _doc_tokens(spark, sf_dir).withColumn(
+        "norm", F.concat_ws(" ", "toks")
+    )
+    return exact_dedup(docs, "doc_id", "norm")
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH {_DOCS_TOK_CTE}
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM (SELECT doc_id, {hash64_sql("array_to_string(toks, ' ')")} AS h FROM tok)
+GROUP BY h
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint clustering: 60-bit hash of the first 8 tokens —
+    cheap head-dedup for near-identical document heads."""
+    docs = _doc_tokens(spark, sf_dir)
+    fp = hash64(F.concat_ws(" ", F.slice("toks", 1, 8)))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_same_head"))
+    )
+
+
+ORACLE_DEDUP_FINGERPRINT = f"""
+WITH {_DOCS_TOK_CTE}
+SELECT {hash64_sql("array_to_string(list_slice(toks, 1, 8), ' ')")} AS fingerprint,
+       min(doc_id) AS doc_id, count(*) AS n_same_head
+FROM tok
+GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup pairs (threshold 0.5) via the
+    inverted-index self-join — no probabilistic step (SURVEY M7)."""
+    return ngram_jaccard_pairs(
+        _doc_shingles(spark, sf_dir), "doc_id", "shingles", threshold=0.5
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH {_DOCS_TOK_CTE},
+inv AS (SELECT doc_id, len(shingles) n, unnest(shingles) g FROM sh),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+FROM pairs
+WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+"""
+
+_MH_NUM, _MH_BANDS = 16, 8  # 8 bands × 2 rows
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidates + exact-Jaccard verification
+    (threshold 0.5). Signatures are md5-derived → the oracle reproduces
+    the exact candidate set (SURVEY M7 scale path)."""
+    return minhash_lsh_pairs(
+        _doc_shingles(spark, sf_dir),
+        "doc_id",
+        tokens_col="shingles",
+        num_hashes=_MH_NUM,
+        bands=_MH_BANDS,
+        jaccard_threshold=0.5,
+        shingles_col="shingles",
+    )
+
+
+def _minhash_band_eq_sql() -> str:
+    rows = _MH_NUM // _MH_BANDS
+    conds = []
+    for b in range(_MH_BANDS):
+        lo, hi = b * rows + 1, (b + 1) * rows
+        conds.append(
+            f"(list_slice(a.sig, {lo}, {hi}) = list_slice(b.sig, {lo}, {hi}))"
+        )
+    return " OR ".join(conds)
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH {_DOCS_TOK_CTE},
+sigs AS (
+  SELECT doc_id, shingles, {minhash_sql('shingles', _MH_NUM)} AS sig FROM sh
+),
+cand AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, a.shingles sa, b.shingles sb
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id AND ({_minhash_band_eq_sql()})
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa, sb)) * 1.0 /
+             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+FROM cand
+WHERE len(list_intersect(sa, sb)) * 1.0 /
+      (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5
+"""
+
+_SH_BITS, _SH_CHUNKS, _SH_MAXHAM = 60, 4, 10
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 10 over 60 bits) via the
+    pigeonhole chunk join (SURVEY M7)."""
+    docs = _doc_tokens(spark, sf_dir).withColumn(
+        "utoks", F.array_distinct("toks")
+    )
+    return simhash_pairs(
+        docs, "doc_id", "utoks",
+        max_hamming=_SH_MAXHAM, bits=_SH_BITS, chunks=_SH_CHUNKS,
+    )
+
+
+_CHUNK_BITS = _SH_BITS // _SH_CHUNKS
+_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
+_SH_CHUNK_EQ = " OR ".join(
+    f"(((a.sim >> {c * _CHUNK_BITS}) & {_CHUNK_MASK}) = "
+    f"((b.sim >> {c * _CHUNK_BITS}) & {_CHUNK_MASK}))"
+    for c in range(_SH_CHUNKS)
+)
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH {_DOCS_TOK_CTE},
+hs AS (
+  SELECT doc_id,
+         list_transform(list_distinct(toks), x -> {hash64_sql('x')}) AS h
+  FROM tok
+),
+sims AS (SELECT doc_id, {simhash_sql_hashed('h', _SH_BITS)} AS sim FROM hs)
+SELECT a.doc_id id_a, b.doc_id id_b,
+       bit_count(xor(a.sim, b.sim)) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE ({_SH_CHUNK_EQ}) AND bit_count(xor(a.sim, b.sim)) <= {_SH_MAXHAM}
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (M7)
+# --------------------------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: token count, char length, punctuation
+    ratio, stopword ratio, and a quality flag (SURVEY M7 text ops)."""
+    docs = _doc_tokens(spark, sf_dir)
+    n_tok = F.size("toks")
+    sw = stopword_ratio("toks")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(sw, 6).alias("stopword_ratio"),
+        ((n_tok >= 20) & (sw < 0.5)).alias("quality_ok"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+ORACLE_TEXT_QUALITY = f"""
+WITH {_DOCS_TOK_CTE},
+q AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         length(text) AS n_chars,
+         CASE WHEN length(lower(text)) > 0
+              THEN (length(lower(text)) -
+                    length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                   * 1.0 / length(lower(text))
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({_SW_LIST})))
+                   * 1.0 / len(toks)
+              ELSE 0.0 END AS sraw
+  FROM tok JOIN documents USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_chars,
+       round(praw, 6) AS punct_ratio,
+       round(sraw, 6) AS stopword_ratio,
+       (n_tokens >= 20 AND sraw < 0.5) AS quality_ok
+FROM q
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with deterministic argmax tie-break
+    (SURVEY M7 language-ID heuristic); compared against the table's lang
+    column."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("toks")
+    )
+    pred = lang_id("toks")
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("lang_match"),
+    )
+
+
+def _lang_scores_sql() -> str:
+    per_lang = []
+    for lang_code, markers in sorted(LANG_MARKERS.items()):
+        marker_list = ", ".join(f"'{m}'" for m in markers)
+        per_lang.append(
+            f"len(list_filter(toks, x -> x IN ({marker_list}))) AS s_{lang_code}"
+        )
+    return ", ".join(per_lang)
+
+
+def _lang_argmax_sql() -> str:
+    # fold right-to-left, alphabetically smaller lang wins ties (> not >=)
+    expr_score, expr_lang = "0", "'und'"
+    for lang_code in sorted(LANG_MARKERS, reverse=True):
+        expr_lang = f"CASE WHEN s_{lang_code} > ({expr_score}) THEN '{lang_code}' ELSE ({expr_lang}) END"
+        expr_score = f"CASE WHEN s_{lang_code} > ({expr_score}) THEN s_{lang_code} ELSE ({expr_score}) END"
+    return expr_lang
+
+
+ORACLE_LANG_ID = f"""
+WITH {_DOCS_TOK_CTE},
+scored AS (SELECT doc_id, {_lang_scores_sql()} FROM tok)
+SELECT d.doc_id, {_lang_argmax_sql()} AS pred_lang,
+       ({_lang_argmax_sql()}) = d.lang AS lang_match
+FROM scored JOIN documents d USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (M7) — embeddings
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors (vec_id % 20 == 0)
+    over the full corpus; JVM-side fold dot products, broadcast queries
+    (SURVEY M7 similarity search, baseline path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    return cosine_topk(corpus, queries, "cid", "cv", "qid", "qv", k=5)
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.qid, c.vec_id cid,
+         list_inner_product(q.qv, c.v) /
+         sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.v, c.v))
+             AS cosr
+  FROM q JOIN e c ON c.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, cid, cosr,
+         row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, rank, round(cosr, 6) AS cos
+FROM ranked WHERE rank <= 5
+"""
+
+_LSH_BITS = 6
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 within sign-random-projection LSH buckets
+    (6 hash-derived hyperplanes → 64 buckets) — the scale path that
+    replaces the full corpus scan with a bucket equi-join (SURVEY M7)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    return lsh_bucketed_topk(
+        corpus, queries, "cid", "cv", "qid", "qv", dim=_EMB_DIM, k=3,
+        nbits=_LSH_BITS,
+    )
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    bits = []
+    for j in range(_LSH_BITS):
+        terms = " + ".join(
+            f"{vec}[{d + 1}] * ({hyperplane_component(j, d)!r})"
+            for d in range(_EMB_DIM)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN (1::BIGINT << {j}) ELSE 0 END)")
+    return "(" + " | ".join(bits) + ")"
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e),
+q AS (SELECT vec_id qid, v qv, bucket FROM b WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.qid, c.vec_id cid,
+         list_inner_product(q.qv, c.v) /
+         sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.v, c.v))
+             AS cosr
+  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, cid, cosr,
+         row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, rank, round(cosr, 6) AS cos
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Spatial (crossmatch-shaped) joins — M3
+# --------------------------------------------------------------------------
+
+
+def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed 1-NN join: each customer's nearest supplier by account
+    balance within radius 10 (the crossmatch shape: bucket equi-join +
+    distance refine + arg-min; SURVEY §2.3 flagship join)."""
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nn = nearest_join_1d(
+        cust, sup, "c_custkey", "c_acctbal", "s_suppkey", "s_acctbal",
+        radius=10.0,
+    )
+    return nn.select("c_custkey", "s_suppkey", F.round("dist", 6).alias("dist"))
+
+
+ORACLE_SPATIAL_NN = """
+WITH cand AS (
+  SELECT c_custkey, s_suppkey, abs(c_acctbal - s_acctbal) AS dist
+  FROM customer, supplier
+  WHERE abs(c_acctbal - s_acctbal) <= 10.0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY dist ASC, s_suppkey ASC) AS rn
+  FROM cand
+)
+SELECT c_custkey, s_suppkey, round(dist, 6) AS dist
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_spatial_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range (band) join: customers within ±50 acctbal of each
+    supplier (SURVEY §2.3 dec-band prune generalized)."""
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    return range_count_join_1d(
+        sup, cust, "s_suppkey", "s_acctbal", "c_acctbal", radius=50.0
+    )
+
+
+ORACLE_SPATIAL_RANGE_COUNT = """
+SELECT s_suppkey,
+       (SELECT count(*) FROM customer
+        WHERE abs(c_acctbal - s_acctbal) <= 50.0) AS n_neighbors
+FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (M7) — binary columns through Arrow batches
+# --------------------------------------------------------------------------
+
+
+def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (the cutout-stamp
+    decode shape, with the deterministic fake codec): doc text → 16-byte
+    blob (md5) → per-blob byte features (SURVEY M7 multimodal)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("blob")
+    )
+    return extract_blob_features(docs, "doc_id", "blob", codec="fake")
+
+
+ORACLE_BLOB_FEATURES = """
+SELECT doc_id,
+       16 AS byte_len,
+       ('0x' || substr(md5(text), 1, 2))::INT AS first_byte,
+       list_sum([('0x' || substr(md5(text), 2*i - 1, 2))::INT
+                 for i in generate_series(1, 16)]) % 997 AS checksum
+FROM documents
+"""
+
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/chunk sampling of binary payloads (video/audio shape): text
+    bytes → up to 8 windows of 32 bytes, stride 64; per-doc frame count +
+    sampled byte total — pure JVM byte slicing, no Python."""
+    from fink_science_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    frames = sample_frames(docs, "doc_id", "blob", frame_size=32, stride=64,
+                           max_frames=8)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.length("frame_bytes")).alias("sampled_bytes"),
+    )
+
+
+ORACLE_FRAME_SAMPLES = """
+WITH f AS (
+  SELECT doc_id, i,
+         least(32, length(text) - (i * 64)) AS flen
+  FROM documents, (SELECT unnest(generate_series(0, 7)) AS i)
+  WHERE length(text) - (i * 64) > 0
+)
+SELECT doc_id, count(*) AS n_frames, sum(flen) AS sampled_bytes
+FROM f GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Enrichment framework (M5) — masked Arrow kernel with default fill
+# --------------------------------------------------------------------------
+
+
+def q_enrich_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical module template: native pre-filter (purchases only) →
+    Arrow sigmoid kernel → default 0.0 for masked rows (SURVEY §2.8
+    engine lesson; reference shape: ztf/random_forest_snia/processor.py:174-216)."""
+    ev = _t(spark, sf_dir, "events")
+
+    @F.pandas_udf("double")
+    def sigmoid_score(value: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-(value - 250.0) / 50.0))
+
+    scored = apply_masked_pandas_kernel(
+        ev.select("event_id", "event_type", "value"),
+        mask=F.col("event_type") == "purchase",
+        kernel_udf=sigmoid_score,
+        input_cols=["value"],
+        output_col="score",
+        default=0.0,
+        output_type="double",
+    )
+    return scored.select("event_id", F.round("score", 6).alias("score"))
+
+
+ORACLE_ENRICH_SCORE = """
+SELECT event_id,
+       CASE WHEN event_type = 'purchase'
+            THEN round(1.0 / (1.0 + exp(-(value - 250.0) / 50.0)), 6)
+            ELSE 0.0 END AS score
+FROM events
+"""
+
+
+def q_mc_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Monte-Carlo rate kernel (magnitude_rate shape,
+    ztf/fast_transient_rate/processor.py:119-301): per purchase event,
+    100 seeded normal draws → rate estimate ± error. Seed = event_id →
+    fully deterministic, but not SQL-expressible → rows-only check."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+
+    @F.pandas_udf("struct<rate:double, rate_err:double>")
+    def mc_rate(event_id: pd.Series, value: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        rates, errs = [], []
+        for eid, v in zip(event_id.to_numpy(), value.to_numpy()):
+            rng = np.random.default_rng(int(eid))
+            samples = v * (1.0 + 0.1 * rng.standard_normal(100))
+            rates.append(float(np.mean(samples)))
+            errs.append(float(np.std(samples)))
+        return pd.DataFrame({"rate": rates, "rate_err": errs})
+
+    out = ev.withColumn("mc", mc_rate("event_id", "value"))
+    return out.select(
+        "event_id",
+        F.round(F.col("mc.rate"), 6).alias("rate"),
+        F.round(F.col("mc.rate_err"), 6).alias("rate_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming (M6) — stream/batch parity on the same DAG
+# --------------------------------------------------------------------------
+
+
+def q_stream_weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed as a REAL
+    Structured Streaming query (availableNow → memory sink), returning the
+    completed result. The oracle is plain SQL — stream/batch parity is the
+    check (SURVEY §2.9 / M6)."""
+    import os as _os
+
+    from fink_science_spark.streaming.shell import run_to_memory, windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # file-stream sources require a directory: stream the sf_dir with a
+    # glob pinned to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    enriched = stream.withColumn(
+        "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    counts = windowed_counts(
+        enriched, "ts_event", ["event_type"], window="7 days", watermark="1 day"
+    )
+    name = f"weekly_{uuid.uuid4().hex[:8]}"
+    result = run_to_memory(counts, name, spark)
+    return result.select(
+        (F.col("window_start").cast("long") * F.lit(1_000_000)).alias("week_us"),
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+ORACLE_STREAM_WEEKLY_COUNTS = """
+SELECT (epoch_us(ts) // 604800000000) * 604800000000 AS week_us,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "spatial_nn": q_spatial_nn,
+    "spatial_range_count": q_spatial_range_count,
+    "blob_features": q_blob_features,
+    "frame_samples": q_frame_samples,
+    "enrich_score": q_enrich_score,
+    "mc_rate": q_mc_rate,
+    "stream_weekly_counts": q_stream_weekly_counts,
+}
+
+ORACLES_EXT: dict[str, str] = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_fingerprint": ORACLE_DEDUP_FINGERPRINT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "spatial_nn": ORACLE_SPATIAL_NN,
+    "spatial_range_count": ORACLE_SPATIAL_RANGE_COUNT,
+    "blob_features": ORACLE_BLOB_FEATURES,
+    "frame_samples": ORACLE_FRAME_SAMPLES,
+    "enrich_score": ORACLE_ENRICH_SCORE,
+    # mc_rate: seeded Monte-Carlo — intentionally no SQL oracle (rows-only)
+    "stream_weekly_counts": ORACLE_STREAM_WEEKLY_COUNTS,
+}
