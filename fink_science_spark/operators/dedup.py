@@ -25,7 +25,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fink_science_spark.functions.hashing import hash64, minhash_signature, simhash64
+from fink_science_spark.functions.hashing import (
+    MINHASH_PRIME,
+    hash28,
+    hash64,
+    minhash_perm_coeffs,
+)
+
+
+def _exploded_hashes(df: DataFrame, id_col: str, tokens_col: str, hash_fn) -> DataFrame:
+    """(id, token_hash) rows: explode the token array and hash each token
+    with a NATIVE codegen'd expression (md5/conv — no lambda anywhere).
+
+    Interpreted higher-order functions (transform/aggregate lambdas) are
+    the slow path for signature computation; after explode, hashing and the
+    downstream min/sum aggregates are all whole-stage-codegen'd with
+    map-side partial aggregation — the shape that scales to 100 TB.
+
+    explode_outer + isNotNull, NOT plain explode: explode makes the
+    optimizer infer a ``size(arr) > 0`` filter and push it below the
+    projections, inlining the whole interpreted tokenize/shingle expression
+    tree several times over into a non-codegen Filter (~10× slowdown).
+    Docs with an empty token array are excluded from signatures (and hence
+    pairs) — mirrored explicitly in the oracles.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("__id"), F.explode_outer(tokens_col).alias("__tok")
+        )
+        .filter(F.col("__tok").isNotNull())
+        .select("__id", hash_fn(F.col("__tok")).alias("__h"))
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_col, keep: str = "min") -> DataFrame:
@@ -66,10 +96,17 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(tokens_col, num_hashes).alias("__sig"),
-        F.col(shingles_col or tokens_col).alias("__sh"),
+    # signature via explode + codegen'd min-aggregates: one md5 per token
+    # (native expression), then num_hashes affine permutations folded by
+    # partial-aggregating MIN — no interpreted lambdas anywhere.
+    ex = _exploded_hashes(df, id_col, tokens_col, hash28)
+    sig = ex.groupBy("__id").agg(
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"__m{i}"
+            )
+            for i, (a, b) in enumerate(minhash_perm_coeffs(num_hashes))
+        ]
     )
 
     # one row per (doc, band): the band key is the concatenated slice of
@@ -79,14 +116,13 @@ def minhash_lsh_pairs(
     # shuffle key; the operator shape is unchanged.)
     band_rows = sig.select(
         "__id",
-        "__sh",
         F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
                         ",",
                         *[
-                            F.col("__sig")[i]
+                            F.col(f"__m{i}")
                             for i in range(b * rows_per_band, (b + 1) * rows_per_band)
                         ],
                     )
@@ -96,27 +132,44 @@ def minhash_lsh_pairs(
         ).alias("__band", "__bh"),
     )
 
-    left = band_rows.select(
-        F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"), "__band", "__bh"
-    )
-    right = band_rows.select(
-        F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"), "__band", "__bh"
-    )
+    # candidate ids only — no payload dragged through the band join, so the
+    # dedup aggregate is a cheap hash-agg on two longs.
+    a, b = band_rows.alias("__l"), band_rows.alias("__r")
     pairs = (
-        left.join(right, ["__band", "__bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sha", "__shb")
-        .dropDuplicates(["id_a", "id_b"])
+        a.join(
+            b,
+            (F.col("__l.__band") == F.col("__r.__band"))
+            & (F.col("__l.__bh") == F.col("__r.__bh"))
+            & (F.col("__l.__id") < F.col("__r.__id")),
+        )
+        .select(
+            F.col("__l.__id").alias("id_a"), F.col("__r.__id").alias("id_b")
+        )
+        .dropDuplicates()
     )
 
     if jaccard_threshold is None:
-        return pairs.select("id_a", "id_b")
+        return pairs
 
+    # exact-Jaccard verification ONLY for colliding pairs: join the shingle
+    # sets back by id (candidates ≪ corpus ⇒ cheap join; AQE picks BHJ).
+    sets = df.select(
+        F.col(id_col).alias("__sid"),
+        F.col(shingles_col or tokens_col).alias("__sset"),
+    )
+    verified = (
+        pairs.join(sets, F.col("id_a") == F.col("__sid"))
+        .withColumnRenamed("__sset", "__sha")
+        .drop("__sid")
+        .join(sets, F.col("id_b") == F.col("__sid"))
+        .withColumnRenamed("__sset", "__shb")
+        .drop("__sid")
+    )
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size(F.array_union("__sha", "__shb"))
     jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        pairs.withColumn("jaccard", jacc)
+        verified.withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -140,35 +193,67 @@ def simhash_pairs(
     ``chunks`` = max_hamming+1 for exactness.
     """
     chunk_bits = bits // chunks
-    sig = df.select(
-        F.col(id_col).alias("__id"), simhash64(tokens_col, bits).alias("__sim")
+    # signature via explode + codegen'd sum-aggregates: one md5 per token,
+    # then per-bit ±1 majority votes as partial-aggregating SUMs — fully
+    # whole-stage-codegen'd (interpreted per-bit HOF aggregates over the
+    # token array are ~10× slower).
+    ex = _exploded_hashes(df, id_col, tokens_col, hash64)
+    votes = ex.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("__h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__v{j}")
+            for j in range(bits)
+        ]
     )
-    chunk_cols = [
-        F.shiftright("__sim", c * chunk_bits)
-        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-        .alias(f"__c{c}")
-        for c in range(chunks)
-    ]
-    sig = sig.select("__id", "__sim", *chunk_cols)
+    sim = None
+    for j in range(bits):
+        bit = F.when(
+            F.col(f"__v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    sig = votes.select("__id", sim.alias("__sim"))
+    # one row per (doc, chunk): a single aliased self-join on
+    # (chunk_id, chunk_value) replaces ``chunks`` separate joins — and
+    # because both sides are the same canonical plan, the shuffle exchange
+    # is computed once and reused (ReusedExchange), so the signature
+    # subtree is evaluated once, not 2×chunks times.
+    chunk_rows = sig.select(
+        "__id",
+        "__sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("__sim", c * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("__chunk", "__ck"),
+    )
 
-    candidates = None
-    for c in range(chunks):
-        left = sig.select(
-            F.col("__id").alias("id_a"),
-            F.col("__sim").alias("__sima"),
-            F.col(f"__c{c}").alias("__k"),
+    a, b = chunk_rows.alias("__l"), chunk_rows.alias("__r")
+    candidates = (
+        a.join(
+            b,
+            (F.col("__l.__chunk") == F.col("__r.__chunk"))
+            & (F.col("__l.__ck") == F.col("__r.__ck"))
+            & (F.col("__l.__id") < F.col("__r.__id")),
         )
-        right = sig.select(
-            F.col("__id").alias("id_b"),
-            F.col("__sim").alias("__simb"),
-            F.col(f"__c{c}").alias("__k"),
+        .select(
+            F.col("__l.__id").alias("id_a"),
+            F.col("__r.__id").alias("id_b"),
+            F.col("__l.__sim").alias("__sima"),
+            F.col("__r.__sim").alias("__simb"),
         )
-        cand = left.join(right, "__k").filter(F.col("id_a") < F.col("id_b"))
-        candidates = cand if candidates is None else candidates.unionByName(cand)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
     return (
-        candidates.dropDuplicates(["id_a", "id_b"])
-        .withColumn(
+        candidates.withColumn(
             "hamming", F.bit_count(F.col("__sima").bitwiseXOR(F.col("__simb")))
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -181,43 +266,57 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingles_col: str,
     threshold: float = 0.5,
-    hash_join_key: bool = False,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via an inverted-index self-join.
+    """EXACT n-gram Jaccard near-dup pairs via inverted-index posting lists.
 
-    explode(distinct shingles) → equi-join on shingle → count shared per
-    pair → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. No quadratic cross join:
-    only pairs sharing ≥1 shingle are ever materialized, and the join key
-    (shingle hash) is high-cardinality → well-spread shuffle. Stop-shingle
-    skew (a shingle shared by millions of docs) is the known hot spot at
-    100 TB; AQE skew-join splitting handles it, and callers can drop
-    top-frequency shingles first for a recall-neutral cost cut.
+    explode(distinct shingles) → groupBy shingle into a sorted posting list
+    of (id, set-size) → expand each list's C(k,2) pairs in-array (pure JVM
+    transform/slice, no join) → count shared shingles per pair →
+    |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+
+    Two shuffles total (groupBy shingle, groupBy pair), both on
+    high-cardinality uniform keys — vs. the classic self-join formulation's
+    sorted join of the full inverted index, which re-evaluates the
+    tokenize/shingle subtree on both sides. Stop-shingle skew (a shingle in
+    millions of docs ⇒ k² pairs from one row) is the known hot spot at
+    100 TB: pass ``max_doc_freq`` to drop ubiquitous shingles (standard
+    practice, slightly lowers recall — oracle-checked queries leave it None).
     """
     sets = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(shingles_col)).alias("__s"),
     ).withColumn("__n", F.size("__s"))
 
-    inv = sets.select("__id", "__n", F.explode("__s").alias("__shingle"))
-    if hash_join_key:
-        # scale path: 32-bit murmur3 join key shrinks shuffle bytes; a
-        # collision can inflate an intersection count, so oracle-checked
-        # queries keep the raw shingle key (hash_join_key=False).
-        inv = inv.withColumn("__shingle", F.hash("__shingle"))
+    # explode_outer, NOT explode: plain explode makes the optimizer infer a
+    # `size(__s) > 0` filter and push it below the projections, inlining the
+    # whole (interpreted, per-row O(n²)) tokenize/shingle expression tree
+    # several times over into a non-codegen Filter — a ~10× slowdown.
+    inv = sets.select(
+        "__id", "__n", F.explode_outer("__s").alias("__shingle")
+    ).filter(F.col("__shingle").isNotNull())
 
-    a = inv.select(
-        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__shingle"
+    posts = (
+        inv.groupBy("__shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("__id", "__n"))).alias("__ps"))
+        .filter(F.size("__ps") > 1)
     )
-    b = inv.select(
-        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__shingle"
+    if max_doc_freq is not None:
+        posts = posts.filter(F.size("__ps") <= max_doc_freq)
+
+    # C(k,2) ordered pairs per posting list; sort_array ordered by __id so
+    # id_a < id_b by construction.
+    pair_expr = F.expr(
+        "flatten(transform(__ps, (x, i) -> "
+        "transform(slice(__ps, i + 2, size(__ps) - i - 1), y -> "
+        "struct(x.__id AS id_a, x.__n AS na, y.__id AS id_b, y.__n AS nb))))"
     )
-    shared = (
-        a.join(b, "__shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count("*").alias("__inter"))
+    pairs = posts.select(F.explode(pair_expr).alias("p")).select("p.*")
+
+    shared = pairs.groupBy("id_a", "id_b", "na", "nb").agg(
+        F.count("*").alias("__inter")
     )
-    jacc = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+    jacc = F.col("__inter") / (F.col("na") + F.col("nb") - F.col("__inter"))
     return (
         shared.withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= threshold)

@@ -31,17 +31,37 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-fold dot product of two array<double> columns (JVM-side)."""
-    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array<double> columns, JVM-side.
+
+    With ``dim`` known (the embedding-table contract), expands to an
+    explicit left-associated sum of ``element_at`` products — a plain
+    whole-stage-codegen'd expression. Without it, falls back to a
+    ``zip_with`` + ``aggregate`` fold, which Spark interprets per element
+    (higher-order lambdas have no codegen) — ~10× slower in hot paths.
+    Both forms add strictly left-to-right, matching the oracle engine's
+    ``list_inner_product`` bit-for-bit."""
+    if dim is None:
+        return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+    out = None
+    for d in range(1, dim + 1):
+        term = F.element_at(a, d) * F.element_at(b, d)
+        out = term if out is None else out + term
+    return out
 
 
-def l2_norm_sq(a: Column) -> Column:
-    return _fold_sum(F.transform(a, lambda x: x * x))
+def l2_norm_sq(a: Column, dim: int | None = None) -> Column:
+    if dim is None:
+        return _fold_sum(F.transform(a, lambda x: x * x))
+    out = None
+    for d in range(1, dim + 1):
+        term = F.element_at(a, d) * F.element_at(a, d)
+        out = term if out is None else out + term
+    return out
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.sqrt(l2_norm_sq(a) * l2_norm_sq(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / F.sqrt(l2_norm_sq(a, dim) * l2_norm_sq(b, dim))
 
 
 def cosine_topk(
@@ -52,9 +72,13 @@ def cosine_topk(
     query_id: str,
     query_vec: str,
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self-matches by
     id). Deterministic ties: (cosine desc, corpus id asc).
+
+    Norms are precomputed per side (once per vector, not once per pair);
+    pass ``dim`` to get fully codegen'd dot products (see :func:`dot`).
 
     Returns (query_id, corpus_id, rank, cos).
     """
@@ -62,19 +86,113 @@ def cosine_topk(
         queries.select(
             F.col(query_id).alias("__qid"),
             F.col(query_vec).cast("array<double>").alias("__qv"),
-        )
+        ).withColumn("__qn", l2_norm_sq(F.col("__qv"), dim))
     )
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm_sq(F.col("__cv"), dim))
     pairs = c.crossJoin(q).filter(F.col("__cid") != F.col("__qid"))
     scored = pairs.select(
-        "__qid", "__cid", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+        "__qid",
+        "__cid",
+        (
+            dot(F.col("__qv"), F.col("__cv"), dim)
+            / F.sqrt(F.col("__qn") * F.col("__cn"))
+        ).alias("__cos"),
     )
     w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "rank",
+            F.round("__cos", 6).alias("cos"),
+        )
+    )
+
+
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+    nbits: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors per query via a vectorized block kernel —
+    the scale path for brute-force AND bucketed ANN.
+
+    The query matrix (small by contract — it is the broadcast side of any
+    ANN join) is collected once and shipped to executors inside a
+    ``mapInPandas`` closure; each corpus partition computes one
+    numpy ``C @ Qᵀ`` block matmul (Arrow in, BLAS inside) and emits only
+    its LOCAL top-(k+1) rows per query, so the global window sees
+    #partitions × #queries × (k+1) rows instead of |corpus| × |queries|.
+    With ``nbits`` set, both sides are bucketed by sign-random-projection
+    LSH and scores are masked to same-bucket pairs (the approximate path).
+
+    At 100 TB: corpus scan is embarrassingly parallel, no shuffle until
+    the tiny top-k merge; this is the standard distributed ANN shape.
+    Returns (query_id, corpus_id, rank, cos) with deterministic ties
+    (cos desc, corpus id asc).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+
+    H = None
+    qbucket = None
+    if nbits is not None:
+        d = dim if dim is not None else Q.shape[1]
+        H = np.array(
+            [[hyperplane_component(j, i) for i in range(d)] for j in range(nbits)],
+            dtype=np.float64,
+        )
+        qbucket = ((Q @ H.T) > 0).astype(np.int64) @ (1 << np.arange(nbits))
+
+    local_k = k + 1  # +1 covers the self-match exclusion downstream
+
+    def block(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            cids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            cnorm = np.sqrt((C * C).sum(axis=1))
+            S = (C @ Q.T) / (cnorm[:, None] * qnorm[None, :])
+            if H is not None:
+                cbucket = ((C @ H.T) > 0).astype(np.int64) @ (1 << np.arange(len(H)))
+                S = np.where(cbucket[:, None] == qbucket[None, :], S, -np.inf)
+            kk = min(local_k, S.shape[0])
+            # per-query local top-kk (unordered; global window ranks exactly)
+            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
+            qi, ci, cos = [], [], []
+            for j in range(S.shape[1]):
+                col = idx[:, j]
+                vals = S[col, j]
+                keep = np.isfinite(vals)
+                qi.extend([qids[j]] * int(keep.sum()))
+                ci.extend(cids[col[keep]])
+                cos.extend(vals[keep])
+            yield pd.DataFrame({"__qid": qi, "__cid": ci, "__cos": cos})
+
+    candidates = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        block, schema="__qid long, __cid long, __cos double"
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid").asc())
+    return (
+        candidates.filter(F.col("__cid") != F.col("__qid"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("__qid").alias(query_id),
@@ -136,16 +254,27 @@ def lsh_bucketed_topk(
         queries.select(
             F.col(query_id).alias("__qid"),
             F.col(query_vec).cast("array<double>").alias("__qv"),
-        ).withColumn("__b", lsh_bucket(F.col("__qv"), dim, nbits))
+        )
+        .withColumn("__b", lsh_bucket(F.col("__qv"), dim, nbits))
+        .withColumn("__qn", l2_norm_sq(F.col("__qv"), dim))
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("__cid"),
-        F.col(corpus_vec).cast("array<double>").alias("__cv"),
-    ).withColumn("__b", lsh_bucket(F.col("__cv"), dim, nbits))
+    c = (
+        corpus.select(
+            F.col(corpus_id).alias("__cid"),
+            F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        )
+        .withColumn("__b", lsh_bucket(F.col("__cv"), dim, nbits))
+        .withColumn("__cn", l2_norm_sq(F.col("__cv"), dim))
+    )
 
     pairs = c.join(q, "__b").filter(F.col("__cid") != F.col("__qid"))
     scored = pairs.select(
-        "__qid", "__cid", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+        "__qid",
+        "__cid",
+        (
+            dot(F.col("__qv"), F.col("__cv"), dim)
+            / F.sqrt(F.col("__qn") * F.col("__cn"))
+        ).alias("__cos"),
     )
     w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid").asc())
     return (

@@ -17,11 +17,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from fink_science_spark.functions.hashing import (
+    hash28_sql,
     hash64,
     hash64_sql,
-    minhash_signature,
-    minhash_sql,
-    simhash64,
+    minhash_sql_hashed,
     simhash_sql_hashed,
 )
 from fink_science_spark.functions.text import (
@@ -44,9 +43,8 @@ from fink_science_spark.operators.dedup import (
 from fink_science_spark.operators.enrich import apply_masked_pandas_kernel
 from fink_science_spark.operators.multimodal import extract_blob_features
 from fink_science_spark.operators.similarity import (
-    cosine_topk,
+    cosine_topk_blocked,
     hyperplane_component,
-    lsh_bucketed_topk,
 )
 from fink_science_spark.operators.spatial import (
     nearest_join_1d,
@@ -174,8 +172,16 @@ def _minhash_band_eq_sql() -> str:
 
 ORACLE_DEDUP_MINHASH_LSH = f"""
 WITH {_DOCS_TOK_CTE},
+hashed AS (
+  -- len > 0: docs with no shingles have no signature (mirrors the
+  -- engine's explode-based signature computation)
+  SELECT doc_id, shingles,
+         list_transform(shingles, x -> {hash28_sql('x')}) AS th
+  FROM sh WHERE len(shingles) > 0
+),
 sigs AS (
-  SELECT doc_id, shingles, {minhash_sql('shingles', _MH_NUM)} AS sig FROM sh
+  SELECT doc_id, shingles, {minhash_sql_hashed('th', _MH_NUM)} AS sig
+  FROM hashed
 ),
 cand AS (
   SELECT a.doc_id id_a, b.doc_id id_b, a.shingles sa, b.shingles sb
@@ -195,12 +201,12 @@ _SH_BITS, _SH_CHUNKS, _SH_MAXHAM = 60, 4, 10
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 10 over 60 bits) via the
-    pigeonhole chunk join (SURVEY M7)."""
-    docs = _doc_tokens(spark, sf_dir).withColumn(
-        "utoks", F.array_distinct("toks")
-    )
+    pigeonhole chunk join (SURVEY M7). Signatures are over 3-gram
+    shingles: unique-token SimHash degenerates on template-generated
+    corpora (same vocabulary ⇒ thousands of colliding signatures ⇒
+    quadratic pair blowup), while shingle SimHash keeps word order."""
     return simhash_pairs(
-        docs, "doc_id", "utoks",
+        _doc_shingles(spark, sf_dir), "doc_id", "shingles",
         max_hamming=_SH_MAXHAM, bits=_SH_BITS, chunks=_SH_CHUNKS,
     )
 
@@ -216,9 +222,11 @@ _SH_CHUNK_EQ = " OR ".join(
 ORACLE_DEDUP_SIMHASH = f"""
 WITH {_DOCS_TOK_CTE},
 hs AS (
+  -- len > 0: docs with no shingles have no signature (mirrors the
+  -- engine's explode-based signature computation)
   SELECT doc_id,
-         list_transform(list_distinct(toks), x -> {hash64_sql('x')}) AS h
-  FROM tok
+         list_transform(shingles, x -> {hash64_sql('x')}) AS h
+  FROM sh WHERE len(shingles) > 0
 ),
 sims AS (SELECT doc_id, {simhash_sql_hashed('h', _SH_BITS)} AS sim FROM hs)
 SELECT a.doc_id id_a, b.doc_id id_b,
@@ -334,7 +342,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    return cosine_topk(corpus, queries, "cid", "cv", "qid", "qv", k=5)
+    return cosine_topk_blocked(corpus, queries, "cid", "cv", "qid", "qv", k=5)
 
 
 ORACLE_ANN_COSINE_TOPK = """
@@ -368,9 +376,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    return lsh_bucketed_topk(
-        corpus, queries, "cid", "cv", "qid", "qv", dim=_EMB_DIM, k=3,
-        nbits=_LSH_BITS,
+    return cosine_topk_blocked(
+        corpus, queries, "cid", "cv", "qid", "qv", k=3,
+        nbits=_LSH_BITS, dim=_EMB_DIM,
     )
 
 
