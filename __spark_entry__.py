@@ -27,12 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries import QUERIES
     from fink_science_spark.queries_ext import QUERIES_EXT
+    from fink_science_spark.queries_ext2 import QUERIES_EXT2
 
-    return {**QUERIES, **QUERIES_EXT}
+    return {**QUERIES, **QUERIES_EXT, **QUERIES_EXT2}
 
 
 def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries import ORACLES
     from fink_science_spark.queries_ext import ORACLES_EXT
+    from fink_science_spark.queries_ext2 import ORACLES_EXT2
 
-    return {**ORACLES, **ORACLES_EXT}
+    return {**ORACLES, **ORACLES_EXT, **ORACLES_EXT2}

@@ -35,6 +35,12 @@ HEADLINE = [
     "spatial_nn",
     "enrich_score",
     "stream_weekly_counts",
+    "crossmatch_sky",
+    "group_features",
+    "trapezoid_fluence",
+    "dedup_embedding_cosine",
+    "stream_sliding_counts",
+    "stream_stateful_user_stats",
 ]
 
 

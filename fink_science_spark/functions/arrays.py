@@ -136,6 +136,23 @@ def band_peak(arr_val: Column | str, arr_band: Column | str, band) -> Column:
     )
 
 
+def trapezoid_integral(arr_t: Column | str, arr_v: Column | str) -> Column:
+    """Trapezoidal integral of v over t for a time-sorted array pair —
+    the trailing-fluence kernel (reference semantics: np.trapezoid over
+    cjd, ztf/blazar_extreme_state/utils.py:122-146). 0.0 when fewer than
+    2 points. Pure array expressions: slice both arrays into (i, i+1)
+    views, zip the trapezoid terms, fold-sum."""
+    t = F.col(arr_t) if isinstance(arr_t, str) else arr_t
+    v = F.col(arr_v) if isinstance(arr_v, str) else arr_v
+    n = F.size(t)
+    t1, t2 = F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)
+    v1, v2 = F.slice(v, 1, n - 1), F.slice(v, 2, n - 1)
+    mid = F.zip_with(v1, v2, lambda a, b: (a + b) / 2)
+    dt = F.zip_with(t2, t1, lambda a, b: a - b)
+    terms = F.zip_with(mid, dt, lambda m, d: m * d)
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def any_matching(arr: Column | str, predicate) -> Column:
     """EXISTS over an array with null-safe false default (reference
     semantics: EXISTS(prv_candidates, ...) wrapped in coalesce(..., False),

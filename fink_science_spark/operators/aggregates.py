@@ -106,6 +106,69 @@ def weighted_quantile(
     )
 
 
+def fit_features_per_group(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-group light-curve feature fit via ``applyInPandas`` — the
+    ad_features/random_forest_snia shape (reference: per-SNID feature fit
+    loop, ztf/random_forest_snia/processor.py:188-199; per-band feature
+    extraction, ztf/ad_features/processor.py:78-237): group the flat event
+    stream by key, hand each group's (t, v) series to a vectorized numpy
+    kernel, return one feature row per group.
+
+    Kernel here is the closed-form least-squares slope + mean + amplitude
+    (covar/var around the centered time axis — mathematically identical to
+    SQL ``regr_slope``, so the oracle can verify the Arrow path end-to-end).
+    Groups with fewer than ``min_points`` rows (or zero time variance) are
+    dropped, mirroring the reference's nmin cuts (ztf/ssoft/processor.py:784).
+
+    One shuffle on the group key; Arrow batches per group; at 100 TB the
+    key cardinality (#objects) spreads uniformly and no group outgrows a
+    task (histories are bounded per object).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key} long, n long, mean double, amp double, slope double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < min_points:
+            return pd.DataFrame(
+                columns=[key, "n", "mean", "amp", "slope"]
+            ).astype({key: "int64", "n": "int64"})
+        t = pdf[ts_col].to_numpy(dtype=np.float64)
+        v = pdf[val_col].to_numpy(dtype=np.float64)
+        tc = t - t.mean()
+        denom = float((tc * tc).sum())
+        if denom <= 0.0:
+            return pd.DataFrame(
+                columns=[key, "n", "mean", "amp", "slope"]
+            ).astype({key: "int64", "n": "int64"})
+        # NB: no rounding here — Python round() is banker's (half-to-even)
+        # while SQL ROUND is half-away-from-zero; callers round with
+        # F.round so tie values agree with any SQL engine.
+        return pd.DataFrame(
+            {
+                key: [int(pdf[key].iloc[0])],
+                "n": [len(pdf)],
+                "mean": [float(v.mean())],
+                "amp": [float(v.max() - v.min())],
+                "slope": [float((tc * v).sum() / denom)],
+            }
+        )
+
+    return df.select(key, ts_col, val_col).groupBy(key).applyInPandas(
+        kernel, out_schema
+    )
+
+
 def trailing_window_mean(
     df: DataFrame,
     keys: list[str],
