@@ -469,6 +469,53 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Nested alert data model (§1.1/1.2): candidate struct + prv_candidates
+# --------------------------------------------------------------------------
+
+
+def q_alert_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end nested alert pipeline: build the candidate-struct +
+    prv_candidates-array layout from the event stream, derive c-columns
+    with concat_col (the reference's most load-bearing operator, SURVEY
+    §1.2), then run an enrichment module stack over the nested fields —
+    history count, delta of last two, valid-measurement count, and a
+    brightening flag via implicit struct-field extraction on the history
+    array (candidate.value vs array_max(prv_candidates.value))."""
+    from fink_science_spark.functions.arrays import concat_col, delta_last
+    from fink_science_spark.sources.alerts import build_alerts
+
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us", "value", "event_type")
+    alerts = build_alerts(ev, "user_id", "ts_us", ["value", "event_type"])
+    df = concat_col(alerts, "value")
+    return df.select(
+        "user_id",
+        F.size("prv_candidates").alias("n_prv"),
+        F.round(delta_last("cvalue"), 6).alias("delta_last"),
+        F.size(F.filter("cvalue", lambda x: x >= 10.0)).alias("n_valid"),
+        F.coalesce(
+            F.col("candidate.value") > F.array_max("prv_candidates.value"),
+            F.lit(False),
+        ).alias("is_brightening"),
+    )
+
+
+ORACLE_ALERT_ENRICHMENT = """
+WITH agg AS (
+  SELECT user_id, count(*) AS n,
+         list(value ORDER BY epoch_us(ts), value) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       n - 1 AS n_prv,
+       CASE WHEN n >= 2 THEN round(vs[-1] - vs[-2], 6) END AS delta_last,
+       len(list_filter(vs, x -> x >= 10.0)) AS n_valid,
+       coalesce(vs[-1] > list_max(list_slice(vs, 1, n - 1)), FALSE)
+           AS is_brightening
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Sink/source roundtrip (§2.1): parquet sink, CSV sink+source
 # --------------------------------------------------------------------------
 
@@ -515,6 +562,7 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_struct_decode": q_json_struct_decode,
     "scalar_kitchen_sink": q_scalar_kitchen_sink,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "alert_enrichment": q_alert_enrichment,
     "stream_sliding_counts": q_stream_sliding_counts,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
     "sink_roundtrip": q_sink_roundtrip,
@@ -528,6 +576,7 @@ ORACLES_EXT2: dict[str, str] = {
     "json_struct_decode": ORACLE_JSON_STRUCT_DECODE,
     "scalar_kitchen_sink": ORACLE_SCALAR_KITCHEN_SINK,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "alert_enrichment": ORACLE_ALERT_ENRICHMENT,
     "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,
     "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL_USER_STATS,
     "sink_roundtrip": ORACLE_SINK_ROUNDTRIP,

@@ -1,0 +1,94 @@
+"""Plan-quality regression tests: the properties that matter at 100 TB.
+
+Correctness is the oracle suite's job; these tests pin the PHYSICAL plans:
+- predicate pushdown reaches the parquet scan (PushedFilters),
+- column pruning reaches the scan (ReadSchema lists only referenced cols),
+- dimension joins broadcast instead of shuffling the fact side,
+- the history materialization is a single shuffle,
+- hot relational paths stay inside whole-stage codegen.
+
+A refactor that silently regresses one of these still passes the value
+checks — this file is what catches it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, registry):
+    plan = plan_of(registry["pricing_summary"](spark, SF))
+    # filter pushed into the parquet scan
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan), plan
+    # scan pruned: only the 7 referenced columns, not the full 11-col table
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "l_partkey" not in cols and "l_suppkey" not in cols, cols
+    assert {"l_shipdate", "l_quantity", "l_returnflag"} <= cols, cols
+    # aggregation is partial (map-side combine before the exchange)
+    assert "partial_sum" in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_region_revenue_broadcasts_all_dims(spark, registry):
+    plan = plan_of(registry["region_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_text_quality_scan_reads_two_columns(spark, registry):
+    plan = plan_of(registry["text_quality"](spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_crossmatch_sky_is_broadcast_bucket_join(spark, registry):
+    plan = plan_of(registry["crossmatch_sky"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # the refine predicate must NOT degenerate into a nested-loop cross join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_user_history_single_shuffle(spark, registry):
+    # collect_history groups once: exactly one exchange below the project
+    plan = plan_of(registry["user_history_stats"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_spatial_nn_broadcasts_catalog(spark, registry):
+    plan = plan_of(registry["spatial_nn"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_no_cartesian(spark, registry):
+    plan = plan_of(registry["dedup_minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_order_flags_stays_in_codegen(spark, registry):
+    plan = plan_of(registry["order_flags"](spark, SF))
+    assert "codegen id" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
