@@ -28,13 +28,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries import QUERIES
     from fink_science_spark.queries_ext import QUERIES_EXT
     from fink_science_spark.queries_ext2 import QUERIES_EXT2
+    from fink_science_spark.queries_ext3 import QUERIES_EXT3
 
-    return {**QUERIES, **QUERIES_EXT, **QUERIES_EXT2}
+    return {**QUERIES, **QUERIES_EXT, **QUERIES_EXT2, **QUERIES_EXT3}
 
 
 def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries import ORACLES
     from fink_science_spark.queries_ext import ORACLES_EXT
     from fink_science_spark.queries_ext2 import ORACLES_EXT2
+    from fink_science_spark.queries_ext3 import ORACLES_EXT3
 
-    return {**ORACLES, **ORACLES_EXT, **ORACLES_EXT2}
+    return {**ORACLES, **ORACLES_EXT, **ORACLES_EXT2, **ORACLES_EXT3}

@@ -41,6 +41,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "stream_sliding_counts",
     "stream_stateful_user_stats",
+    "ann_ivf_topk",
+    "stream_session_windows",
+    "alert_rule_flags",
+    "doc_winnowing",
 ]
 
 

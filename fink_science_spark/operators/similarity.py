@@ -203,6 +203,133 @@ def cosine_topk_blocked(
     )
 
 
+def ivf_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    centroid_id: str,
+    centroid_vec: str,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k: every vector is assigned to its nearest
+    centroid (max cosine, smallest centroid id on ties); a query probes only
+    its own centroid's inverted list (nprobe=1). The centroid table is the
+    'coarse quantizer' — at 100 TB it is the k-means codebook; here any
+    deterministic centroid subset works, and both the assignment and the
+    in-list search run inside one numpy block kernel per corpus partition
+    (same shape as :func:`cosine_topk_blocked`).
+
+    Returns (query_id, corpus_id, rank, cos)."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(
+        centroids.select(centroid_id, centroid_vec).collect(), key=lambda r: r[0]
+    )
+    CENT = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    cent_norm = np.sqrt((CENT * CENT).sum(axis=1))
+
+    def assign(M: "np.ndarray") -> "np.ndarray":
+        nrm = np.sqrt((M * M).sum(axis=1))
+        S = (M @ CENT.T) / (nrm[:, None] * cent_norm[None, :])
+        return S.argmax(axis=1)  # first max == smallest centroid id (sorted)
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    qcell = assign(Q)
+
+    local_k = k + 1
+
+    def block(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            cids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            cnorm = np.sqrt((C * C).sum(axis=1))
+            ccell = assign(C)
+            S = (C @ Q.T) / (cnorm[:, None] * qnorm[None, :])
+            S = np.where(ccell[:, None] == qcell[None, :], S, -np.inf)
+            kk = min(local_k, S.shape[0])
+            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
+            qi, ci, cos = [], [], []
+            for j in range(S.shape[1]):
+                col = idx[:, j]
+                vals = S[col, j]
+                keep = np.isfinite(vals)
+                qi.extend([qids[j]] * int(keep.sum()))
+                ci.extend(cids[col[keep]])
+                cos.extend(vals[keep])
+            yield pd.DataFrame({"__qid": qi, "__cid": ci, "__cos": cos})
+
+    candidates = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        block, schema="__qid long, __cid long, __cos double"
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid").asc())
+    return (
+        candidates.filter(F.col("__cid") != F.col("__qid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "rank",
+            F.round("__cos", 6).alias("cos"),
+        )
+    )
+
+
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col,
+    threshold: float,
+) -> DataFrame:
+    """All same-bucket pairs with cosine ≥ threshold, via ONE shuffle:
+    groupBy bucket → per-bucket numpy pairwise matmul inside applyInPandas.
+    Replaces the aliased self-join + per-pair JVM dot products (the join
+    evaluates the bucket expression on both sides and scores pair-by-pair;
+    the grouped matmul scores a whole bucket at once). Bucket sizes are
+    bounded by the LSH bit count at 100 TB — each group is one small
+    dense block."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        bucket_col.alias("__b"),
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosr": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosr": "float64"}
+            )
+        order = np.argsort(pdf["__id"].to_numpy())
+        ids = pdf["__id"].to_numpy()[order]
+        M = np.array(list(pdf["__v"]), dtype=np.float64)[order]
+        nrm = np.sqrt((M * M).sum(axis=1))
+        S = (M @ M.T) / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.triu_indices(n, k=1)
+        keep = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosr": S[ia, ib][keep]}
+        )
+
+    return src.groupBy("__b").applyInPandas(
+        pairs, schema="id_a long, id_b long, cosr double"
+    )
+
+
 def hyperplane_component(bit: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1),
     derived from md5 of "bit,dim" — reproducible in any engine (the

@@ -295,29 +295,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket candidate generation
     (same-bucket pairs only — the scale path) + exact cosine ≥ threshold
     refine, fully JVM-side (SURVEY M7 embedding-cosine near-dup)."""
+    from fink_science_spark.operators.similarity import cosine_pairs_bucketed
+
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = emb.withColumn(
-        "b", lsh_bucket(F.col("v"), _EMB_DIM, _COS_BITS)
-    ).withColumn("nrm", l2_norm_sq(F.col("v"), _EMB_DIM))
-    a, b = bucketed.alias("__l"), bucketed.alias("__r")
-    pairs = a.join(
-        b,
-        (F.col("__l.b") == F.col("__r.b"))
-        & (F.col("__l.vec_id") < F.col("__r.vec_id")),
-    ).select(
-        F.col("__l.vec_id").alias("id_a"),
-        F.col("__r.vec_id").alias("id_b"),
-        (
-            dot(F.col("__l.v"), F.col("__r.v"), _EMB_DIM)
-            / F.sqrt(F.col("__l.nrm") * F.col("__r.nrm"))
-        ).alias("cosr"),
+    pairs = cosine_pairs_bucketed(
+        emb, "vec_id", "v",
+        bucket_col=lsh_bucket(F.col("v"), _EMB_DIM, _COS_BITS),
+        threshold=_COS_THRESHOLD,
     )
-    return pairs.filter(F.col("cosr") >= _COS_THRESHOLD).select(
-        "id_a", "id_b", F.round("cosr", 6).alias("cos")
-    )
+    return pairs.select("id_a", "id_b", F.round("cosr", 6).alias("cos"))
 
 
 def _lsh_bucket_sql(vec: str) -> str:

@@ -1,0 +1,363 @@
+"""Query registry, wave 4: IVF similarity search, session windows,
+stream-static broadcast enrichment, rule-cascade alert flags, catalog
+standardization (standardized_flux shape), extreme-state threshold
+ratios, and winnowing document fingerprints — each with a bit-portable
+duckdb oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fink_science_spark.functions.hashing import hash64, hash64_sql
+from fink_science_spark.functions.text import tokens, tokens_sql, word_shingles, word_shingles_sql
+from fink_science_spark.operators.similarity import ivf_topk_blocked
+from fink_science_spark.queries import _events_us, _t
+
+DAY_US = 24 * 3600 * 1_000_000
+
+# --------------------------------------------------------------------------
+# IVF similarity search (M7: "an IVF or LSH-bucketed variant")
+# --------------------------------------------------------------------------
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: coarse-quantize every vector to its nearest
+    centroid (deterministic centroid subset: vec_id % 40 == 1), probe the
+    query's own cell only (nprobe=1), exact cosine inside the cell.
+    One numpy block kernel per corpus partition (SURVEY M7 scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cents = emb.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("centid"), F.col("embedding").alias("centv")
+    )
+    return ivf_topk_blocked(
+        corpus, queries, cents, "cid", "cv", "qid", "qv", "centid", "centv", k=3
+    )
+
+
+ORACLE_ANN_IVF_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+cent AS (SELECT vec_id AS centid, v AS centv FROM e WHERE vec_id % 40 = 1),
+assign AS (
+  SELECT e.vec_id, e.v, centid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_inner_product(e.v, cent.centv) /
+                    sqrt(list_inner_product(e.v, e.v) *
+                         list_inner_product(cent.centv, cent.centv)) DESC,
+                    centid ASC) AS rn
+  FROM e CROSS JOIN cent
+),
+cells AS (SELECT vec_id, v, centid AS cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv, cell FROM cells WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         list_inner_product(q.qv, c.v) /
+         sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.v, c.v))
+             AS cosr
+  FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, cid, cosr,
+         row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, rank, round(cosr, 6) AS cos
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming (M6): session windows + stream-static broadcast join
+# --------------------------------------------------------------------------
+
+_SESSION_GAP = "3 days"
+_SESSION_GAP_US = 3 * DAY_US
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (3-day inactivity gap) per user as a real streaming
+    query: merge-on-overlap session aggregation — the sessionization shape
+    of Structured Streaming (SURVEY M6)."""
+    from fink_science_spark.streaming.shell import run_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    enriched = stream.withColumn(
+        "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    sessions = (
+        enriched.withWatermark("ts_event", "1 day")
+        .groupBy(F.session_window("ts_event", _SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(sessions, name, spark)
+
+
+ORACLE_STREAM_SESSION_WINDOWS = f"""
+WITH o AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_t
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t >= {_SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT min(t) AS session_start_us, user_id,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the streaming events frame
+    joined against the static customer dimension (the reference's
+    broadcast-catalog crossmatch shape inside a streaming query), then
+    aggregated per market segment (SURVEY §2.3 + M6)."""
+    from fink_science_spark.streaming.shell import run_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = stream.join(cust, stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    name = f"streamstatic_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(agg, name, spark)
+
+
+ORACLE_STREAM_STATIC_JOIN = """
+SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Alert rule cascade (M2: roid_catcher as native boolean algebra)
+# --------------------------------------------------------------------------
+
+
+def q_alert_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-cascade flag derivation over the nested alert layout — the
+    roid_catcher shape (reference: rule-based flags 0-3,
+    ztf/asteroids/processor.py:29-167) as pure boolean column algebra over
+    candidate fields and history arrays; no UDF."""
+    from fink_science_spark.functions.arrays import concat_col, delta_last
+    from fink_science_spark.sources.alerts import build_alerts
+
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us", "value", "event_type")
+    alerts = build_alerts(ev, "user_id", "ts_us", ["value", "event_type"])
+    df = concat_col(alerts, "value")
+    n_prv = F.size("prv_candidates")
+    delta = delta_last("cvalue")
+    flag = (
+        F.when((F.col("candidate.value") > 450) & (n_prv >= 5), 3)
+        .when((F.col("candidate.value") > 300) & (delta > 0), 2)
+        .when(n_prv == 0, 1)
+        .otherwise(0)
+    )
+    return df.select("user_id", flag.alias("flag"))
+
+
+ORACLE_ALERT_RULE_FLAGS = """
+WITH agg AS (
+  SELECT user_id, count(*) AS n,
+         list(value ORDER BY epoch_us(ts), value) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN vs[-1] > 450 AND n - 1 >= 5 THEN 3
+            WHEN vs[-1] > 300 AND n >= 2 AND vs[-1] - vs[-2] > 0 THEN 2
+            WHEN n - 1 = 0 THEN 1
+            ELSE 0 END AS flag
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Catalog standardization (standardized_flux shape) + extreme state
+# --------------------------------------------------------------------------
+
+
+def q_standardized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """standardized_flux pattern (reference: flux / per-band catalog
+    median, ztf/standardized_flux/processor.py:31-179): build the per-type
+    median catalog, broadcast it back onto the event stream, emit
+    value / median. The in-UDF catalog load of the reference becomes a
+    proper broadcast join."""
+    ev = _t(spark, sf_dir, "events")
+    catalog = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("__med")
+    )
+    return (
+        ev.join(F.broadcast(catalog), "event_type")
+        .select(
+            "event_id",
+            F.round(F.col("value") / F.col("__med"), 6).alias("standardized"),
+        )
+    )
+
+
+ORACLE_STANDARDIZED_VALUE = """
+WITH cat AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+)
+SELECT event_id, round(value / med, 6) AS standardized
+FROM events JOIN cat USING (event_type)
+"""
+
+
+def q_extreme_state_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extreme_state pattern (reference: threshold-exceedance ratios,
+    ztf/blazar_extreme_state/processor.py:67-277): per (user, type), the
+    fraction of measurements above the type's global 90th percentile —
+    high-state detection via a broadcast threshold catalog."""
+    ev = _t(spark, sf_dir, "events")
+    thresholds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.9)).alias("__p90")
+    )
+    joined = ev.join(F.broadcast(thresholds), "event_type")
+    return (
+        joined.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(F.when(F.col("value") > F.col("__p90"), 1.0).otherwise(0.0)), 6
+            ).alias("high_ratio"),
+        )
+    )
+
+
+ORACLE_EXTREME_STATE_RATIO = """
+WITH th AS (
+  SELECT event_type, quantile_cont(value, 0.9) AS p90
+  FROM events GROUP BY event_type
+)
+SELECT user_id, event_type, count(*) AS n,
+       round(avg(CASE WHEN value > p90 THEN 1.0 ELSE 0.0 END), 6) AS high_ratio
+FROM events JOIN th USING (event_type)
+GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (M7 rolling-hash fingerprinting)
+# --------------------------------------------------------------------------
+
+_WIN_W = 4
+
+
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the rolling-hash document-fingerprint
+    scheme): hash every positional 3-gram shingle, take the min hash of
+    each sliding window of 4, emit the distinct fingerprints per doc.
+    Guarantees shared fingerprints for any shared run of ≥ w+n-1 tokens —
+    the plagiarism/near-dup detection classic (SURVEY M7 doc
+    fingerprinting)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("toks"), 3).alias("sh")
+    )
+    hashed = sh.select(
+        "doc_id", F.transform("sh", lambda x: hash64(x)).alias("hs")
+    )
+    nwin = F.size("hs") - (_WIN_W - 1)
+    wins = hashed.select(
+        "doc_id",
+        F.when(
+            nwin >= 1,
+            F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda i: F.array_min(F.slice("hs", i, _WIN_W)),
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("fps"),
+    )
+    return (
+        wins.select("doc_id", F.explode_outer(F.array_distinct("fps")).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+ORACLE_DOC_WINNOWING = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, {word_shingles_sql('t.toks', 3)} AS sh FROM tok t
+),
+hs AS (
+  SELECT doc_id, list_transform(sh, x -> {hash64_sql('x')}) AS hs FROM sh
+),
+wins AS (
+  SELECT doc_id,
+         [ list_min(list_slice(hs, i, i + {_WIN_W - 1}))
+           for i in generate_series(1, greatest(len(hs) - {_WIN_W - 1}, 0)) ] AS fps
+  FROM hs
+)
+SELECT doc_id, unnest(list_distinct(fps)) AS fp
+FROM wins
+"""
+
+
+QUERIES_EXT3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "stream_session_windows": q_stream_session_windows,
+    "stream_static_join": q_stream_static_join,
+    "alert_rule_flags": q_alert_rule_flags,
+    "standardized_value": q_standardized_value,
+    "extreme_state_ratio": q_extreme_state_ratio,
+    "doc_winnowing": q_doc_winnowing,
+}
+
+ORACLES_EXT3: dict[str, str] = {
+    "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+    "stream_session_windows": ORACLE_STREAM_SESSION_WINDOWS,
+    "stream_static_join": ORACLE_STREAM_STATIC_JOIN,
+    "alert_rule_flags": ORACLE_ALERT_RULE_FLAGS,
+    "standardized_value": ORACLE_STANDARDIZED_VALUE,
+    "extreme_state_ratio": ORACLE_EXTREME_STATE_RATIO,
+    "doc_winnowing": ORACLE_DOC_WINNOWING,
+}
