@@ -29,8 +29,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext import QUERIES_EXT
     from fink_science_spark.queries_ext2 import QUERIES_EXT2
     from fink_science_spark.queries_ext3 import QUERIES_EXT3
+    from fink_science_spark.queries_ext4 import QUERIES_EXT4
 
-    return {**QUERIES, **QUERIES_EXT, **QUERIES_EXT2, **QUERIES_EXT3}
+    return {**QUERIES, **QUERIES_EXT, **QUERIES_EXT2, **QUERIES_EXT3, **QUERIES_EXT4}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -38,5 +39,6 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext import ORACLES_EXT
     from fink_science_spark.queries_ext2 import ORACLES_EXT2
     from fink_science_spark.queries_ext3 import ORACLES_EXT3
+    from fink_science_spark.queries_ext4 import ORACLES_EXT4
 
-    return {**ORACLES, **ORACLES_EXT, **ORACLES_EXT2, **ORACLES_EXT3}
+    return {**ORACLES, **ORACLES_EXT, **ORACLES_EXT2, **ORACLES_EXT3, **ORACLES_EXT4}

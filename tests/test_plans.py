@@ -88,6 +88,29 @@ def test_minhash_no_cartesian(spark, registry):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bucketed_join_has_no_join_exchange(spark, registry):
+    # both sides bucketed+sorted by the key ⇒ even a forced sort-merge
+    # join needs NO exchange below it: the shuffle was paid at write time.
+    # (Broadcast is disabled so the small test scale can't mask the
+    # property the layout is supposed to provide at 100 TB.)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(registry["bucketed_join"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    # exactly one exchange in the whole plan: the final aggregation's —
+    # none feeding the join
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_partitioned_scan_prunes_partitions(spark, registry):
+    df = registry["partitioned_scan"](spark, SF)
+    plan = plan_of(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*purchase", plan), plan
+
+
 def test_order_flags_stays_in_codegen(spark, registry):
     plan = plan_of(registry["order_flags"](spark, SF))
     assert "codegen id" in plan, plan

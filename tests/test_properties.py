@@ -1,0 +1,128 @@
+"""Property-based invariants (hypothesis) for the portable kernels.
+
+The oracle suite checks fixed datasets; these properties check the
+engine-portability CONTRACTS on adversarial inputs: the md5-derived
+hashes must agree bit-for-bit between Spark and DuckDB for arbitrary
+strings, shingling must obey its length law, and signature functions
+must be deterministic and order-insensitive where specified.
+
+One Spark job per example is slow, so each example batches many values
+through a single DataFrame.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+# printable-but-tricky strings; exclude surrogates (invalid in UTF-8)
+_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=60
+)
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(st.lists(_texts, min_size=1, max_size=24, unique=True))
+@_settings
+def test_hash64_matches_duckdb_bit_for_bit(spark, strings):
+    from fink_science_spark.functions.hashing import hash64, hash64_sql
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: r["h"] for r in df.select("s", hash64("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        (expected,) = con.execute(
+            f"SELECT {hash64_sql('?::VARCHAR')}", [s]
+        ).fetchone()
+        assert got[s] == expected, s
+    con.close()
+
+
+@given(st.lists(_texts, min_size=1, max_size=24, unique=True))
+@_settings
+def test_hash28_matches_duckdb_bit_for_bit(spark, strings):
+    from fink_science_spark.functions.hashing import hash28, hash28_sql
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: r["h"] for r in df.select("s", hash28("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        (expected,) = con.execute(
+            f"SELECT {hash28_sql('?::VARCHAR')}", [s]
+        ).fetchone()
+        assert got[s] == expected, s
+    con.close()
+
+
+@given(st.lists(st.text(alphabet="abc xyz", max_size=40), min_size=1, max_size=12))
+@_settings
+def test_shingle_length_law(spark, texts):
+    """len(shingles(t, n)) == max(0, len(tokens) - n + 1) for every doc."""
+    from fink_science_spark.functions.text import tokens, word_shingles
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        F.size(tokens("text")).alias("ntok"),
+        F.size(word_shingles(tokens("text"), 3)).alias("nsh"),
+    ).collect()
+    for r in rows:
+        assert r["nsh"] == max(0, r["ntok"] - 2), r
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=30))
+@_settings
+def test_minhash_permutation_invariant(spark, xs):
+    """MinHash signatures do not depend on token order (min is commutative)."""
+    from fink_science_spark.functions.hashing import hash28, minhash_from_hashed
+
+    fwd = [str(x) for x in xs]
+    rev = list(reversed(fwd))
+    df = spark.createDataFrame([(fwd, rev)], "a array<string>, b array<string>")
+    hashed = df.select(
+        F.transform("a", lambda x: hash28(x)).alias("ha"),
+        F.transform("b", lambda x: hash28(x)).alias("hb"),
+    )
+    row = hashed.select(
+        minhash_from_hashed("ha", 8).alias("sa"),
+        minhash_from_hashed("hb", 8).alias("sb"),
+    ).collect()[0]
+    assert row["sa"] == row["sb"]
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(0, 1000, allow_nan=False), st.floats(-5, 5, allow_nan=False)),
+        min_size=2,
+        max_size=20,
+    )
+)
+@_settings
+def test_trapezoid_matches_numpy(spark, pts):
+    """The array-expression trapezoid equals numpy.trapezoid on sorted input."""
+    import numpy as np
+
+    from fink_science_spark.functions.arrays import trapezoid_integral
+
+    pts = sorted(set(pts))
+    if len(pts) < 2:
+        return
+    t = [p[0] for p in pts]
+    v = [p[1] for p in pts]
+    df = spark.createDataFrame([(t, v)], "t array<double>, v array<double>")
+    (got,) = df.select(trapezoid_integral("t", "v").alias("x")).collect()[0]
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz
+    expected = float(trapezoid(np.array(v), np.array(t)))
+    assert got == pytest.approx(expected, rel=1e-9, abs=1e-9)

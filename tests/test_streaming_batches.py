@@ -1,0 +1,123 @@
+"""Streaming semantics across MULTIPLE micro-batches.
+
+The oracle-parity suite runs streaming queries over a single file = a
+single micro-batch, which cannot distinguish per-batch recomputation from
+true cross-batch state. Here the same events are split into several files
+and streamed with maxFilesPerTrigger=1, so state genuinely accumulates
+across batches — the final answers must still equal the batch aggregates.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SCRATCH = "/root/repo/_scratch"
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark):
+    """events split into 4 parquet files (deterministic round-robin on
+    event_id) under _scratch."""
+    path = os.path.join(SCRATCH, "stream_multibatch_src")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    ev.withColumn("__p", (F.col("event_id") % 4).cast("int")).repartition(
+        4, "__p"
+    ).drop("__p").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stateful_user_stats_across_batches(spark, multi_file_events):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(multi_file_events).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(multi_file_events)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "max_value": [vmax]})
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long, max_value double",
+        stateStructType="n long, vmax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [p.numInputRows for p in q.recentProgress if p.numInputRows]
+    assert len(batches) >= 2, f"expected multiple micro-batches, got {batches}"
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    final = (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n", "max_value")
+    )
+    expected = (
+        spark.read.parquet(multi_file_events)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("max_value"))
+    )
+    diff = final.exceptAll(expected).count() + expected.exceptAll(final).count()
+    assert diff == 0
+
+
+def test_windowed_counts_across_batches(spark, multi_file_events):
+    from fink_science_spark.streaming.shell import run_to_memory, windowed_counts
+
+    schema = spark.read.parquet(multi_file_events).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(multi_file_events)
+    )
+    enriched = stream.withColumn(
+        "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    counts = windowed_counts(
+        enriched, "ts_event", ["event_type"], window="7 days", watermark="1 day"
+    )
+    name = f"mbw_{uuid.uuid4().hex[:8]}"
+    result = run_to_memory(counts, name, spark)
+
+    batch = (
+        spark.read.parquet(multi_file_events)
+        .withColumn("ts_event", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .groupBy(F.window("ts_event", "7 days").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    diff = result.exceptAll(batch).count() + batch.exceptAll(result).count()
+    assert diff == 0
