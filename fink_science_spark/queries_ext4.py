@@ -153,14 +153,133 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Catalog registry (§1.4) + remaining §2 surface: SQL-string filters,
+# map-typed columns, seeded sampling
+# --------------------------------------------------------------------------
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped promo-revenue share through the CatalogRegistry: the
+    part table registered once (cached), broadcast-joined onto lineitem —
+    the engine's replacement for the reference's in-UDF catalog loads
+    (SURVEY §1.4; ztf/xmatch/utils.py:105-244)."""
+    from fink_science_spark.sources.catalogs import CatalogRegistry
+
+    reg = CatalogRegistry(spark)
+    reg.register_parquet(
+        f"part:{sf_dir}",
+        os.path.join(sf_dir, "part.parquet"),
+        select=["p_partkey", "p_type"],
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = reg.broadcast_join(
+        li, f"part:{sf_dir}", li.l_partkey == reg.get(f"part:{sf_dir}").p_partkey,
+        how="inner",
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return joined.agg(
+        F.round(F.sum(promo), 2).alias("promo_revenue"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+        F.round(F.sum(promo) / F.sum(rev) * 100.0, 6).alias("promo_pct"),
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2) AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)) * 100.0, 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_sql_string_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-supplied SQL-string filter with spherical trig + LIKE — the
+    anomaly-detection gating shape (reference:
+    ztf/anomaly_detection/processor.py:73-82): the engine accepts raw SQL
+    predicates and Catalyst still plans/pushes them."""
+    ev = _t(spark, sf_dir, "events")
+    gated = ev.filter(
+        "SIN(RADIANS(value)) > 0.5 AND event_type LIKE '%ick%' AND value < 400"
+    )
+    return gated.groupBy("user_id").agg(F.count("*").alias("n_gated"))
+
+
+ORACLE_SQL_STRING_FILTER = """
+SELECT user_id, count(*) AS n_gated
+FROM events
+WHERE sin(radians(value)) > 0.5 AND event_type LIKE '%ick%' AND value < 400
+GROUP BY user_id
+"""
+
+
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns (§1.3: the reference's UDFs return
+    MapType(String, …) and consumers use getItem): per-user map of
+    event_type → count built with map_from_entries, then key extraction
+    back to flat columns (output flattened so any engine can verify)."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.col("type_counts").getItem("click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.col("type_counts").getItem("purchase"), F.lit(0)).alias(
+            "n_purchase"
+        ),
+        F.size("type_counts").alias("n_types"),
+    )
+
+
+ORACLE_MAP_OPS = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(DISTINCT event_type)                AS n_types
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (§2.5: df.sample(frac, seed=0),
+    ztf/ssoft/processor.py:812). Spark's sampler is engine-specific, so
+    this is a rows-only check (deterministic across runs for a fixed seed,
+    but not reproducible in SQL)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.sample(fraction=0.1, seed=42)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
 QUERIES_EXT4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remote_xmatch": q_remote_xmatch,
     "bucketed_join": q_bucketed_join,
     "partitioned_scan": q_partitioned_scan,
+    "promo_revenue": q_promo_revenue,
+    "sql_string_filter": q_sql_string_filter,
+    "map_ops": q_map_ops,
+    "sampled_stats": q_sampled_stats,
 }
 
 ORACLES_EXT4: dict[str, str] = {
     "remote_xmatch": ORACLE_REMOTE_XMATCH,
     "bucketed_join": ORACLE_BUCKETED_JOIN,
     "partitioned_scan": ORACLE_PARTITIONED_SCAN,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
+    "sql_string_filter": ORACLE_SQL_STRING_FILTER,
+    "map_ops": ORACLE_MAP_OPS,
+    # sampled_stats: engine-specific seeded sampler — rows-only by design
 }
