@@ -64,10 +64,18 @@ def main() -> None:
     spark = get_session(app_name="fink_science_spark_bench")
     queries = entrymod.queries()
 
-    # warm-up: JVM, parquet footer reads, codegen
-    queries["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm-up at the smallest SF: JVM, Python workers, and (because plan
+    # shape is data-size-independent) each query's generated-code classes
+    # compile once here — timed runs below measure steady-state execution.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 - warm-up failures surface in the timed run
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -597,27 +597,32 @@ def q_stream_weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (SURVEY §2.9 / M6)."""
     import os as _os
 
-    from fink_science_spark.streaming.shell import run_to_memory, windowed_counts
+    from fink_science_spark.streaming.shell import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+        windowed_counts,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = _os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # file-stream sources require a directory: stream the sf_dir with a
-    # glob pinned to the events table
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    enriched = stream.withColumn(
-        "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
-    counts = windowed_counts(
-        enriched, "ts_event", ["event_type"], window="7 days", watermark="1 day"
-    )
-    name = f"weekly_{uuid.uuid4().hex[:8]}"
-    result = run_to_memory(counts, name, spark)
+    with scoped_shuffle_partitions(spark, 8):
+        # file-stream sources require a directory: stream the sf_dir with a
+        # glob pinned to the events table
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        enriched = stream.withColumn(
+            "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+        counts = windowed_counts(
+            enriched, "ts_event", ["event_type"], window="7 days", watermark="1 day"
+        )
+        name = f"weekly_{uuid.uuid4().hex[:8]}"
+        result = run_to_memory(counts, name, spark)
     return result.select(
         (F.col("window_start").cast("long") * F.lit(1_000_000)).alias("week_us"),
         "event_type",

@@ -345,34 +345,40 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (14d window, 7d slide) watermarked aggregation as a
     real Structured Streaming query; every event lands in exactly two
     windows (SURVEY §2.9 / M6)."""
-    from fink_science_spark.streaming.shell import run_to_memory
+    from fink_science_spark.streaming.shell import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    enriched = stream.withColumn(
-        "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
-    counts = (
-        enriched.withWatermark("ts_event", "1 day")
-        .groupBy(
-            F.window("ts_event", "14 days", "7 days").alias("w"), "event_type"
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            (F.col("w.start").cast("long") * F.lit(1_000_000)).alias("win_us"),
-            "event_type",
-            "n",
-            "sum_value",
+        enriched = stream.withColumn(
+            "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
-    )
-    name = f"sliding_{uuid.uuid4().hex[:8]}"
-    return run_to_memory(counts, name, spark)
+        counts = (
+            enriched.withWatermark("ts_event", "1 day")
+            .groupBy(
+                F.window("ts_event", "14 days", "7 days").alias("w"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+            )
+            .select(
+                (F.col("w.start").cast("long") * F.lit(1_000_000)).alias("win_us"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        name = f"sliding_{uuid.uuid4().hex[:8]}"
+        return run_to_memory(counts, name, spark)
 
 
 ORACLE_STREAM_SLIDING_COUNTS = """
@@ -397,14 +403,10 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState surface from the build brief)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from fink_science_spark.streaming.shell import scoped_shuffle_partitions
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
 
     def update(key, pdfs, state: GroupState):
         n, vmax = state.get if state.exists else (0, float("-inf"))
@@ -417,25 +419,32 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n": [n], "max_value": [round(vmax, 6)]}
         )
 
-    out = (
-        stream.groupBy("user_id")
-        .applyInPandasWithState(
-            update,
-            outputStructType="user_id long, n long, max_value double",
-            stateStructType="n long, vmax double",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
         )
-    )
-    name = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        out = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n long, max_value double",
+                stateStructType="n long, vmax double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = f"stateful_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update-mode memory sink may hold one row per state update; keep the
     # final state per user (max n is the last emission)
     from pyspark.sql.window import Window

@@ -88,32 +88,38 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (3-day inactivity gap) per user as a real streaming
     query: merge-on-overlap session aggregation — the sessionization shape
     of Structured Streaming (SURVEY M6)."""
-    from fink_science_spark.streaming.shell import run_to_memory
+    from fink_science_spark.streaming.shell import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    enriched = stream.withColumn(
-        "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
-    sessions = (
-        enriched.withWatermark("ts_event", "1 day")
-        .groupBy(F.session_window("ts_event", _SESSION_GAP).alias("w"), "user_id")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
-            "user_id",
-            "n",
-            "sum_value",
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
         )
-    )
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
-    return run_to_memory(sessions, name, spark)
+        enriched = stream.withColumn(
+            "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+        sessions = (
+            enriched.withWatermark("ts_event", "1 day")
+            .groupBy(F.session_window("ts_event", _SESSION_GAP).alias("w"), "user_id")
+            .agg(
+                F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                "user_id",
+                "n",
+                "sum_value",
+            )
+        )
+        name = f"sessions_{uuid.uuid4().hex[:8]}"
+        return run_to_memory(sessions, name, spark)
 
 
 ORACLE_STREAM_SESSION_WINDOWS = f"""
@@ -144,25 +150,29 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined against the static customer dimension (the reference's
     broadcast-catalog crossmatch shape inside a streaming query), then
     aggregated per market segment (SURVEY §2.3 + M6)."""
-    from fink_science_spark.streaming.shell import run_to_memory
+    from fink_science_spark.streaming.shell import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    cust = F.broadcast(
-        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    )
-    joined = stream.join(cust, stream.user_id == cust.c_custkey)
-    agg = joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
-    )
-    name = f"streamstatic_{uuid.uuid4().hex[:8]}"
-    return run_to_memory(agg, name, spark)
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        cust = F.broadcast(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        )
+        joined = stream.join(cust, stream.user_id == cust.c_custkey)
+        agg = joined.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        )
+        name = f"streamstatic_{uuid.uuid4().hex[:8]}"
+        return run_to_memory(agg, name, spark)
 
 
 ORACLE_STREAM_STATIC_JOIN = """

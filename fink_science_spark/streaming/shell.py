@@ -21,10 +21,30 @@ parquet the batch queries read, asserting batch/stream result equality.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin spark.sql.shuffle.partitions (restored on exit).
+
+    Stateful streaming creates one state store per shuffle partition; a
+    batch-oriented session default (32+) means 32 store instances for a
+    handful of keys — pure overhead at test scale and the wrong unit of
+    parallelism for small keyed state. Streaming queries that run
+    blocking (availableNow → memory sink) scope the setting to their own
+    plan-and-run window. On a real cluster the same knob sizes state
+    parallelism to key cardinality, not to the batch shuffle width."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_file_stream(
