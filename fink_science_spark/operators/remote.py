@@ -43,13 +43,15 @@ def service_xmatch(
     coord_cols: list[str],
     transport: Transport,
     out_col: str = "xmatch",
-    unmatched: str = "Unknown",
+    unmatched: str | None = "Unknown",
 ) -> DataFrame:
     """cdsxmatch semantics: per-partition RPC → best (min-dist) match per
     id with deterministic ties on match_name → left join back onto the
     full frame → ``unmatched`` sentinel where the service returned nothing
     (reference: min-angDist idxmin at ztf/xmatch/processor.py:167-169,
-    left merge at :171, Unknown fill at :184-190).
+    left merge at :171, Unknown fill at :184-190). ``unmatched=None``
+    keeps NULL — the Rubin null-semantics variant of the tri-state
+    contract (rubin/xmatch/processor.py:69-74).
 
     Returns the input frame + [out_col string, {out_col}_dist double]."""
     positions = df.select(id_col, *coord_cols)
@@ -68,9 +70,14 @@ def service_xmatch(
     best = argmin_dedup(
         matches, [id_col], [F.col("dist").asc(), F.col("match_name").asc()]
     )
+    joined = df.join(best, id_col, "left")
+    fill = (
+        F.coalesce("match_name", F.lit(unmatched))
+        if unmatched is not None
+        else F.col("match_name")
+    )
     return (
-        df.join(best, id_col, "left")
-        .withColumn(out_col, F.coalesce("match_name", F.lit(unmatched)))
+        joined.withColumn(out_col, fill)
         .withColumnRenamed("dist", f"{out_col}_dist")
         .drop("match_name")
     )

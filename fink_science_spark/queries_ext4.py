@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fink_science_spark.operators.remote import local_table_resolver, service_xmatch
-from fink_science_spark.queries import _t
+from fink_science_spark.queries import _events_us, _t
 
 _SCRATCH = "/root/repo/_scratch"
 _XMATCH_RADIUS = 10.0
@@ -251,6 +251,93 @@ GROUP BY user_id
 """
 
 
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: attach to each purchase the user's most recent
+    click at or before it (value + age). Union-and-scan implementation —
+    one shuffle, no range probe — verified against DuckDB's native ASOF
+    JOIN. The cross-table generalization of the reference's
+    last-in-band history lookback (SURVEY §2.5)."""
+    from fink_science_spark.operators.asof import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "value"
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts_us", right_ts="ts_us",
+        right_values=["value"],
+    )
+    return out.select(
+        "event_id",
+        F.round("asof_value", 6).alias("last_click_value"),
+        (F.col("ts_us") - F.col("asof_ts")).alias("click_age_us"),
+    )
+
+
+ORACLE_ASOF_CLICK = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS t, value FROM events
+      WHERE event_type = 'click')
+SELECT p.event_id,
+       round(c.value, 6) AS last_click_value,
+       p.t - c.t         AS click_age_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t <= p.t
+"""
+
+
+def q_remote_xmatch_nullsem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Rubin null-semantics variant of the service crossmatch: same
+    pipeline as remote_xmatch but unmatched rows keep NULL instead of the
+    'Unknown' sentinel (the tri-state contract documented at
+    rubin/xmatch/processor.py:69-74)."""
+    sup_path = os.path.join(sf_dir, "supplier.parquet")
+
+    def load_catalog():
+        import pandas as pd
+
+        return pd.read_parquet(sup_path, columns=["s_suppkey", "s_acctbal"])
+
+    transport = local_table_resolver(
+        load_catalog,
+        registry_key=f"supplier_catalog:{sup_path}",
+        coord_col="c_acctbal",
+        name_col="s_suppkey",
+        ref_coord_col="s_acctbal",
+        radius=_XMATCH_RADIUS,
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = service_xmatch(
+        cust, "c_custkey", ["c_acctbal"], transport, out_col="xmatch",
+        unmatched=None,
+    )
+    return out.select(
+        "c_custkey", "xmatch", F.round("xmatch_dist", 6).alias("xmatch_dist")
+    )
+
+
+ORACLE_REMOTE_XMATCH_NULLSEM = f"""
+WITH cand AS (
+  SELECT c_custkey, s_suppkey::VARCHAR AS name,
+         abs(c_acctbal - s_acctbal) AS dist
+  FROM customer, supplier
+  WHERE abs(c_acctbal - s_acctbal) <= {_XMATCH_RADIUS}
+),
+best AS (
+  SELECT c_custkey, name, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY dist ASC, name ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey, b.name AS xmatch, round(b.dist, 6) AS xmatch_dist
+FROM customer c LEFT JOIN best b USING (c_custkey)
+"""
+
+
 def q_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling (§2.5: df.sample(frac, seed=0),
     ztf/ssoft/processor.py:812). Spark's sampler is engine-specific, so
@@ -272,6 +359,8 @@ QUERIES_EXT4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_string_filter": q_sql_string_filter,
     "map_ops": q_map_ops,
     "sampled_stats": q_sampled_stats,
+    "asof_click_before_purchase": q_asof_click_before_purchase,
+    "remote_xmatch_nullsem": q_remote_xmatch_nullsem,
 }
 
 ORACLES_EXT4: dict[str, str] = {
@@ -282,4 +371,6 @@ ORACLES_EXT4: dict[str, str] = {
     "sql_string_filter": ORACLE_SQL_STRING_FILTER,
     "map_ops": ORACLE_MAP_OPS,
     # sampled_stats: engine-specific seeded sampler — rows-only by design
+    "asof_click_before_purchase": ORACLE_ASOF_CLICK,
+    "remote_xmatch_nullsem": ORACLE_REMOTE_XMATCH_NULLSEM,
 }
