@@ -108,6 +108,11 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(minhash_perm_coeffs(num_hashes))
         ]
     )
+    # materialize once: the band self-join evaluates its child on BOTH
+    # sides (no exchange reuse under a broadcast join), which would run
+    # the tokenize→hash→aggregate pipeline twice. The cached table is
+    # (id, num_hashes longs) — ~150 B/doc, disk-spillable at 100 TB.
+    sig = sig.persist()
 
     # one row per (doc, band): the band key is the concatenated slice of
     # the signature — engine-portable (no Spark-specific hash) and
@@ -214,7 +219,9 @@ def simhash_pairs(
             F.col(f"__v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
-    sig = votes.select("__id", sim.alias("__sim"))
+    # materialize once — the chunk self-join would otherwise evaluate the
+    # tokenize→hash→60-vote pipeline on both sides (16 B/doc cached)
+    sig = votes.select("__id", sim.alias("__sim")).persist()
     # one row per (doc, chunk): a single aliased self-join on
     # (chunk_id, chunk_value) replaces ``chunks`` separate joins — and
     # because both sides are the same canonical plan, the shuffle exchange

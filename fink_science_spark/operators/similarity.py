@@ -285,6 +285,31 @@ def ivf_topk_blocked(
     )
 
 
+def lsh_bucket_udf(dim: int, nbits: int = 8):
+    """Vectorized (Arrow/numpy) form of :func:`lsh_bucket`: one H-matrix
+    matmul per batch instead of an nbits×dim-term literal expression tree
+    (which at 64 dims × 6 bits is ~1300 expression nodes — heavy to
+    codegen and evaluate node-by-node). Bit-identical buckets: the sign
+    of a dot product agrees between the sequential fold and the BLAS
+    matmul except within ~1e-15 of zero."""
+    import numpy as np
+
+    H = np.array(
+        [[hyperplane_component(j, d) for d in range(dim)] for j in range(nbits)],
+        dtype=np.float64,
+    )
+    weights = 1 << np.arange(nbits)
+
+    @F.pandas_udf("long")
+    def bucket(v):
+        import pandas as pd
+
+        M = np.array(list(v), dtype=np.float64)
+        return pd.Series(((M @ H.T) > 0).astype(np.int64) @ weights)
+
+    return bucket
+
+
 def cosine_pairs_bucketed(
     df: DataFrame,
     id_col: str,

@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 from fink_science_spark.functions.arrays import trapezoid_integral
 from fink_science_spark.operators.aggregates import fit_features_per_group
-from fink_science_spark.operators.similarity import dot, l2_norm_sq, lsh_bucket
 from fink_science_spark.operators.spatial import nearest_join_sky
 from fink_science_spark.queries import _events_us, _t
 
@@ -295,14 +294,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket candidate generation
     (same-bucket pairs only — the scale path) + exact cosine ≥ threshold
     refine, fully JVM-side (SURVEY M7 embedding-cosine near-dup)."""
-    from fink_science_spark.operators.similarity import cosine_pairs_bucketed
+    from fink_science_spark.operators.similarity import (
+        cosine_pairs_bucketed,
+        lsh_bucket_udf,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    bucket = lsh_bucket_udf(_EMB_DIM, _COS_BITS)
     pairs = cosine_pairs_bucketed(
         emb, "vec_id", "v",
-        bucket_col=lsh_bucket(F.col("v"), _EMB_DIM, _COS_BITS),
+        bucket_col=bucket(F.col("v")),
         threshold=_COS_THRESHOLD,
     )
     return pairs.select("id_a", "id_b", F.round("cosr", 6).alias("cos"))
