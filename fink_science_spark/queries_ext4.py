@@ -251,6 +251,39 @@ GROUP BY user_id
 """
 
 
+def q_skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per LOW-cardinality (maximally skewed) key:
+    event_type has only a handful of values, so a naive
+    count(DISTINCT user_id) funnels every row through a reducer per key.
+    The two-phase form — dedup on (key, value) first (high-cardinality
+    uniform shuffle with map-side partials), then count per key — bounds
+    every task regardless of key skew. The manual expression of what
+    salting + partial aggregation buy at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    per_pair = ev.select("event_type", "user_id").distinct()
+    return per_pair.groupBy("event_type").agg(
+        F.count("*").alias("n_distinct_users")
+    )
+
+
+ORACLE_SKEW_SAFE_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch (approx_count_distinct, rsd=0.01) —
+    the sketch path for cardinality at 100 TB (constant memory per key,
+    mergeable partials). Engine-specific sketch → rows-only check; the
+    exact twin above is the oracle-checked baseline."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
 def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: attach to each purchase the user's most recent
     click at or before it (value + age). Union-and-scan implementation —
@@ -361,6 +394,8 @@ QUERIES_EXT4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampled_stats": q_sampled_stats,
     "asof_click_before_purchase": q_asof_click_before_purchase,
     "remote_xmatch_nullsem": q_remote_xmatch_nullsem,
+    "skew_safe_distinct": q_skew_safe_distinct,
+    "approx_distinct": q_approx_distinct,
 }
 
 ORACLES_EXT4: dict[str, str] = {
@@ -373,4 +408,6 @@ ORACLES_EXT4: dict[str, str] = {
     # sampled_stats: engine-specific seeded sampler — rows-only by design
     "asof_click_before_purchase": ORACLE_ASOF_CLICK,
     "remote_xmatch_nullsem": ORACLE_REMOTE_XMATCH_NULLSEM,
+    "skew_safe_distinct": ORACLE_SKEW_SAFE_DISTINCT,
+    # approx_distinct: HLL sketch is engine-specific — rows-only by design
 }

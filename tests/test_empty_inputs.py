@@ -1,0 +1,92 @@
+"""Empty-input robustness: every pair/join/signature operator must
+return an empty, correctly-typed frame — not crash — when fed zero rows
+(the first micro-batch of a quiet stream, a fully-filtered partition)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, shingles array<string>")
+
+
+def test_minhash_empty(spark, empty_docs):
+    from fink_science_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        empty_docs, "doc_id", "shingles", num_hashes=8, bands=4,
+        jaccard_threshold=0.5, shingles_col="shingles",
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "jaccard"}
+
+
+def test_simhash_empty(spark, empty_docs):
+    from fink_science_spark.operators.dedup import simhash_pairs
+
+    out = simhash_pairs(empty_docs, "doc_id", "shingles")
+    assert out.count() == 0
+
+
+def test_jaccard_empty(spark, empty_docs):
+    from fink_science_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(empty_docs, "doc_id", "shingles")
+    assert out.count() == 0
+
+
+def test_asof_empty_right(spark):
+    from fink_science_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lt long")
+    right = spark.createDataFrame([], "k long, rt long, v double")
+    rows = asof_join(left, right, "k", "lt", "rt", ["v"]).collect()
+    assert len(rows) == 1 and rows[0]["asof_v"] is None
+
+
+def test_nearest_join_sky_empty_left(spark):
+    from fink_science_spark.operators.spatial import nearest_join_sky
+
+    left = spark.createDataFrame([], "lid long, ra double, dec double")
+    right = spark.createDataFrame([(1, 10.0, 5.0)], "rid long, ra double, dec double")
+    out = nearest_join_sky(
+        left, right, "lid", "ra", "dec", "rid", "ra", "dec", radius_deg=5.0
+    )
+    assert out.count() == 0
+
+
+def test_cosine_topk_blocked_empty_corpus(spark):
+    from fink_science_spark.operators.similarity import cosine_topk_blocked
+
+    corpus = spark.createDataFrame([], "cid long, cv array<double>")
+    queries = spark.createDataFrame([(1, [1.0, 0.0])], "qid long, qv array<double>")
+    out = cosine_topk_blocked(corpus, queries, "cid", "cv", "qid", "qv", k=3)
+    assert out.count() == 0
+
+
+def test_service_xmatch_no_matches(spark):
+    import pandas as pd
+
+    from fink_science_spark.operators.remote import service_xmatch
+
+    def transport(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": [], "match_name": [], "dist": []}).astype(
+            {"id": "int64", "match_name": "string", "dist": "float64"}
+        )
+
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, c double")
+    out = service_xmatch(df, "id", ["c"], transport).orderBy("id").collect()
+    assert [r["xmatch"] for r in out] == ["Unknown", "Unknown"]
+    assert all(r["xmatch_dist"] is None for r in out)
+
+
+def test_trapezoid_single_point(spark):
+    from fink_science_spark.functions.arrays import trapezoid_integral
+
+    df = spark.createDataFrame([([1.0], [2.0])], "t array<double>, v array<double>")
+    (got,) = df.select(trapezoid_integral("t", "v").alias("x")).collect()[0]
+    assert got == 0.0
