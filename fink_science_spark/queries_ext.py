@@ -236,6 +236,46 @@ WHERE ({_SH_CHUNK_EQ}) AND bit_count(xor(a.sim, b.sim)) <= {_SH_MAXHAM}
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs → connected components
+    (iterative min-label propagation) → (doc_id, cluster=min id). The
+    canonical keep-one-per-cluster dedup ending; the oracle reproduces it
+    with a recursive-CTE transitive closure (SURVEY M7 + the build
+    brief's 'iterative algorithms' class, here still exactly checkable)."""
+    from fink_science_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _doc_shingles(spark, sf_dir),
+        "doc_id",
+        tokens_col="shingles",
+        num_hashes=_MH_NUM,
+        bands=_MH_BANDS,
+        jaccard_threshold=0.5,
+        shingles_col="shingles",
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
+def _oracle_dedup_clusters() -> str:
+    inner = ORACLE_DEDUP_MINHASH_LSH.strip()
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({inner})),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT node AS doc_id, min(r) AS cluster
+FROM reach GROUP BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis (M7)
 # --------------------------------------------------------------------------
@@ -645,6 +685,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -664,6 +705,7 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_clusters": _oracle_dedup_clusters(),
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,

@@ -61,6 +61,33 @@ def test_catalog_upsert_semantics(spark):
     assert got == [(1, "a"), (2, "B"), (3, "C")]
 
 
+def test_connected_components_known_graph(spark):
+    from fink_science_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_diameter_guard(spark):
+    import pytest as _pytest
+
+    from fink_science_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+
+
 def test_enrich_pipeline_chains_outputs(spark):
     from fink_science_spark.operators.enrich import EnrichModule, enrich_pipeline
 
