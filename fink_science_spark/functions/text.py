@@ -73,6 +73,23 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pre-tokenizer: letter runs, digit runs, and punctuation runs
+# are separate tokens (the GPT-2-family pre-tokenization shape, ASCII
+# classes only so Java and RE2 regex engines agree byte-for-byte).
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization: split into letter/digit/punct runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_tokens_sql(expr: str) -> str:
+    """duckdb equivalent of :func:`bpe_tokens`."""
+    return f"regexp_extract_all(lower({expr}), '{BPE_TOKEN_RE}')"
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are not [a-z0-9 ] after lowercasing."""
     c = F.col(col) if isinstance(col, str) else col

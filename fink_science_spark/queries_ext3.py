@@ -11,6 +11,8 @@ import os
 import uuid
 from typing import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -291,6 +293,119 @@ GROUP BY user_id, event_type
 """
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with the BPE-style pre-tokenizer (letter/digit/punct
+    runs — the GPT-family pre-tokenization shape) alongside the whitespace
+    tokenizer; per-doc counts + ratio (build brief: 'token counting
+    (whitespace + a BPE-ish regex)')."""
+    from fink_science_spark.functions.text import bpe_tokens, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n_ws = F.size(tokens("text"))
+    n_bpe = F.size(bpe_tokens("text"))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(n_ws > 0, F.round(n_bpe / n_ws, 6)).otherwise(None).alias(
+            "bpe_per_word"
+        ),
+    )
+
+
+def _oracle_bpe_token_count() -> str:
+    from fink_science_spark.functions.text import bpe_tokens_sql, tokens_sql
+
+    return f"""
+SELECT doc_id,
+       len({tokens_sql('text')})      AS n_ws_tokens,
+       len({bpe_tokens_sql('text')})  AS n_bpe_tokens,
+       CASE WHEN len({tokens_sql('text')}) > 0
+            THEN round(len({bpe_tokens_sql('text')}) * 1.0 /
+                       len({tokens_sql('text')}), 6) END AS bpe_per_word
+FROM documents
+"""
+
+
+def q_alert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical chained enrichment query (SURVEY §3.1: the SNN
+    lifecycle): build nested alerts → c-columns → rule-cascade flag module
+    → masked Arrow scoring module gated on the flag (downstream module
+    consuming an upstream module's output) → native post-filter →
+    aggregate. One query exercising the whole module lifecycle the
+    reference chains per micro-batch."""
+    from fink_science_spark.functions.arrays import concat_col, delta_last
+    from fink_science_spark.operators.enrich import apply_masked_pandas_kernel
+    from fink_science_spark.sources.alerts import build_alerts
+
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us", "value", "event_type")
+    alerts = build_alerts(ev, "user_id", "ts_us", ["value", "event_type"])
+    df = concat_col(alerts, "value")
+
+    n_prv = F.size("prv_candidates")
+    delta = delta_last("cvalue")
+    flag = (
+        F.when((F.col("candidate.value") > 200) & (n_prv >= 5), 3)
+        .when((F.col("candidate.value") > 50) & (delta > 0), 2)
+        .when(n_prv == 0, 1)
+        .otherwise(0)
+    )
+    flagged = df.withColumn("flag", flag).withColumn(
+        "last_value", F.col("candidate.value")
+    )
+
+    @F.pandas_udf("double")
+    def sigmoid_score(value: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-(value - 100.0) / 30.0))
+
+    scored = apply_masked_pandas_kernel(
+        flagged.select("user_id", "flag", "last_value"),
+        mask=F.col("flag") >= 2,
+        kernel_udf=sigmoid_score,
+        input_cols=["last_value"],
+        output_col="score",
+        default=0.0,
+        output_type="double",
+    )
+    return (
+        scored.filter(F.col("score") > 0.25)
+        .groupBy("flag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+    )
+
+
+ORACLE_ALERT_PIPELINE = """
+WITH agg AS (
+  SELECT user_id, count(*) AS n,
+         list(value ORDER BY epoch_us(ts), value) AS vs
+  FROM events GROUP BY user_id
+),
+flagged AS (
+  SELECT user_id, vs[-1] AS last_value,
+         CASE WHEN vs[-1] > 200 AND n - 1 >= 5 THEN 3
+              WHEN vs[-1] > 50 AND n >= 2 AND vs[-1] - vs[-2] > 0 THEN 2
+              WHEN n - 1 = 0 THEN 1
+              ELSE 0 END AS flag
+  FROM agg
+),
+scored AS (
+  SELECT flag,
+         CASE WHEN flag >= 2
+              THEN 1.0 / (1.0 + exp(-(last_value - 100.0) / 30.0))
+              ELSE 0.0 END AS score
+  FROM flagged
+)
+SELECT flag, count(*) AS n, round(avg(score), 6) AS avg_score
+FROM scored WHERE score > 0.25
+GROUP BY flag
+"""
+
+
 # --------------------------------------------------------------------------
 # Winnowing document fingerprints (M7 rolling-hash fingerprinting)
 # --------------------------------------------------------------------------
@@ -360,6 +475,8 @@ QUERIES_EXT3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "standardized_value": q_standardized_value,
     "extreme_state_ratio": q_extreme_state_ratio,
     "doc_winnowing": q_doc_winnowing,
+    "bpe_token_count": q_bpe_token_count,
+    "alert_pipeline": q_alert_pipeline,
 }
 
 ORACLES_EXT3: dict[str, str] = {
@@ -370,4 +487,6 @@ ORACLES_EXT3: dict[str, str] = {
     "standardized_value": ORACLE_STANDARDIZED_VALUE,
     "extreme_state_ratio": ORACLE_EXTREME_STATE_RATIO,
     "doc_winnowing": ORACLE_DOC_WINNOWING,
+    "bpe_token_count": _oracle_bpe_token_count(),
+    "alert_pipeline": ORACLE_ALERT_PIPELINE,
 }
