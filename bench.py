@@ -45,6 +45,12 @@ HEADLINE = [
     "stream_session_windows",
     "alert_rule_flags",
     "doc_winnowing",
+    "dedup_clusters",
+    "asof_click_before_purchase",
+    "remote_xmatch",
+    "alert_pipeline",
+    "bpe_token_count",
+    "promo_revenue",
 ]
 
 

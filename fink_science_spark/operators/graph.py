@@ -29,13 +29,26 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     is the minimum node id in the node's connected component.
 
     Deterministic, exact for graphs whose diameter ≤ max_iter (asserted:
     raises if propagation has not converged — silent wrong answers are
-    worse than failures)."""
+    worse than failures).
+
+    ``shuffle_partitions`` scopes the per-round shuffle width to the pair
+    graph's size for the duration of the loop: near-dup graphs are orders
+    of magnitude smaller than the corpus, and a batch-sized shuffle width
+    pays fixed per-partition overhead every round."""
+    from fink_science_spark.streaming.shell import scoped_shuffle_partitions
+
+    if shuffle_partitions is not None:
+        spark = edges.sparkSession
+        with scoped_shuffle_partitions(spark, shuffle_partitions):
+            return connected_components(edges, src, dst, max_iter, None)
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

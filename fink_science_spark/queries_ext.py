@@ -253,7 +253,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.5,
         shingles_col="shingles",
     ).select("id_a", "id_b")
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", shuffle_partitions=8)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster")
     )
