@@ -169,6 +169,88 @@ def fit_features_per_group(
     )
 
 
+def band_features_per_group(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    val_col: str,
+    err_col: str | None = None,
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-(object, band) light-curve feature extraction — the ad_features
+    shape (reference: 26 features per band via the light-curve package,
+    ztf/ad_features/processor.py:78-237), as ONE Arrow kernel per group
+    computing a statistically meaningful subset with exact SQL twins:
+
+    n, mean, weighted_mean (1/err² weights when err_col given), std
+    (sample), median, amplitude ((max−min)/2), beyond_1_std (fraction with
+    |x−mean| > std), mad (median absolute deviation), skew & excess
+    kurtosis (population moments), max_slope (max |Δv/Δt| over the
+    time-sorted curve).
+
+    All outputs raw doubles — callers round with F.round (SQL semantics).
+    One shuffle on the keys; groups are bounded per object."""
+    import pandas as pd
+
+    # keys may mix types; read them from the input schema verbatim
+    key_fields = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = (
+        f"{key_fields}, n long, mean double, weighted_mean double, "
+        "std double, median double, amplitude double, beyond_1_std double, "
+        "mad double, skew double, kurt double, max_slope double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cols = [*keys, "n", "mean", "weighted_mean", "std", "median",
+                "amplitude", "beyond_1_std", "mad", "skew", "kurt",
+                "max_slope"]
+        if len(pdf) < min_points:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values([ts_col, val_col])
+        t = pdf[ts_col].to_numpy(dtype=np.float64)
+        v = pdf[val_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        mean = float(v.mean())
+        std = float(v.std(ddof=1))
+        med = float(np.median(v))
+        m2 = float(((v - mean) ** 2).mean())
+        m3 = float(((v - mean) ** 3).mean())
+        m4 = float(((v - mean) ** 4).mean())
+        if err_col is not None:
+            w = 1.0 / (pdf[err_col].to_numpy(dtype=np.float64) ** 2)
+            wmean = float((v * w).sum() / w.sum())
+        else:
+            wmean = mean
+        dt = np.diff(t)
+        dv = np.diff(v)
+        valid = dt > 0
+        max_slope = (
+            float(np.max(np.abs(dv[valid] / dt[valid]))) if valid.any() else None
+        )
+        row = {
+            **{k: [pdf[k].iloc[0]] for k in keys},
+            "n": [n],
+            "mean": [mean],
+            "weighted_mean": [wmean],
+            "std": [std],
+            "median": [med],
+            "amplitude": [float((v.max() - v.min()) / 2.0)],
+            "beyond_1_std": [float((np.abs(v - mean) > std).mean())],
+            "mad": [float(np.median(np.abs(v - med)))],
+            "skew": [m3 / m2 ** 1.5 if m2 > 0 else None],
+            "kurt": [m4 / m2 ** 2 - 3.0 if m2 > 0 else None],
+            "max_slope": [max_slope],
+        }
+        return pd.DataFrame(row)
+
+    sel = [*keys, ts_col, val_col] + ([err_col] if err_col else [])
+    return df.select(*sel).groupBy(*keys).applyInPandas(kernel, out_schema)
+
+
 def trailing_window_mean(
     df: DataFrame,
     keys: list[str],

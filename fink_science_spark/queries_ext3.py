@@ -293,6 +293,89 @@ GROUP BY user_id, event_type
 """
 
 
+def q_band_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(object, band) feature extraction — the reference's marquee
+    per-band UDF (ad_features: 26 features per filter id,
+    ztf/ad_features/processor.py:78-237) as one Arrow kernel per
+    (user, event_type) group: n, mean, inverse-variance weighted mean,
+    std, median, amplitude, beyond-1-std fraction, MAD, skew, kurtosis,
+    max |slope| — every feature with an exact SQL twin."""
+    from fink_science_spark.operators.aggregates import band_features_per_group
+
+    ev = _events_us(spark, sf_dir).withColumn(
+        "t_days", F.col("ts_us") / F.lit(86400e6)
+    ).withColumn(
+        "err", F.get_json_object("props", "$.k").cast("double") + 1.0
+    )
+    feats = band_features_per_group(
+        ev, ["user_id", "event_type"], "t_days", "value", err_col="err",
+        min_points=3,
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("weighted_mean", 6).alias("weighted_mean"),
+        F.round("std", 6).alias("std"),
+        F.round("median", 6).alias("median"),
+        F.round("amplitude", 6).alias("amplitude"),
+        F.round("beyond_1_std", 6).alias("beyond_1_std"),
+        F.round("mad", 6).alias("mad"),
+        F.round("skew", 6).alias("skew"),
+        F.round("kurt", 6).alias("kurt"),
+        F.round("max_slope", 6).alias("max_slope"),
+    )
+
+
+ORACLE_BAND_FEATURES = """
+WITH x AS (
+  SELECT user_id, event_type, value AS v,
+         epoch_us(ts) / 86400e6 AS t,
+         json_extract_string(props, '$.k')::DOUBLE + 1.0 AS err
+  FROM events
+),
+m AS (
+  SELECT user_id, event_type,
+         count(*) AS n, avg(v) AS mean, stddev_samp(v) AS std,
+         quantile_cont(v, 0.5) AS med
+  FROM x GROUP BY user_id, event_type
+),
+slopes AS (
+  SELECT user_id, event_type,
+         abs((v - lag(v) OVER w) / (t - lag(t) OVER w)) AS sl,
+         (t - lag(t) OVER w) AS dt
+  FROM x
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, v)
+),
+ms AS (
+  SELECT user_id, event_type, max(sl) AS max_slope
+  FROM slopes WHERE dt > 0 GROUP BY user_id, event_type
+)
+SELECT x.user_id, x.event_type,
+       any_value(m.n) AS n,
+       round(any_value(m.mean), 6) AS mean,
+       round(sum(x.v / (x.err * x.err)) / sum(1.0 / (x.err * x.err)), 6)
+           AS weighted_mean,
+       round(any_value(m.std), 6) AS std,
+       round(any_value(m.med), 6) AS median,
+       round((max(x.v) - min(x.v)) / 2.0, 6) AS amplitude,
+       round(avg(CASE WHEN abs(x.v - m.mean) > m.std THEN 1.0 ELSE 0.0 END), 6)
+           AS beyond_1_std,
+       round(median(abs(x.v - m.med)), 6) AS mad,
+       round(avg(pow(x.v - m.mean, 3))
+             / nullif(pow(avg(pow(x.v - m.mean, 2)), 1.5), 0), 6) AS skew,
+       round(avg(pow(x.v - m.mean, 4))
+             / nullif(pow(avg(pow(x.v - m.mean, 2)), 2.0), 0) - 3.0, 6) AS kurt,
+       round(any_value(ms.max_slope), 6) AS max_slope
+FROM x
+JOIN m  USING (user_id, event_type)
+LEFT JOIN ms USING (user_id, event_type)
+GROUP BY x.user_id, x.event_type
+HAVING any_value(m.n) >= 3
+"""
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with the BPE-style pre-tokenizer (letter/digit/punct
     runs — the GPT-family pre-tokenization shape) alongside the whitespace
@@ -477,6 +560,7 @@ QUERIES_EXT3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_winnowing": q_doc_winnowing,
     "bpe_token_count": q_bpe_token_count,
     "alert_pipeline": q_alert_pipeline,
+    "band_features": q_band_features,
 }
 
 ORACLES_EXT3: dict[str, str] = {
@@ -489,4 +573,5 @@ ORACLES_EXT3: dict[str, str] = {
     "doc_winnowing": ORACLE_DOC_WINNOWING,
     "bpe_token_count": _oracle_bpe_token_count(),
     "alert_pipeline": ORACLE_ALERT_PIPELINE,
+    "band_features": ORACLE_BAND_FEATURES,
 }

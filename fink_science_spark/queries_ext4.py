@@ -251,6 +251,75 @@ GROUP BY user_id
 """
 
 
+def q_stream_foreachbatch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch enrichment — the broker's execution mode (SURVEY §2.9:
+    stateless per-micro-batch column appends applied inside a streaming
+    query): stream → per-batch the SAME batch enrichment DAG (json decode
+    + flag derivation) → append parquet sink → read back and aggregate.
+    One code path for batch and stream is the engine's core streaming
+    contract."""
+    import shutil
+
+    from fink_science_spark.streaming.shell import scoped_shuffle_partitions
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_path = os.path.join(_SCRATCH, f"foreachbatch_{tag}")
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def enrich(batch_df: DataFrame) -> DataFrame:
+        k = F.get_json_object("props", "$.k").cast("int")
+        flag = (
+            F.when(F.col("value") > 100, "high")
+            .when(F.col("value") > 30, "mid")
+            .otherwise("low")
+        )
+        return batch_df.select(
+            "event_id", "value", k.alias("k"), flag.alias("flag")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        enrich(batch_df).write.mode("append").parquet(out_path)
+
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    back = spark.read.parquet(out_path)
+    return back.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_STREAM_FOREACHBATCH = """
+WITH e AS (
+  SELECT event_id, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         CASE WHEN value > 100 THEN 'high'
+              WHEN value > 30 THEN 'mid'
+              ELSE 'low' END AS flag
+  FROM events
+)
+SELECT flag, count(*) AS n, round(avg(k), 6) AS avg_k,
+       round(sum(value), 2) AS sum_value
+FROM e GROUP BY flag
+"""
+
+
 def q_skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count per LOW-cardinality (maximally skewed) key:
     event_type has only a handful of values, so a naive
@@ -396,6 +465,7 @@ QUERIES_EXT4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remote_xmatch_nullsem": q_remote_xmatch_nullsem,
     "skew_safe_distinct": q_skew_safe_distinct,
     "approx_distinct": q_approx_distinct,
+    "stream_foreachbatch_enrich": q_stream_foreachbatch_enrich,
 }
 
 ORACLES_EXT4: dict[str, str] = {
@@ -410,4 +480,5 @@ ORACLES_EXT4: dict[str, str] = {
     "remote_xmatch_nullsem": ORACLE_REMOTE_XMATCH_NULLSEM,
     "skew_safe_distinct": ORACLE_SKEW_SAFE_DISTINCT,
     # approx_distinct: HLL sketch is engine-specific — rows-only by design
+    "stream_foreachbatch_enrich": ORACLE_STREAM_FOREACHBATCH,
 }
