@@ -51,6 +51,9 @@ HEADLINE = [
     "alert_pipeline",
     "bpe_token_count",
     "promo_revenue",
+    "band_features",
+    "image_stats",
+    "stream_foreachbatch_enrich",
 ]
 
 

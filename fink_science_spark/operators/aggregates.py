@@ -17,6 +17,8 @@ way to get identical answers from any engine.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -189,66 +191,105 @@ def band_features_per_group(
     time-sorted curve).
 
     All outputs raw doubles — callers round with F.round (SQL semantics).
-    One shuffle on the keys; groups are bounded per object."""
+
+    Execution shape: ONE shuffle (groupBy + sorted collect_list into the
+    per-band light-curve arrays — the SSOFT aggregated layout, SURVEY
+    §1.5), then a SCALAR pandas UDF over the array columns. Unlike
+    group-at-a-time applyInPandas (one Python call + one DataFrame per
+    group — ~3 ms/group of pure overhead at thousands of groups), the
+    scalar UDF receives thousands of light curves per Arrow batch and
+    loops over plain numpy arrays."""
     import pandas as pd
 
-    # keys may mix types; read them from the input schema verbatim
-    key_fields = ", ".join(
-        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    has_err = err_col is not None
+    struct_fields = [
+        F.col(ts_col).alias("__t"),
+        F.col(val_col).alias("__v"),
+    ] + ([F.col(err_col).alias("__e")] if has_err else [])
+    grouped = (
+        df.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct(*struct_fields))).alias("__lc"))
+        .filter(F.size("__lc") >= min_points)
     )
-    out_schema = (
-        f"{key_fields}, n long, mean double, weighted_mean double, "
-        "std double, median double, amplitude double, beyond_1_std double, "
-        "mad double, skew double, kurt double, max_slope double"
+    arrays = grouped.select(
+        *keys,
+        F.col("__lc.__t").alias("__ct"),
+        F.col("__lc.__v").alias("__cv"),
+        *([F.col("__lc.__e").alias("__ce")] if has_err else []),
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    out_type = (
+        "n long, mean double, weighted_mean double, std double, "
+        "median double, amplitude double, beyond_1_std double, mad double, "
+        "skew double, kurt double, max_slope double"
+    )
+
+    def _compute(ct: pd.Series, cv: pd.Series, ce: pd.Series | None) -> pd.DataFrame:
         import numpy as np
 
-        cols = [*keys, "n", "mean", "weighted_mean", "std", "median",
-                "amplitude", "beyond_1_std", "mad", "skew", "kurt",
-                "max_slope"]
-        if len(pdf) < min_points:
-            return pd.DataFrame(columns=cols)
-        pdf = pdf.sort_values([ts_col, val_col])
-        t = pdf[ts_col].to_numpy(dtype=np.float64)
-        v = pdf[val_col].to_numpy(dtype=np.float64)
-        n = len(v)
-        mean = float(v.mean())
-        std = float(v.std(ddof=1))
-        med = float(np.median(v))
-        m2 = float(((v - mean) ** 2).mean())
-        m3 = float(((v - mean) ** 3).mean())
-        m4 = float(((v - mean) ** 4).mean())
-        if err_col is not None:
-            w = 1.0 / (pdf[err_col].to_numpy(dtype=np.float64) ** 2)
-            wmean = float((v * w).sum() / w.sum())
-        else:
-            wmean = mean
-        dt = np.diff(t)
-        dv = np.diff(v)
-        valid = dt > 0
-        max_slope = (
-            float(np.max(np.abs(dv[valid] / dt[valid]))) if valid.any() else None
+        rows = []
+        for i in range(len(ct)):
+            t = np.asarray(ct.iloc[i], dtype=np.float64)
+            v = np.asarray(cv.iloc[i], dtype=np.float64)
+            n = len(v)
+            mean = float(v.mean())
+            std = float(v.std(ddof=1))
+            med = float(np.median(v))
+            d = v - mean
+            m2 = float((d * d).mean())
+            m3 = float((d * d * d).mean())
+            m4 = float((d * d * d * d).mean())
+            if ce is not None:
+                w = 1.0 / np.asarray(ce.iloc[i], dtype=np.float64) ** 2
+                wmean = float((v * w).sum() / w.sum())
+            else:
+                wmean = mean
+            dt = np.diff(t)
+            dv = np.diff(v)
+            valid = dt > 0
+            max_slope = (
+                float(np.max(np.abs(dv[valid] / dt[valid])))
+                if valid.any()
+                else None
+            )
+            rows.append(
+                (
+                    n,
+                    mean,
+                    wmean,
+                    std,
+                    med,
+                    float((v.max() - v.min()) / 2.0),
+                    float((np.abs(d) > std).mean()),
+                    float(np.median(np.abs(v - med))),
+                    m3 / m2**1.5 if m2 > 0 else None,
+                    m4 / m2**2 - 3.0 if m2 > 0 else None,
+                    max_slope,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n", "mean", "weighted_mean", "std", "median", "amplitude",
+                "beyond_1_std", "mad", "skew", "kurt", "max_slope",
+            ],
         )
-        row = {
-            **{k: [pdf[k].iloc[0]] for k in keys},
-            "n": [n],
-            "mean": [mean],
-            "weighted_mean": [wmean],
-            "std": [std],
-            "median": [med],
-            "amplitude": [float((v.max() - v.min()) / 2.0)],
-            "beyond_1_std": [float((np.abs(v - mean) > std).mean())],
-            "mad": [float(np.median(np.abs(v - med)))],
-            "skew": [m3 / m2 ** 1.5 if m2 > 0 else None],
-            "kurt": [m4 / m2 ** 2 - 3.0 if m2 > 0 else None],
-            "max_slope": [max_slope],
-        }
-        return pd.DataFrame(row)
 
-    sel = [*keys, ts_col, val_col] + ([err_col] if err_col else [])
-    return df.select(*sel).groupBy(*keys).applyInPandas(kernel, out_schema)
+    if has_err:
+
+        @F.pandas_udf(f"struct<{out_type}>")
+        def feats(ct: pd.Series, cv: pd.Series, ce: pd.Series) -> pd.DataFrame:
+            return _compute(ct, cv, ce)
+
+        out = arrays.withColumn("__f", feats("__ct", "__cv", "__ce"))
+    else:
+
+        @F.pandas_udf(f"struct<{out_type}>")
+        def feats(ct: pd.Series, cv: pd.Series) -> pd.DataFrame:
+            return _compute(ct, cv, None)
+
+        out = arrays.withColumn("__f", feats("__ct", "__cv"))
+    return out.select(*keys, "__f.*")
 
 
 def trailing_window_mean(

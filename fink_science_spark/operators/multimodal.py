@@ -91,6 +91,69 @@ def extract_blob_features(
     return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
 
 
+def image_matrix_stats(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Image-shaped statistics over a decoded pixel matrix — the
+    hostless-detection analysis shape (reference: sigma-clip + statistic
+    over the 63×63 cutout stamp, ztf/hostless_detection/
+    pipeline_utils.py:109-176), with the deterministic byte decode
+    standing in for FITS (real decoders slot in via register_codec).
+
+    Per blob: interpret the first width×height bytes as a row-major
+    matrix; emit pixel mean/max, the 2σ-clipped mean (pixels ≤ mean +
+    2·population-std — one-sided clip like the reference's bright-source
+    masking), and center−edge contrast (interior mean minus border mean).
+    numpy per Arrow batch; blob never leaves the kernel."""
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, px_mean double, px_max int, clipped_mean double, "
+        "contrast double"
+    )
+    n_px = width * height
+    interior = np.zeros((height, width), dtype=bool)
+    interior[1 : height - 1, 1 : width - 1] = True
+    flat_interior = interior.ravel()
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, means, maxs, clipped, contrasts = [], [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None or len(blob) < n_px:
+                    continue
+                px = np.frombuffer(bytes(blob)[:n_px], dtype=np.uint8).astype(
+                    np.float64
+                )
+                mean = px.mean()
+                std = px.std()  # population
+                keep = px <= mean + 2.0 * std
+                ids.append(rid)
+                means.append(float(mean))
+                maxs.append(int(px.max()))
+                clipped.append(float(px[keep].mean()))
+                contrasts.append(
+                    float(px[flat_interior].mean() - px[~flat_interior].mean())
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "px_mean": means,
+                    "px_max": maxs,
+                    "clipped_mean": clipped,
+                    "contrast": contrasts,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str,

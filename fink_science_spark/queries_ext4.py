@@ -251,6 +251,53 @@ GROUP BY user_id
 """
 
 
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-matrix statistics over binary blobs (the cutout-stamp
+    analysis shape): doc text → 16-byte md5 blob → 4×4 pixel matrix →
+    mean / max / 2σ-clipped mean / center−edge contrast, via the
+    mapInPandas numpy kernel. The deterministic decode makes even the
+    sigma-clip exactly SQL-verifiable."""
+    from fink_science_spark.operators.multimodal import image_matrix_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("blob")
+    )
+    stats = image_matrix_stats(docs, "doc_id", "blob", width=4, height=4)
+    return stats.select(
+        "doc_id",
+        F.round("px_mean", 6).alias("px_mean"),
+        "px_max",
+        F.round("clipped_mean", 6).alias("clipped_mean"),
+        F.round("contrast", 6).alias("contrast"),
+    )
+
+
+ORACLE_IMAGE_STATS = """
+WITH px AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(text), 2*i - 1, 2))::INT
+          for i in generate_series(1, 16)] AS p
+  FROM documents
+),
+s AS (
+  SELECT doc_id, p,
+         list_avg(p) AS mean,
+         sqrt(list_avg(list_transform(p, x -> x * x))
+              - list_avg(p) * list_avg(p)) AS std
+  FROM px
+)
+SELECT doc_id,
+       round(mean, 6) AS px_mean,
+       list_max(p)    AS px_max,
+       round(list_avg(list_filter(p, x -> x <= mean + 2 * std)), 6)
+           AS clipped_mean,
+       round((p[6] + p[7] + p[10] + p[11]) / 4.0
+             - (list_sum(p) - p[6] - p[7] - p[10] - p[11]) / 12.0, 6)
+           AS contrast
+FROM s
+"""
+
+
 def q_stream_foreachbatch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch enrichment — the broker's execution mode (SURVEY §2.9:
     stateless per-micro-batch column appends applied inside a streaming
@@ -466,6 +513,7 @@ QUERIES_EXT4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_safe_distinct": q_skew_safe_distinct,
     "approx_distinct": q_approx_distinct,
     "stream_foreachbatch_enrich": q_stream_foreachbatch_enrich,
+    "image_stats": q_image_stats,
 }
 
 ORACLES_EXT4: dict[str, str] = {
@@ -481,4 +529,5 @@ ORACLES_EXT4: dict[str, str] = {
     "skew_safe_distinct": ORACLE_SKEW_SAFE_DISTINCT,
     # approx_distinct: HLL sketch is engine-specific — rows-only by design
     "stream_foreachbatch_enrich": ORACLE_STREAM_FOREACHBATCH,
+    "image_stats": ORACLE_IMAGE_STATS,
 }
