@@ -251,6 +251,35 @@ GROUP BY user_id
 """
 
 
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (order priority → status → grand total) — the
+    multi-level reporting aggregation, with grouping-null indicators made
+    explicit so any engine agrees on the subtotal rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
+
+
+ORACLE_ROLLUP_COUNTS = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL')   AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-matrix statistics over binary blobs (the cutout-stamp
     analysis shape): doc text → 16-byte md5 blob → 4×4 pixel matrix →
@@ -514,6 +543,7 @@ QUERIES_EXT4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "stream_foreachbatch_enrich": q_stream_foreachbatch_enrich,
     "image_stats": q_image_stats,
+    "rollup_counts": q_rollup_counts,
 }
 
 ORACLES_EXT4: dict[str, str] = {
@@ -530,4 +560,5 @@ ORACLES_EXT4: dict[str, str] = {
     # approx_distinct: HLL sketch is engine-specific — rows-only by design
     "stream_foreachbatch_enrich": ORACLE_STREAM_FOREACHBATCH,
     "image_stats": ORACLE_IMAGE_STATS,
+    "rollup_counts": ORACLE_ROLLUP_COUNTS,
 }
