@@ -86,15 +86,22 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - warm-up failures surface in the timed run
             pass
 
+    # best-of-2 per query: single runs on a shared host carry 2-4×
+    # scheduling noise; the minimum is the standard steady-state estimate
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
+        best = None
         try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 - a failed query must not hide the rest
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)

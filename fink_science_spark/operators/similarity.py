@@ -160,9 +160,16 @@ def cosine_topk_blocked(
         )
         qbucket = ((Q @ H.T) > 0).astype(np.int64) @ (1 << np.arange(nbits))
 
+    # ship the query matrix as a broadcast variable, not a task closure:
+    # one transfer per executor instead of per task (the TNS-catalog
+    # broadcast pattern, ztf/xmatch/processor.py:363-364 — at real query
+    # batch sizes the matrix is tens of MB)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, qnorm, H, qbucket))
+
     local_k = k + 1  # +1 covers the self-match exclusion downstream
 
     def block(batches):
+        qids, Q, qnorm, H, qbucket = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -244,16 +251,29 @@ def ivf_topk_blocked(
     qnorm = np.sqrt((Q * Q).sum(axis=1))
     qcell = assign(Q)
 
+    # broadcast the codebook + query block once per executor (see
+    # cosine_topk_blocked)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (qids, Q, qnorm, qcell, CENT, cent_norm)
+    )
+
     local_k = k + 1
 
     def block(batches):
+        qids, Q, qnorm, qcell, CENT_b, cent_norm_b = bc.value
+
+        def assign_b(M):
+            nrm = np.sqrt((M * M).sum(axis=1))
+            S = (M @ CENT_b.T) / (nrm[:, None] * cent_norm_b[None, :])
+            return S.argmax(axis=1)
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             C = np.array(list(pdf[corpus_vec]), dtype=np.float64)
             cids = pdf[corpus_id].to_numpy(dtype=np.int64)
             cnorm = np.sqrt((C * C).sum(axis=1))
-            ccell = assign(C)
+            ccell = assign_b(C)
             S = (C @ Q.T) / (cnorm[:, None] * qnorm[None, :])
             S = np.where(ccell[:, None] == qcell[None, :], S, -np.inf)
             kk = min(local_k, S.shape[0])
