@@ -251,6 +251,142 @@ GROUP BY user_id
 """
 
 
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts fanned into one column
+    per event type — explicit pivot values so the output schema is
+    deterministic in any engine."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("error", F.lit(0)).alias("n_error"),
+        )
+    )
+
+
+ORACLE_PIVOT_COUNTS = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions (rank / dense_rank / ntile / cume-style
+    percent): top-5 orders per priority by price with full rank columns —
+    the ranking surface beyond the arg-min row_number the reference uses."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return ranked.filter(F.col("rn") <= 5)
+
+
+ORACLE_RANKING_WINDOWS = """
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
+       rn, rnk, drnk, quartile
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER w AS rn,
+         rank()       OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         ntile(4)     OVER w AS quartile
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+WHERE rn <= 5
+"""
+
+
+def q_lookback_with_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The get_last_alert semantics (reference:
+    ztf/fast_transient_rate/processor.py:33-115): walking back through a
+    history where faint epochs carry NULL measurement and only an upper
+    limit, report the last real measurement per (user, band) AND the last
+    upper limit SINCE that measurement (the reference's fallback pair).
+    Values < 10 model the below-threshold epochs (magpsf NULL +
+    diffmaglim set, FIXTURES §1 prv_candidates note)."""
+    ev = _events_us(spark, sf_dir)
+    meas = F.when(F.col("value") >= 10.0, F.col("value"))
+    limit = F.when(F.col("value") < 10.0, F.col("value"))
+    shaped = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        meas.alias("meas"),
+        limit.alias("lim"),
+    )
+    agg = shaped.groupBy("user_id", "event_type").agg(
+        F.max_by("meas", F.when(F.col("meas").isNotNull(), F.col("ts_us"))).alias(
+            "last_meas"
+        ),
+        F.max(F.when(F.col("meas").isNotNull(), F.col("ts_us"))).alias(
+            "last_meas_ts"
+        ),
+        F.max_by("lim", F.when(F.col("lim").isNotNull(), F.col("ts_us"))).alias(
+            "last_lim"
+        ),
+        F.max(F.when(F.col("lim").isNotNull(), F.col("ts_us"))).alias(
+            "last_lim_ts"
+        ),
+    )
+    newer_lim = F.col("last_lim_ts") > F.coalesce(
+        F.col("last_meas_ts"), F.lit(-1)
+    )
+    return agg.select(
+        "user_id",
+        "event_type",
+        F.round("last_meas", 6).alias("last_meas"),
+        F.round(F.when(newer_lim, F.col("last_lim")), 6).alias(
+            "limit_since_meas"
+        ),
+    )
+
+
+ORACLE_LOOKBACK_WITH_LIMITS = """
+WITH shaped AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         CASE WHEN value >= 10.0 THEN value END AS meas,
+         CASE WHEN value < 10.0 THEN value END  AS lim
+  FROM events
+),
+agg AS (
+  SELECT user_id, event_type,
+         max_by(meas, CASE WHEN meas IS NOT NULL THEN t END) AS last_meas,
+         max(CASE WHEN meas IS NOT NULL THEN t END)          AS last_meas_ts,
+         max_by(lim, CASE WHEN lim IS NOT NULL THEN t END)   AS last_lim,
+         max(CASE WHEN lim IS NOT NULL THEN t END)           AS last_lim_ts
+  FROM shaped GROUP BY user_id, event_type
+)
+SELECT user_id, event_type,
+       round(last_meas, 6) AS last_meas,
+       round(CASE WHEN last_lim_ts > coalesce(last_meas_ts, -1)
+                  THEN last_lim END, 6) AS limit_since_meas
+FROM agg
+"""
+
+
 def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (order priority → status → grand total) — the
     multi-level reporting aggregation, with grouping-null indicators made
@@ -544,6 +680,9 @@ QUERIES_EXT4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_foreachbatch_enrich": q_stream_foreachbatch_enrich,
     "image_stats": q_image_stats,
     "rollup_counts": q_rollup_counts,
+    "pivot_counts": q_pivot_counts,
+    "ranking_windows": q_ranking_windows,
+    "lookback_with_limits": q_lookback_with_limits,
 }
 
 ORACLES_EXT4: dict[str, str] = {
@@ -561,4 +700,7 @@ ORACLES_EXT4: dict[str, str] = {
     "stream_foreachbatch_enrich": ORACLE_STREAM_FOREACHBATCH,
     "image_stats": ORACLE_IMAGE_STATS,
     "rollup_counts": ORACLE_ROLLUP_COUNTS,
+    "pivot_counts": ORACLE_PIVOT_COUNTS,
+    "ranking_windows": ORACLE_RANKING_WINDOWS,
+    "lookback_with_limits": ORACLE_LOOKBACK_WITH_LIMITS,
 }
