@@ -251,6 +251,44 @@ GROUP BY user_id
 """
 
 
+def q_salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join on a maximally skewed key: events joined to a
+    per-type threshold table on event_type (a handful of distinct values —
+    without salting, one reducer per type takes the whole table). The
+    deterministic salt spreads each type across 16 sub-keys; results
+    equal the plain join exactly (the 'salting for skew' pattern of the
+    build brief, demonstrated end-to-end)."""
+    from fink_science_spark.operators.salting import salted_equi_join
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.75)).alias("__p75")
+    )
+    joined = salted_equi_join(
+        ev.select("event_id", "event_type", "value"),
+        per_type,
+        on=["event_type"],
+        unique_col="event_id",
+        salt_buckets=16,
+    )
+    return (
+        joined.withColumn("above", F.col("value") > F.col("__p75"))
+        .groupBy("event_type", "above")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_SALTED_TYPE_JOIN = """
+WITH th AS (
+  SELECT event_type, quantile_cont(value, 0.75) AS p75
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.value > th.p75 AS above, count(*) AS n
+FROM events e JOIN th USING (event_type)
+GROUP BY e.event_type, above
+"""
+
+
 def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long → wide): per-user event counts fanned into one column
     per event type — explicit pivot values so the output schema is
@@ -683,6 +721,7 @@ QUERIES_EXT4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_counts": q_pivot_counts,
     "ranking_windows": q_ranking_windows,
     "lookback_with_limits": q_lookback_with_limits,
+    "salted_type_join": q_salted_type_join,
 }
 
 ORACLES_EXT4: dict[str, str] = {
@@ -703,4 +742,5 @@ ORACLES_EXT4: dict[str, str] = {
     "pivot_counts": ORACLE_PIVOT_COUNTS,
     "ranking_windows": ORACLE_RANKING_WINDOWS,
     "lookback_with_limits": ORACLE_LOOKBACK_WITH_LIMITS,
+    "salted_type_join": ORACLE_SALTED_TYPE_JOIN,
 }
