@@ -299,9 +299,15 @@ def ngram_jaccard_pairs(
     # `size(__s) > 0` filter and push it below the projections, inlining the
     # whole (interpreted, per-row O(n²)) tokenize/shingle expression tree
     # several times over into a non-codegen Filter — a ~10× slowdown.
-    inv = sets.select(
-        "__id", "__n", F.explode_outer("__s").alias("__shingle")
-    ).filter(F.col("__shingle").isNotNull())
+    # The inverted-index key is the 60-bit portable hash of the shingle,
+    # not the string: ~3× narrower shuffle rows through both groupBys; the
+    # oracle hashes identically, so even a (≈2⁻⁶⁰-probability) collision
+    # behaves the same in both engines.
+    inv = (
+        sets.select("__id", "__n", F.explode_outer("__s").alias("__shingle"))
+        .filter(F.col("__shingle").isNotNull())
+        .select("__id", "__n", hash64(F.col("__shingle")).alias("__shingle"))
+    )
 
     posts = (
         inv.groupBy("__shingle")

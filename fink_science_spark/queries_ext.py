@@ -130,7 +130,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_NGRAM_JACCARD = f"""
 WITH {_DOCS_TOK_CTE},
-inv AS (SELECT doc_id, len(shingles) n, unnest(shingles) g FROM sh),
+raw AS (SELECT doc_id, len(shingles) n, unnest(shingles) g0 FROM sh),
+inv AS (SELECT doc_id, n, {hash64_sql('g0')} AS g FROM raw),
 pairs AS (
   SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
