@@ -111,6 +111,20 @@ def test_partitioned_scan_prunes_partitions(spark, registry):
     assert re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*purchase", plan), plan
 
 
+def test_plan_assertion_helpers(spark, registry):
+    # the plans.explain public helpers drive the same checks programmatically
+    from fink_science_spark.plans.explain import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+        assert_pushed_filters,
+    )
+
+    df = registry["pricing_summary"](spark, SF)
+    assert_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+    assert_no_cartesian(df)
+    assert_broadcast_join(registry["region_revenue"](spark, SF))
+
+
 def test_order_flags_stays_in_codegen(spark, registry):
     plan = plan_of(registry["order_flags"](spark, SF))
     assert "codegen id" in plan, plan
