@@ -1,8 +1,9 @@
 """Query registry, wave 4: IVF similarity search, session windows,
 stream-static broadcast enrichment, rule-cascade alert flags, catalog
 standardization (standardized_flux shape), extreme-state threshold
-ratios, and winnowing document fingerprints — each with a bit-portable
-duckdb oracle.
+ratios, winnowing document fingerprints, per-band feature extraction,
+BPE-style token counting, and the chained module-lifecycle pipeline —
+each with a bit-portable duckdb oracle.
 """
 
 from __future__ import annotations

@@ -1,7 +1,11 @@
 """Query registry, wave 5: the remote-service crossmatch pipeline
-(pluggable-transport cdsxmatch shape), bucketed co-located joins, and
-partition-pruned scans — storage-layout operators that decide shuffle and
-scan cost at 100 TB, each with a duckdb oracle.
+(pluggable-transport cdsxmatch shape, Unknown + NULL sentinel variants),
+storage-layout operators (bucketed co-located joins, partition-pruned
+scans), the as-of join, skew remedies (salted join, two-phase distinct),
+reshaping (pivot, rollup, ranking windows), upper-limit fallback
+lookback, image-matrix stats, foreachBatch enrichment, and the catalog
+registry — each with a duckdb oracle (HLL sketch and seeded sampling are
+rows-only by design).
 """
 
 from __future__ import annotations
