@@ -30,8 +30,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext2 import QUERIES_EXT2
     from fink_science_spark.queries_ext3 import QUERIES_EXT3
     from fink_science_spark.queries_ext4 import QUERIES_EXT4
+    from fink_science_spark.queries_ext5 import QUERIES_EXT5
 
-    return {**QUERIES, **QUERIES_EXT, **QUERIES_EXT2, **QUERIES_EXT3, **QUERIES_EXT4}
+    return {
+        **QUERIES,
+        **QUERIES_EXT,
+        **QUERIES_EXT2,
+        **QUERIES_EXT3,
+        **QUERIES_EXT4,
+        **QUERIES_EXT5,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -40,5 +48,13 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext2 import ORACLES_EXT2
     from fink_science_spark.queries_ext3 import ORACLES_EXT3
     from fink_science_spark.queries_ext4 import ORACLES_EXT4
+    from fink_science_spark.queries_ext5 import ORACLES_EXT5
 
-    return {**ORACLES, **ORACLES_EXT, **ORACLES_EXT2, **ORACLES_EXT3, **ORACLES_EXT4}
+    return {
+        **ORACLES,
+        **ORACLES_EXT,
+        **ORACLES_EXT2,
+        **ORACLES_EXT3,
+        **ORACLES_EXT4,
+        **ORACLES_EXT5,
+    }

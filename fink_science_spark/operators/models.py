@@ -1,0 +1,115 @@
+"""Pure-numpy frozen-weight model scoring — the reference's ML-UDF surface
+without ML libraries.
+
+The reference's largest module family is "load a trained model on each
+executor, featurize the alert history, predict a probability, fill a
+default for rows failing the selection cuts" (sklearn random forest:
+ztf/random_forest_snia/processor.py:77-216; torch SuperNNova:
+ztf/snn/processor.py:84-210; Keras CATS: rubin/cats/processor.py:41-169;
+ONNX anomaly: ztf/anomaly_detection/processor.py:136-242; XGBoost orphans:
+rubin/orphans/processor.py:29-102). None of those runtimes exist in this
+container, but the *engine shape* — executor-singleton model state, Arrow
+batch featurize→forward→scatter, mask/default policy — does not depend on
+the runtime. This module freezes a small MLP's weights as literals and
+runs the forward pass in numpy, exercising the exact pipeline a real
+model drops into (`ExecutorRegistry` slot, masked pandas kernel,
+default-fill for cut rows).
+
+Because the weights are literals, the forward pass is *also* expressible
+in ANSI SQL (relu = greatest, sigmoid = 1/(1+exp(-z))), so unlike a real
+RF/torch model the scoring query gets an exact DuckDB oracle:
+:func:`mlp_score_sql` emits the same network over the same feature
+expressions, term-for-term in the same left-to-right evaluation order as
+the numpy kernel (which accumulates feature-by-feature, not via BLAS
+dot, precisely so both engines see the same float64 operation sequence).
+
+At 100 TB the scoring stage is embarrassingly parallel: no shuffle, model
+weights are per-process constants (a real checkpoint would be a broadcast
+or an executor-local file), and Python cost scales with the rows passing
+the native pre-cuts only (`apply_masked_pandas_kernel`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from fink_science_spark.operators.enrich import ExecutorRegistry
+
+# Frozen "trained" network: 4 features -> 3 relu units -> 1 sigmoid.
+# Literal decimal weights so repr() round-trips bit-exactly into SQL.
+MLP_W1 = [
+    [0.8, -1.2, 0.5, 0.3],
+    [-0.4, 0.9, -0.7, 0.2],
+    [0.6, 0.1, 0.4, -0.5],
+]
+MLP_B1 = [0.1, -0.2, 0.05]
+MLP_W2 = [1.5, -2.0, 0.8]
+MLP_B2 = -0.25
+
+
+def _load_model():
+    """Executor-side model materialization (the slot a real
+    joblib/torch/ONNX load occupies — rubin/cats/processor.py:34-38)."""
+    import numpy as np
+
+    return {
+        "W1": np.asarray(MLP_W1, dtype=np.float64),
+        "b1": np.asarray(MLP_B1, dtype=np.float64),
+        "W2": np.asarray(MLP_W2, dtype=np.float64),
+        "b2": float(MLP_B2),
+    }
+
+
+def mlp_forward(xs):
+    """Vectorized forward pass over a list of 1-D feature arrays (one per
+    feature, each of length n_rows). Accumulates the linear terms
+    feature-by-feature, left to right, matching the SQL oracle's operation
+    order exactly (BLAS dot may reorder the sum and flip the last ulp)."""
+    import numpy as np
+
+    model = ExecutorRegistry.get("frozen_mlp_v1", _load_model)
+    n = len(xs[0])
+    z_out = np.full(n, model["b2"], dtype=np.float64)
+    for j in range(len(model["b1"])):
+        acc = xs[0] * float(model["W1"][j][0])
+        for k in range(1, len(xs)):
+            acc = acc + xs[k] * float(model["W1"][j][k])
+        h = acc + float(model["b1"][j])
+        np.maximum(h, 0.0, out=h)
+        z_out = z_out + h * float(model["W2"][j])
+    return 1.0 / (1.0 + np.exp(-z_out))
+
+
+def make_mlp_score_udf():
+    """Arrow-batched scoring kernel: the `clf.predict_proba` slot of
+    ztf/random_forest_snia/processor.py:200-216, numpy-frozen. Factory
+    (not module-level) because pandas_udf needs an active session."""
+
+    @F.pandas_udf("double")
+    def mlp_score_udf(
+        x1: pd.Series, x2: pd.Series, x3: pd.Series, x4: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        xs = [s.to_numpy(dtype=np.float64) for s in (x1, x2, x3, x4)]
+        return pd.Series(mlp_forward(xs))
+
+    return mlp_score_udf
+
+
+def mlp_score_sql(feature_exprs: list[str]) -> str:
+    """The identical network as a scalar SQL expression over the given
+    feature expressions — the differential oracle for the numpy path."""
+    hidden = []
+    for j in range(len(MLP_B1)):
+        terms = " + ".join(
+            f"({feature_exprs[k]}) * ({MLP_W1[j][k]!r})"
+            for k in range(len(feature_exprs))
+        )
+        hidden.append(f"greatest(({terms}) + ({MLP_B1[j]!r}), 0.0)")
+    z = " + ".join(
+        f"{h} * ({MLP_W2[j]!r})" for j, h in enumerate(hidden)
+    )
+    return f"1.0 / (1.0 + exp(-(({z}) + ({MLP_B2!r}))))"
