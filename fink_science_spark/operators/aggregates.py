@@ -128,47 +128,67 @@ def fit_features_per_group(
     Groups with fewer than ``min_points`` rows (or zero time variance) are
     dropped, mirroring the reference's nmin cuts (ztf/ssoft/processor.py:784).
 
-    One shuffle on the group key; Arrow batches per group; at 100 TB the
-    key cardinality (#objects) spreads uniformly and no group outgrows a
-    task (histories are bounded per object).
+    Execution shape (round 2): ONE shuffle (groupBy + collect_list into
+    per-group arrays), then a SCALAR Arrow kernel over the array columns —
+    NOT group-at-a-time applyInPandas, whose ~3 ms/group of Python
+    dispatch + DataFrame-construction overhead dominates at thousands of
+    groups. The scalar UDF sees thousands of curves per Arrow batch. At
+    100 TB the key cardinality (#objects) spreads uniformly and no group
+    outgrows a task (histories are bounded per object).
     """
     import pandas as pd
 
-    out_schema = (
-        f"{key} long, n long, mean double, amp double, slope double"
+    grouped = (
+        df.groupBy(key)
+        .agg(
+            F.collect_list(F.col(ts_col)).alias("__t"),
+            F.collect_list(F.col(val_col)).alias("__v"),
+        )
+        .filter(F.size("__t") >= min_points)
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    @F.pandas_udf("struct<n long, mean double, amp double, slope double>")
+    def fit(ct: pd.Series, cv: pd.Series) -> pd.DataFrame:
         import numpy as np
 
-        if len(pdf) < min_points:
-            return pd.DataFrame(
-                columns=[key, "n", "mean", "amp", "slope"]
-            ).astype({key: "int64", "n": "int64"})
-        t = pdf[ts_col].to_numpy(dtype=np.float64)
-        v = pdf[val_col].to_numpy(dtype=np.float64)
-        tc = t - t.mean()
-        denom = float((tc * tc).sum())
-        if denom <= 0.0:
-            return pd.DataFrame(
-                columns=[key, "n", "mean", "amp", "slope"]
-            ).astype({key: "int64", "n": "int64"})
-        # NB: no rounding here — Python round() is banker's (half-to-even)
-        # while SQL ROUND is half-away-from-zero; callers round with
-        # F.round so tie values agree with any SQL engine.
-        return pd.DataFrame(
-            {
-                key: [int(pdf[key].iloc[0])],
-                "n": [len(pdf)],
-                "mean": [float(v.mean())],
-                "amp": [float(v.max() - v.min())],
-                "slope": [float((tc * v).sum() / denom)],
-            }
-        )
+        rows = []
+        for i in range(len(ct)):
+            t = np.asarray(ct.iloc[i], dtype=np.float64)
+            v = np.asarray(cv.iloc[i], dtype=np.float64)
+            tc = t - t.mean()
+            denom = float((tc * tc).sum())
+            if denom <= 0.0:
+                rows.append((len(v), None, None, None))
+                continue
+            # NB: no rounding here — Python round() is banker's
+            # (half-to-even) while SQL ROUND is half-away-from-zero;
+            # callers round with F.round so ties agree with any engine.
+            rows.append(
+                (
+                    len(v),
+                    float(v.mean()),
+                    float(v.max() - v.min()),
+                    float((tc * v).sum() / denom),
+                )
+            )
+        return pd.DataFrame(rows, columns=["n", "mean", "amp", "slope"])
 
-    return df.select(key, ts_col, val_col).groupBy(key).applyInPandas(
-        kernel, out_schema
+    return (
+        grouped.select(key, fit("__t", "__v").alias("__f"))
+        .select(key, "__f.*")
+        .filter(F.col("slope").isNotNull())
     )
+
+
+BAND_FEATURE_COLS = [
+    "n", "mean", "weighted_mean", "std", "median", "amplitude",
+    "beyond_1_std", "mad", "skew", "kurt", "max_slope",
+    # round-2 extension toward the full ad_features set
+    "cusum", "ipr10", "eta", "linear_trend", "linear_trend_sigma",
+    "linear_fit_slope", "linear_fit_chi2", "mpr_40_05", "mpr_20_10",
+    "median_buffer_pct", "percent_amplitude", "mean_variance",
+    "reduced_chi2", "stetson_k",
+]
 
 
 def band_features_per_group(
@@ -181,16 +201,34 @@ def band_features_per_group(
 ) -> DataFrame:
     """Per-(object, band) light-curve feature extraction — the ad_features
     shape (reference: 26 features per band via the light-curve package,
-    ztf/ad_features/processor.py:78-237), as ONE Arrow kernel per group
-    computing a statistically meaningful subset with exact SQL twins:
+    ztf/ad_features/processor.py:36-75 lists the extractor), as ONE Arrow
+    kernel per group computing 24 features, each with an exact SQL twin
+    (Anderson–Darling is the one omission: its normal CDF needs erf,
+    which the oracle engine lacks):
 
-    n, mean, weighted_mean (1/err² weights when err_col given), std
-    (sample), median, amplitude ((max−min)/2), beyond_1_std (fraction with
-    |x−mean| > std), mad (median absolute deviation), skew & excess
-    kurtosis (population moments), max_slope (max |Δv/Δt| over the
-    time-sorted curve).
+    n, mean, weighted_mean (1/err² weights), std (sample), median,
+    amplitude ((max−min)/2), beyond_1_std (fraction with |x−mean| > std),
+    mad (median absolute deviation), skew & excess kurtosis (population
+    moments), max_slope (max |Δv/Δt|), cusum range
+    ((max−min) of cumsum(v−mean)/(n·std) in time order),
+    ipr10 (Q90−Q10, linear interpolation), eta (von Neumann:
+    Σ(Δv)²/((n−1)·var)), linear_trend (unweighted LSQ slope of v vs t)
+    and its sigma (sqrt(SSE/((n−2)·Σtc²))), linear_fit_slope /
+    linear_fit_chi2 (1/err²-weighted LSQ slope + reduced χ² around the
+    fitted line), magnitude-percentage ratios mpr_40_05 =
+    (Q60−Q40)/(Q95−Q05) and mpr_20_10 = (Q80−Q20)/(Q90−Q10),
+    median_buffer_pct (fraction within ±10 % of amplitude around the
+    median), percent_amplitude (max(max−med, med−min)), mean_variance
+    (std/mean), reduced_chi2 (Σ((v−wmean)/err)²/(n−1)), stetson_k
+    (mean|δ|/sqrt(mean δ²), δ=(v−wmean)/err).
 
-    All outputs raw doubles — callers round with F.round (SQL semantics).
+    The regression features center t on the group mean before forming the
+    normal equations — in BOTH engines — so the sufficient statistics
+    carry no |t|²-scale cancellation and the differential comparison
+    stays exact at 6 decimals.
+
+    err-based features are NULL when err_col is None. All outputs raw
+    doubles — callers round with F.round (SQL semantics).
 
     Execution shape: ONE shuffle (groupBy + sorted collect_list into the
     per-band light-curve arrays — the SSOFT aggregated layout, SURVEY
@@ -218,10 +256,8 @@ def band_features_per_group(
         *([F.col("__lc.__e").alias("__ce")] if has_err else []),
     )
 
-    out_type = (
-        "n long, mean double, weighted_mean double, std double, "
-        "median double, amplitude double, beyond_1_std double, mad double, "
-        "skew double, kurt double, max_slope double"
+    out_type = "n long, " + ", ".join(
+        f"{c} double" for c in BAND_FEATURE_COLS[1:]
     )
 
     def _compute(ct: pd.Series, cv: pd.Series, ce: pd.Series | None) -> pd.DataFrame:
@@ -234,16 +270,13 @@ def band_features_per_group(
             n = len(v)
             mean = float(v.mean())
             std = float(v.std(ddof=1))
+            var = std * std
+            vmin, vmax = float(v.min()), float(v.max())
             med = float(np.median(v))
             d = v - mean
             m2 = float((d * d).mean())
             m3 = float((d * d * d).mean())
             m4 = float((d * d * d * d).mean())
-            if ce is not None:
-                w = 1.0 / np.asarray(ce.iloc[i], dtype=np.float64) ** 2
-                wmean = float((v * w).sum() / w.sum())
-            else:
-                wmean = mean
             dt = np.diff(t)
             dv = np.diff(v)
             valid = dt > 0
@@ -252,28 +285,86 @@ def band_features_per_group(
                 if valid.any()
                 else None
             )
+            # cusum range over the time-ordered curve
+            s = np.cumsum(v) - np.arange(1, n + 1, dtype=np.float64) * mean
+            cusum = (
+                float((s.max() - s.min()) / (n * std)) if std > 0 else None
+            )
+            q05, q10, q20, q40, q60, q80, q90, q95 = (
+                float(x) for x in np.percentile(v, [5, 10, 20, 40, 60, 80, 90, 95])
+            )
+            eta = (
+                float((dv * dv).sum() / ((n - 1) * var)) if var > 0 else None
+            )
+            # unweighted LSQ on centered time
+            tc = t - t.mean()
+            st2 = float((tc * tc).sum())
+            if st2 > 0:
+                b0 = float((tc * v).sum() / st2)
+                r0 = v - mean - b0 * tc
+                sse = float((r0 * r0).sum())
+                trend_sigma = (
+                    float(np.sqrt(sse / ((n - 2) * st2))) if n > 2 else None
+                )
+            else:
+                b0, trend_sigma = None, None
+            amp_half = (vmax - vmin) / 2.0
+            mbp = float((np.abs(v - med) < 0.1 * amp_half).mean())
+            pamp = max(vmax - med, med - vmin)
+            mean_var = std / mean if mean != 0 else None
+            mpr_40_05 = (
+                (q60 - q40) / (q95 - q05) if (q95 - q05) != 0 else None
+            )
+            mpr_20_10 = (
+                (q80 - q20) / (q90 - q10) if (q90 - q10) != 0 else None
+            )
+            if ce is not None:
+                e = np.asarray(ce.iloc[i], dtype=np.float64)
+                w = 1.0 / (e * e)
+                sw = float(w.sum())
+                wmean = float((v * w).sum() / sw)
+                delta = (v - wmean) / e
+                d2 = delta * delta
+                red_chi2 = float(d2.sum() / (n - 1))
+                msq = float(d2.mean())
+                stetson_k = (
+                    float(np.abs(delta).mean() / np.sqrt(msq))
+                    if msq > 0
+                    else None
+                )
+                # weighted LSQ on centered time
+                swt = float((w * tc).sum())
+                swv = float((w * v).sum())
+                swtt = float((w * tc * tc).sum())
+                swtv = float((w * tc * v).sum())
+                det = sw * swtt - swt * swt
+                if det > 0:
+                    b = (sw * swtv - swt * swv) / det
+                    a = (swv - b * swt) / sw
+                    rw = v - a - b * tc
+                    fit_chi2 = (
+                        float((w * rw * rw).sum() / (n - 2)) if n > 2 else None
+                    )
+                    fit_slope = b
+                else:
+                    fit_slope, fit_chi2 = None, None
+            else:
+                wmean = mean
+                red_chi2 = stetson_k = fit_slope = fit_chi2 = None
             rows.append(
                 (
-                    n,
-                    mean,
-                    wmean,
-                    std,
-                    med,
-                    float((v.max() - v.min()) / 2.0),
+                    n, mean, wmean, std, med, amp_half,
                     float((np.abs(d) > std).mean()),
                     float(np.median(np.abs(v - med))),
                     m3 / m2**1.5 if m2 > 0 else None,
                     m4 / m2**2 - 3.0 if m2 > 0 else None,
                     max_slope,
+                    cusum, q90 - q10, eta, b0, trend_sigma,
+                    fit_slope, fit_chi2, mpr_40_05, mpr_20_10,
+                    mbp, pamp, mean_var, red_chi2, stetson_k,
                 )
             )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "n", "mean", "weighted_mean", "std", "median", "amplitude",
-                "beyond_1_std", "mad", "skew", "kurt", "max_slope",
-            ],
-        )
+        return pd.DataFrame(rows, columns=BAND_FEATURE_COLS)
 
     if has_err:
 

@@ -296,12 +296,17 @@ GROUP BY user_id, event_type
 
 def q_band_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(object, band) feature extraction — the reference's marquee
-    per-band UDF (ad_features: 26 features per filter id,
-    ztf/ad_features/processor.py:78-237) as one Arrow kernel per
-    (user, event_type) group: n, mean, inverse-variance weighted mean,
-    std, median, amplitude, beyond-1-std fraction, MAD, skew, kurtosis,
-    max |slope| — every feature with an exact SQL twin."""
-    from fink_science_spark.operators.aggregates import band_features_per_group
+    per-band UDF (ad_features: 26 features per filter id via the
+    light-curve extractor, ztf/ad_features/processor.py:36-75) as one
+    Arrow kernel per (user, event_type) group emitting 24 features
+    (everything in the reference's extractor list except
+    Anderson–Darling, whose normal CDF needs erf — absent from the
+    oracle engine) — every feature with an exact SQL twin. See
+    operators/aggregates.band_features_per_group for definitions."""
+    from fink_science_spark.operators.aggregates import (
+        BAND_FEATURE_COLS,
+        band_features_per_group,
+    )
 
     ev = _events_us(spark, sf_dir).withColumn(
         "t_days", F.col("ts_us") / F.lit(86400e6)
@@ -316,16 +321,7 @@ def q_band_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "n",
-        F.round("mean", 6).alias("mean"),
-        F.round("weighted_mean", 6).alias("weighted_mean"),
-        F.round("std", 6).alias("std"),
-        F.round("median", 6).alias("median"),
-        F.round("amplitude", 6).alias("amplitude"),
-        F.round("beyond_1_std", 6).alias("beyond_1_std"),
-        F.round("mad", 6).alias("mad"),
-        F.round("skew", 6).alias("skew"),
-        F.round("kurt", 6).alias("kurt"),
-        F.round("max_slope", 6).alias("max_slope"),
+        *[F.round(c, 6).alias(c) for c in BAND_FEATURE_COLS[1:]],
     )
 
 
@@ -336,44 +332,116 @@ WITH x AS (
          json_extract_string(props, '$.k')::DOUBLE + 1.0 AS err
   FROM events
 ),
+xc AS (  -- per-row centered time (kills the |t|^2 cancellation in the fits)
+  SELECT *, t - avg(t) OVER g AS tc, 1.0 / (err * err) AS w
+  FROM x
+  WINDOW g AS (PARTITION BY user_id, event_type)
+),
 m AS (
   SELECT user_id, event_type,
          count(*) AS n, avg(v) AS mean, stddev_samp(v) AS std,
-         quantile_cont(v, 0.5) AS med
-  FROM x GROUP BY user_id, event_type
+         var_samp(v) AS var, min(v) AS vmin, max(v) AS vmax,
+         quantile_cont(v, 0.5)  AS med,
+         quantile_cont(v, 0.05) AS q05, quantile_cont(v, 0.10) AS q10,
+         quantile_cont(v, 0.20) AS q20, quantile_cont(v, 0.40) AS q40,
+         quantile_cont(v, 0.60) AS q60, quantile_cont(v, 0.80) AS q80,
+         quantile_cont(v, 0.90) AS q90, quantile_cont(v, 0.95) AS q95,
+         sum(w) AS sw, sum(w * v) / sum(w) AS wmean,
+         sum(tc * tc) AS st2, sum(tc * v) AS stv,
+         sum(w * tc) AS swt, sum(w * v) AS swv,
+         sum(w * tc * tc) AS swtt, sum(w * tc * v) AS swtv
+  FROM xc GROUP BY user_id, event_type
 ),
-slopes AS (
+p AS (  -- closed-form fit parameters (normal equations on centered time)
+  SELECT *,
+         CASE WHEN st2 > 0 THEN stv / st2 END AS b0,
+         sw * swtt - swt * swt AS det,
+         CASE WHEN sw * swtt - swt * swt > 0
+              THEN (sw * swtv - swt * swv) / (sw * swtt - swt * swt)
+         END AS b
+  FROM m
+),
+p2 AS (
+  SELECT *, CASE WHEN b IS NOT NULL THEN (swv - b * swt) / sw END AS a
+  FROM p
+),
+seq AS (  -- time-ordered stats: running deviation sum, successive diffs
+  SELECT x.user_id, x.event_type,
+         sum(x.v) OVER w - row_number() OVER w * m.mean AS s_dev,
+         (x.v - lag(x.v) OVER w) AS dvv,
+         abs((x.v - lag(x.v) OVER w) / (x.t - lag(x.t) OVER w)) AS sl,
+         x.t - lag(x.t) OVER w AS dt
+  FROM x JOIN m USING (user_id, event_type)
+  WINDOW w AS (PARTITION BY x.user_id, x.event_type ORDER BY x.t, x.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+sq AS (
   SELECT user_id, event_type,
-         abs((v - lag(v) OVER w) / (t - lag(t) OVER w)) AS sl,
-         (t - lag(t) OVER w) AS dt
-  FROM x
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, v)
-),
-ms AS (
-  SELECT user_id, event_type, max(sl) AS max_slope
-  FROM slopes WHERE dt > 0 GROUP BY user_id, event_type
+         max(s_dev) - min(s_dev) AS s_range,
+         sum(dvv * dvv) AS sdd,
+         max(CASE WHEN dt > 0 THEN sl END) AS max_slope
+  FROM seq GROUP BY user_id, event_type
 )
-SELECT x.user_id, x.event_type,
-       any_value(m.n) AS n,
-       round(any_value(m.mean), 6) AS mean,
-       round(sum(x.v / (x.err * x.err)) / sum(1.0 / (x.err * x.err)), 6)
-           AS weighted_mean,
-       round(any_value(m.std), 6) AS std,
-       round(any_value(m.med), 6) AS median,
-       round((max(x.v) - min(x.v)) / 2.0, 6) AS amplitude,
-       round(avg(CASE WHEN abs(x.v - m.mean) > m.std THEN 1.0 ELSE 0.0 END), 6)
+SELECT xc.user_id, xc.event_type,
+       any_value(p2.n) AS n,
+       round(any_value(p2.mean), 6) AS mean,
+       round(any_value(p2.wmean), 6) AS weighted_mean,
+       round(any_value(p2.std), 6) AS std,
+       round(any_value(p2.med), 6) AS median,
+       round((any_value(p2.vmax) - any_value(p2.vmin)) / 2.0, 6) AS amplitude,
+       round(avg(CASE WHEN abs(xc.v - p2.mean) > p2.std THEN 1.0 ELSE 0.0 END), 6)
            AS beyond_1_std,
-       round(median(abs(x.v - m.med)), 6) AS mad,
-       round(avg(pow(x.v - m.mean, 3))
-             / nullif(pow(avg(pow(x.v - m.mean, 2)), 1.5), 0), 6) AS skew,
-       round(avg(pow(x.v - m.mean, 4))
-             / nullif(pow(avg(pow(x.v - m.mean, 2)), 2.0), 0) - 3.0, 6) AS kurt,
-       round(any_value(ms.max_slope), 6) AS max_slope
-FROM x
-JOIN m  USING (user_id, event_type)
-LEFT JOIN ms USING (user_id, event_type)
-GROUP BY x.user_id, x.event_type
-HAVING any_value(m.n) >= 3
+       round(median(abs(xc.v - p2.med)), 6) AS mad,
+       round(avg(pow(xc.v - p2.mean, 3))
+             / nullif(pow(avg(pow(xc.v - p2.mean, 2)), 1.5), 0), 6) AS skew,
+       round(avg(pow(xc.v - p2.mean, 4))
+             / nullif(pow(avg(pow(xc.v - p2.mean, 2)), 2.0), 0) - 3.0, 6) AS kurt,
+       round(any_value(sq.max_slope), 6) AS max_slope,
+       round(CASE WHEN any_value(p2.std) > 0
+                  THEN any_value(sq.s_range)
+                       / (any_value(p2.n) * any_value(p2.std)) END, 6) AS cusum,
+       round(any_value(p2.q90) - any_value(p2.q10), 6) AS ipr10,
+       round(CASE WHEN any_value(p2.var) > 0
+                  THEN any_value(sq.sdd)
+                       / ((any_value(p2.n) - 1) * any_value(p2.var)) END, 6)
+           AS eta,
+       round(any_value(p2.b0), 6) AS linear_trend,
+       round(CASE WHEN any_value(p2.b0) IS NOT NULL AND any_value(p2.n) > 2
+                  THEN sqrt(sum((xc.v - p2.mean - p2.b0 * xc.tc)
+                                * (xc.v - p2.mean - p2.b0 * xc.tc))
+                            / ((any_value(p2.n) - 2) * any_value(p2.st2)))
+             END, 6) AS linear_trend_sigma,
+       round(any_value(p2.b), 6) AS linear_fit_slope,
+       round(CASE WHEN any_value(p2.a) IS NOT NULL AND any_value(p2.n) > 2
+                  THEN sum(xc.w * (xc.v - p2.a - p2.b * xc.tc)
+                                * (xc.v - p2.a - p2.b * xc.tc))
+                       / (any_value(p2.n) - 2)
+             END, 6) AS linear_fit_chi2,
+       round((any_value(p2.q60) - any_value(p2.q40))
+             / nullif(any_value(p2.q95) - any_value(p2.q05), 0), 6) AS mpr_40_05,
+       round((any_value(p2.q80) - any_value(p2.q20))
+             / nullif(any_value(p2.q90) - any_value(p2.q10), 0), 6) AS mpr_20_10,
+       round(avg(CASE WHEN abs(xc.v - p2.med)
+                           < 0.1 * ((p2.vmax - p2.vmin) / 2.0)
+                      THEN 1.0 ELSE 0.0 END), 6) AS median_buffer_pct,
+       round(greatest(any_value(p2.vmax) - any_value(p2.med),
+                      any_value(p2.med) - any_value(p2.vmin)), 6)
+           AS percent_amplitude,
+       round(any_value(p2.std) / nullif(any_value(p2.mean), 0), 6)
+           AS mean_variance,
+       round(sum(((xc.v - p2.wmean) / xc.err) * ((xc.v - p2.wmean) / xc.err))
+             / (any_value(p2.n) - 1), 6) AS reduced_chi2,
+       round(CASE WHEN avg(((xc.v - p2.wmean) / xc.err)
+                           * ((xc.v - p2.wmean) / xc.err)) > 0
+                  THEN avg(abs((xc.v - p2.wmean) / xc.err))
+                       / sqrt(avg(((xc.v - p2.wmean) / xc.err)
+                                  * ((xc.v - p2.wmean) / xc.err)))
+             END, 6) AS stetson_k
+FROM xc
+JOIN p2 USING (user_id, event_type)
+LEFT JOIN sq USING (user_id, event_type)
+GROUP BY xc.user_id, xc.event_type
+HAVING any_value(p2.n) >= 3
 """
 
 

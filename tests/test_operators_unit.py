@@ -88,6 +88,26 @@ def test_connected_components_diameter_guard(spark):
         connected_components(chain, max_iter=1)
 
 
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """Adversarial diameter: a 64-node chain must converge in O(log n)
+    star-contraction rounds, not O(diameter) label-propagation rounds."""
+    from fink_science_spark.operators.graph import connected_components
+
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, shuffle_partitions=4).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # diameter is 63; star contraction must finish way below that
+    assert connected_components.last_rounds <= 10, (
+        connected_components.last_rounds
+    )
+
+
 def test_enrich_pipeline_chains_outputs(spark):
     from fink_science_spark.operators.enrich import EnrichModule, enrich_pipeline
 
