@@ -287,8 +287,12 @@ def ngram_jaccard_pairs(
     sorted join of the full inverted index, which re-evaluates the
     tokenize/shingle subtree on both sides. Stop-shingle skew (a shingle in
     millions of docs ⇒ k² pairs from one row) is the known hot spot at
-    100 TB: pass ``max_doc_freq`` to drop ubiquitous shingles (standard
-    practice, slightly lowers recall — oracle-checked queries leave it None).
+    100 TB: ``max_doc_freq`` drops ubiquitous shingles before pair
+    expansion (standard practice; only stop-shingles are lost, so the
+    score becomes a slightly conservative lower bound). The cap is the
+    DOCUMENTED DEFAULT at scale — run uncapped only on corpora where the
+    hottest posting list is known-bounded. Both variants are registered
+    and oracle-checked (dedup_ngram_jaccard / dedup_ngram_jaccard_capped).
     """
     sets = df.select(
         F.col(id_col).alias("__id"),

@@ -118,6 +118,7 @@ def nearest_join_sky(
     dec_cap: float = 60.0,
     broadcast_right: bool = True,
     payload: list[str] | None = None,
+    polar_cells: bool = True,
 ) -> DataFrame:
     """The flagship 2-D sky crossmatch: for each left row, the nearest
     right row within ``radius_deg`` great-circle degrees (reference
@@ -133,9 +134,23 @@ def nearest_join_sky(
     key (broadcast when the right side is a catalog), exact haversine
     refine, arg-min per left row via row_number()==1 with deterministic
     ties on right id. No pair outside the 3×3 neighborhood is ever
-    materialized; bucket keys are uniform by construction. |dec| must be
-    ≤ dec_cap for the capture guarantee (polar caps need a dedicated
-    all-pairs bucket at 100 TB — not represented in these test domains).
+    materialized; bucket keys are uniform by construction.
+
+    Polar caps: the grid's RA-block width (radius/cos(dec_cap)) only
+    guarantees capture for pairs with both |dec| ≤ dec_cap. Any pair
+    within ``radius_deg`` that has one side beyond dec_cap necessarily
+    has BOTH sides at |dec| > dec_cap − radius, so two dedicated
+    per-hemisphere cap cells (membership: |dec| > dec_cap − radius,
+    keyed by hemisphere) joined all-pairs + haversine-refined cover
+    exactly the pairs the grid can miss — the all-sky completeness the
+    reference gets from its KD-tree (astropy handles poles natively,
+    ztf/xmatch/utils.py:32-82). Cap candidates UNION with grid
+    candidates before the arg-min; duplicate candidates are harmless
+    (row_number picks one). At realistic crossmatch radii (arcseconds)
+    the cap cells hold a ~cos(dec_cap)·radius sliver of each catalog —
+    broadcast-sized at any corpus scale; ``dec_cap`` is purely a
+    performance knob, not a correctness bound. ``polar_cells=False``
+    restores the grid-only plan for known-equatorial domains.
 
     Returns (left_id, right_id, dist_deg, *payload) — matched rows only.
     """
@@ -184,16 +199,49 @@ def nearest_join_sky(
     if broadcast_right:
         r = F.broadcast(r)
 
+    pay = [F.col(p) for p in (payload or [])]
+    dist = haversine_deg(
+        F.col("__lra"), F.col("__ldec"), F.col("__rra"), F.col("__rdec")
+    )
     cand = (
         l.join(r, ["__rb", "__dz"])
-        .withColumn(
-            "__dist",
-            haversine_deg(
-                F.col("__lra"), F.col("__ldec"), F.col("__rra"), F.col("__rdec")
-            ),
-        )
+        .withColumn("__dist", dist)
         .filter(F.col("__dist") <= radius_deg)
+        .select("__lid", "__rid", "__dist", *pay)
     )
+
+    if polar_cells:
+        # dedicated per-hemisphere cap cells: every pair the grid's RA
+        # width can't guarantee lands entirely inside one cell
+        cap_lo = dec_cap - radius_deg
+        cell = lambda c: F.when(c > cap_lo, F.lit(1)).when(  # noqa: E731
+            c < -cap_lo, F.lit(-1)
+        )
+        l_cap = left.select(
+            F.col(left_id).alias("__lid"),
+            F.col(left_ra).cast("double").alias("__lra"),
+            F.col(left_dec).cast("double").alias("__ldec"),
+        ).withColumn("__cell", cell(F.col("__ldec"))).filter(
+            F.col("__cell").isNotNull()
+        )
+        r_cap = right.select(
+            F.col(right_id).alias("__rid"),
+            F.col(right_ra).cast("double").alias("__rra"),
+            F.col(right_dec).cast("double").alias("__rdec"),
+            *pay,
+        ).withColumn("__cell", cell(F.col("__rdec"))).filter(
+            F.col("__cell").isNotNull()
+        )
+        if broadcast_right:
+            r_cap = F.broadcast(r_cap)
+        cap_cand = (
+            l_cap.join(r_cap, "__cell")
+            .withColumn("__dist", dist)
+            .filter(F.col("__dist") <= radius_deg)
+            .select("__lid", "__rid", "__dist", *pay)
+        )
+        cand = cand.unionByName(cap_cand)
+
     w = Window.partitionBy("__lid").orderBy(F.col("__dist").asc(), F.col("__rid").asc())
     return (
         cand.withColumn("__rn", F.row_number().over(w))

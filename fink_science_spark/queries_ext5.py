@@ -192,12 +192,69 @@ FROM ab
 """
 
 
+# --------------------------------------------------------------------------
+# M7 dedup: doc-frequency-capped exact Jaccard (the 100 TB default)
+# --------------------------------------------------------------------------
+
+# A shingle shared by k documents expands to C(k,2) pairs; one ubiquitous
+# shingle in 10^6 docs emits 5*10^11 pairs. Capping posting-list length is
+# the standard fix (drops only stop-shingles, which carry ~no identity
+# signal); this is the documented DEFAULT at scale — the uncapped variant
+# exists for exactness on bounded corpora.
+_JACCARD_MAX_DOC_FREQ = 50
+
+
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs with the doc-frequency cap ON (posting
+    lists longer than max_doc_freq dropped before pair expansion) — the
+    scale-default variant of dedup_ngram_jaccard. Set sizes |A|, |B| stay
+    the full distinct-shingle counts; only intersection counting skips
+    capped shingles, so the score is a (slightly conservative) lower
+    bound on true Jaccard."""
+    from fink_science_spark.operators.dedup import ngram_jaccard_pairs
+    from fink_science_spark.queries_ext import _doc_shingles
+
+    return ngram_jaccard_pairs(
+        _doc_shingles(spark, sf_dir),
+        "doc_id",
+        "shingles",
+        threshold=0.5,
+        max_doc_freq=_JACCARD_MAX_DOC_FREQ,
+    )
+
+
+def _oracle_dedup_ngram_jaccard_capped() -> str:
+    from fink_science_spark.functions.hashing import hash64_sql
+    from fink_science_spark.queries_ext import _DOCS_TOK_CTE
+
+    return f"""
+WITH {_DOCS_TOK_CTE},
+raw AS (SELECT doc_id, len(shingles) n, unnest(shingles) g0 FROM sh),
+inv AS (SELECT doc_id, n, {hash64_sql('g0')} AS g FROM raw),
+df AS (SELECT g, count(*) AS k FROM inv GROUP BY g),
+capped AS (
+  SELECT inv.* FROM inv JOIN df USING (g)
+  WHERE df.k > 1 AND df.k <= {_JACCARD_MAX_DOC_FREQ}
+),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, a.n na, b.n nb, count(*) inter
+  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+FROM pairs
+WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+"""
+
+
 QUERIES_EXT5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_score": q_model_score,
     "ssoft_hg_fit": q_ssoft_hg_fit,
+    "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
 }
 
 ORACLES_EXT5: dict[str, str] = {
     "model_score": _oracle_model_score(),
     "ssoft_hg_fit": _oracle_ssoft_hg_fit(),
+    "dedup_ngram_jaccard_capped": _oracle_dedup_ngram_jaccard_capped(),
 }

@@ -124,3 +124,116 @@ def test_enrich_pipeline_chains_outputs(spark):
     )
     out = enrich_pipeline(df, [m1, m2]).orderBy("x").collect()
     assert [(r["y"], r["big"]) for r in out] == [(2.0, False), (20.0, True)]
+
+
+def test_nearest_join_sky_polar_caps(spark):
+    """All-sky completeness: points at |dec| ~ 89 (including RA wrap)
+    must match exactly what a brute-force cross-join 1-NN returns —
+    the grid alone cannot guarantee capture beyond dec_cap."""
+    import itertools
+    import math
+
+    from fink_science_spark.operators.spatial import nearest_join_sky
+
+    # clustered near both poles + RA wrap cases + equatorial controls
+    lefts = [
+        (1, 10.0, 89.2), (2, 350.0, 88.9), (3, 181.0, -89.5),
+        (4, 0.5, 89.9), (5, 120.0, 0.0), (6, 200.0, -45.0),
+        (7, 90.0, 89.0),
+    ]
+    rights = [
+        (100, 190.0, 89.3), (101, 355.0, 88.7), (102, 2.0, -89.4),
+        (103, 179.0, 89.8), (104, 121.0, 0.5), (105, 201.0, -44.5),
+        (106, 271.0, 89.1),
+    ]
+    ldf = spark.createDataFrame(lefts, "lid long, ra double, dec double")
+    rdf = spark.createDataFrame(rights, "rid long, ra double, dec double")
+    radius = 3.0
+
+    def hav(ra1, dec1, ra2, dec2):
+        dphi = math.radians(dec2 - dec1)
+        dlam = math.radians(ra2 - ra1)
+        a = (
+            math.sin(dphi / 2) ** 2
+            + math.cos(math.radians(dec1))
+            * math.cos(math.radians(dec2))
+            * math.sin(dlam / 2) ** 2
+        )
+        return math.degrees(2 * math.asin(math.sqrt(a)))
+
+    expected = {}
+    for (lid, lra, ldec), (rid, rra, rdec) in itertools.product(lefts, rights):
+        d = hav(lra, ldec, rra, rdec)
+        if d <= radius and (
+            lid not in expected or (d, rid) < expected[lid][1:]
+        ):
+            expected[lid] = (rid, d, rid)
+    expected = {k: v[0] for k, v in expected.items()}
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in nearest_join_sky(
+            ldf, rdf, "lid", "ra", "dec", "rid", "ra", "dec",
+            radius_deg=radius,
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_nearest_join_sky_polar_ra_wrap_against_cross_join(spark):
+    """Randomized polar stress: 40 x 40 points at |dec| in [85, 90) with
+    uniform RA; engine result must equal the cross-join ground truth."""
+    import itertools
+    import math
+
+    from fink_science_spark.operators.spatial import nearest_join_sky
+
+    def lcg(seed):
+        s = seed
+        while True:
+            s = (s * 1103515245 + 12345) % (2**31)
+            yield s / 2**31
+
+    g = lcg(7)
+    lefts = [
+        (i, next(g) * 360.0, (85.0 + next(g) * 4.9) * (1 if next(g) < 0.5 else -1))
+        for i in range(40)
+    ]
+    rights = [
+        (1000 + i, next(g) * 360.0,
+         (85.0 + next(g) * 4.9) * (1 if next(g) < 0.5 else -1))
+        for i in range(40)
+    ]
+    ldf = spark.createDataFrame(lefts, "lid long, ra double, dec double")
+    rdf = spark.createDataFrame(rights, "rid long, ra double, dec double")
+    radius = 2.0
+
+    def hav(ra1, dec1, ra2, dec2):
+        dphi = math.radians(dec2 - dec1)
+        dlam = math.radians(ra2 - ra1)
+        a = (
+            math.sin(dphi / 2) ** 2
+            + math.cos(math.radians(dec1))
+            * math.cos(math.radians(dec2))
+            * math.sin(dlam / 2) ** 2
+        )
+        return math.degrees(2 * math.asin(math.sqrt(a)))
+
+    expected = {}
+    for (lid, lra, ldec), (rid, rra, rdec) in itertools.product(lefts, rights):
+        d = hav(lra, ldec, rra, rdec)
+        if d <= radius:
+            cur = expected.get(lid)
+            if cur is None or (d, rid) < cur:
+                expected[lid] = (d, rid)
+    expected = {k: v[1] for k, v in expected.items()}
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in nearest_join_sky(
+            ldf, rdf, "lid", "ra", "dec", "rid", "ra", "dec",
+            radius_deg=radius,
+        ).collect()
+    }
+    assert got == expected
