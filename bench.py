@@ -54,6 +54,11 @@ HEADLINE = [
     "band_features",
     "image_stats",
     "stream_foreachbatch_enrich",
+    # round 2
+    "model_score",
+    "ssoft_hg_fit",
+    "dedup_ngram_jaccard_capped",
+    "mc_rate",
 ]
 
 
@@ -86,22 +91,24 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - warm-up failures surface in the timed run
             pass
 
-    # best-of-2 per query: single runs on a shared host carry 2-4×
-    # scheduling noise; the minimum is the standard steady-state estimate
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # median-of-N per query (default 3): single runs on a shared host
+    # carry 2-4× scheduling noise; the median is robust to one bad run in
+    # either direction, so round-over-round regressions are attributable
+    import statistics
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        best = None
+        samples: list[float] = []
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 3)
         except Exception as exc:  # noqa: BLE001 - a failed query must not hide the rest
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from fink_science_spark.functions.hashing import hash64
+
 
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -210,6 +212,104 @@ def cosine_topk_blocked(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    rounds: int = 2,
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer: deterministic init + distributed
+    Lloyd rounds (the k-means|| execution shape — each round is ONE
+    corpus scan emitting per-partition partial sums, merged on the
+    driver; no shuffle of vectors, driver traffic is
+    O(partitions × n_centroids × dim)).
+
+    Init: the ``n_centroids`` vectors with the smallest portable md5 hash
+    of their id (a deterministic uniform sample — reproducible by any
+    engine, unlike random seeding). Cell ids are the hash-order ranks and
+    are STABLE across rounds; cells that empty out are dropped, not
+    renumbered.
+
+    Assignment = max cosine with the cosine ROUNDED to 9 decimals before
+    the argmax (ties → smallest cell id). The rounding is what makes
+    training differentially testable: numpy and any SQL engine disagree
+    on raw float cosines at the last ulp, and an ulp flip at an
+    assignment boundary would cascade into different centroids. New
+    centroid components are per-dimension means rounded to ``round_to``
+    for the same reason.
+
+    Returns [(cell_id, centroid_vector)] sorted by cell id — feed to
+    :func:`ivf_topk_blocked`.
+    """
+    import numpy as np
+
+    hashed = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__h", hash64(F.col("__id").cast("string")))
+    init_rows = (
+        hashed.orderBy("__h", "__id").limit(n_centroids).select("__v").collect()
+    )
+    cent_ids = list(range(len(init_rows)))
+    CENT = np.array([list(r[0]) for r in init_rows], dtype=np.float64)
+
+    sc = corpus.sparkSession.sparkContext
+    dim = CENT.shape[1]
+
+    for _ in range(rounds):
+        bc = sc.broadcast((np.asarray(cent_ids, dtype=np.int64), CENT))
+
+        def partials(batches):
+            import pandas as pd
+
+            ids_b, CENT_b = bc.value
+            nrm_c = np.sqrt((CENT_b * CENT_b).sum(axis=1))
+            sums = np.zeros((len(ids_b), CENT_b.shape[1]))
+            counts = np.zeros(len(ids_b), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(list(pdf["__v"]), dtype=np.float64)
+                nrm = np.sqrt((M * M).sum(axis=1))
+                S = np.round(
+                    (M @ CENT_b.T) / (nrm[:, None] * nrm_c[None, :]), 9
+                )
+                a = S.argmax(axis=1)
+                for j in range(len(ids_b)):
+                    sel = a == j
+                    if sel.any():
+                        sums[j] += M[sel].sum(axis=0)
+                        counts[j] += int(sel.sum())
+            out = [
+                (int(ids_b[j]), int(counts[j]), [float(x) for x in sums[j]])
+                for j in range(len(ids_b))
+                if counts[j] > 0
+            ]
+            yield pd.DataFrame(out, columns=["cell", "cnt", "vsum"])
+
+        rows = (
+            corpus.select(F.col(vec_col).alias("__v"))
+            .mapInPandas(
+                partials, schema=f"cell long, cnt long, vsum array<double>"
+            )
+            .collect()
+        )
+        merged: dict[int, tuple[int, "np.ndarray"]] = {}
+        for r in rows:
+            c, n0, s = r["cell"], r["cnt"], np.asarray(r["vsum"])
+            if c in merged:
+                merged[c] = (merged[c][0] + n0, merged[c][1] + s)
+            else:
+                merged[c] = (n0, s)
+        cent_ids = sorted(merged)
+        CENT = np.array(
+            [np.round(merged[c][1] / merged[c][0], round_to) for c in cent_ids],
+            dtype=np.float64,
+        )
+    return [(c, [float(x) for x in CENT[i]]) for i, c in enumerate(cent_ids)]
+
+
 def ivf_topk_blocked(
     corpus: DataFrame,
     queries: DataFrame,
@@ -221,14 +321,19 @@ def ivf_topk_blocked(
     centroid_id: str,
     centroid_vec: str,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style approximate top-k: every vector is assigned to its nearest
-    centroid (max cosine, smallest centroid id on ties); a query probes only
-    its own centroid's inverted list (nprobe=1). The centroid table is the
-    'coarse quantizer' — at 100 TB it is the k-means codebook; here any
-    deterministic centroid subset works, and both the assignment and the
-    in-list search run inside one numpy block kernel per corpus partition
-    (same shape as :func:`cosine_topk_blocked`).
+    """IVF approximate top-k: every corpus vector is assigned to its
+    nearest centroid (max cosine rounded to 9 decimals, smallest centroid
+    id on ties); a query probes its ``nprobe`` nearest centroids' inverted
+    lists. The centroid table is the 'coarse quantizer' — train it with
+    :func:`train_ivf_centroids` (at 100 TB it is the k-means codebook);
+    both the assignment and the in-list search run inside one numpy block
+    kernel per corpus partition (same shape as :func:`cosine_topk_blocked`).
+
+    Recall grows with nprobe (nprobe = n_centroids degenerates to exact
+    brute force); nprobe ≥ 2 also covers the query-near-a-cell-boundary
+    case that nprobe=1 systematically misses.
 
     Returns (query_id, corpus_id, rank, cos)."""
     import numpy as np
@@ -237,34 +342,40 @@ def ivf_topk_blocked(
     crows = sorted(
         centroids.select(centroid_id, centroid_vec).collect(), key=lambda r: r[0]
     )
+    cent_ids = np.array([r[0] for r in crows], dtype=np.int64)
     CENT = np.array([list(r[1]) for r in crows], dtype=np.float64)
     cent_norm = np.sqrt((CENT * CENT).sum(axis=1))
 
-    def assign(M: "np.ndarray") -> "np.ndarray":
+    def cell_scores(M: "np.ndarray") -> "np.ndarray":
         nrm = np.sqrt((M * M).sum(axis=1))
-        S = (M @ CENT.T) / (nrm[:, None] * cent_norm[None, :])
-        return S.argmax(axis=1)  # first max == smallest centroid id (sorted)
+        return np.round((M @ CENT.T) / (nrm[:, None] * cent_norm[None, :]), 9)
 
     qrows = queries.select(query_id, query_vec).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((Q * Q).sum(axis=1))
-    qcell = assign(Q)
+    # top-nprobe cells per query: argsort of (-cos) is stable, so equal
+    # rounded cosines break toward the smaller cell index (= smaller id;
+    # CENT is sorted by cell id)
+    nprobe = min(nprobe, len(CENT))
+    qcells = np.argsort(-cell_scores(Q), axis=1, kind="stable")[:, :nprobe]
 
     # broadcast the codebook + query block once per executor (see
     # cosine_topk_blocked)
     bc = corpus.sparkSession.sparkContext.broadcast(
-        (qids, Q, qnorm, qcell, CENT, cent_norm)
+        (qids, Q, qnorm, qcells, CENT, cent_norm)
     )
 
     local_k = k + 1
 
     def block(batches):
-        qids, Q, qnorm, qcell, CENT_b, cent_norm_b = bc.value
+        qids, Q, qnorm, qcells, CENT_b, cent_norm_b = bc.value
 
         def assign_b(M):
             nrm = np.sqrt((M * M).sum(axis=1))
-            S = (M @ CENT_b.T) / (nrm[:, None] * cent_norm_b[None, :])
+            S = np.round(
+                (M @ CENT_b.T) / (nrm[:, None] * cent_norm_b[None, :]), 9
+            )
             return S.argmax(axis=1)
 
         for pdf in batches:
@@ -275,7 +386,8 @@ def ivf_topk_blocked(
             cnorm = np.sqrt((C * C).sum(axis=1))
             ccell = assign_b(C)
             S = (C @ Q.T) / (cnorm[:, None] * qnorm[None, :])
-            S = np.where(ccell[:, None] == qcell[None, :], S, -np.inf)
+            probed = (ccell[:, None, None] == qcells[None, :, :]).any(axis=2)
+            S = np.where(probed, S, -np.inf)
             kk = min(local_k, S.shape[0])
             idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
             qi, ci, cos = [], [], []

@@ -549,12 +549,17 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# strlen (BYTES), not length (characters): the engine slices the UTF-8
+# payload as binary, so the oracle must count bytes — on non-ASCII text
+# length(text) < strlen(text) and the two silently diverge (the round-1
+# driver snapshot's only hash mismatches were exactly this class;
+# tests/test_operators_unit.py pins it with non-ASCII payloads).
 ORACLE_FRAME_SAMPLES = """
 WITH f AS (
   SELECT doc_id, i,
-         least(32, length(text) - (i * 64)) AS flen
+         least(32, strlen(text) - (i * 64)) AS flen
   FROM documents, (SELECT unnest(generate_series(0, 7)) AS i)
-  WHERE length(text) - (i * 64) > 0
+  WHERE strlen(text) - (i * 64) > 0
 )
 SELECT doc_id, count(*) AS n_frames, sum(flen) AS sampled_bytes
 FROM f GROUP BY doc_id
@@ -599,31 +604,84 @@ FROM events
 """
 
 
+_MC_DRAWS = 100
+_MC_SCALE = float(2**60)  # hash64 range; exactly representable
+
+
 def q_mc_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Monte-Carlo rate kernel (magnitude_rate shape,
     ztf/fast_transient_rate/processor.py:119-301): per purchase event,
-    100 seeded normal draws → rate estimate ± error. Seed = event_id →
-    fully deterministic, but not SQL-expressible → rows-only check."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    100 deterministic normal draws → rate estimate ± error.
 
-    @F.pandas_udf("struct<rate:double, rate_err:double>")
-    def mc_rate(event_id: pd.Series, value: pd.Series) -> pd.DataFrame:
-        import numpy as np
-
-        rates, errs = [], []
-        for eid, v in zip(event_id.to_numpy(), value.to_numpy()):
-            rng = np.random.default_rng(int(eid))
-            samples = v * (1.0 + 0.1 * rng.standard_normal(100))
-            rates.append(float(np.mean(samples)))
-            errs.append(float(np.std(samples)))
-        return pd.DataFrame({"rate": rates, "rate_err": errs})
-
-    out = ev.withColumn("mc", mc_rate("event_id", "value"))
-    return out.select(
-        "event_id",
-        F.round(F.col("mc.rate"), 6).alias("rate"),
-        F.round(F.col("mc.rate_err"), 6).alias("rate_err"),
+    Round 2: the draws are COUNTER-BASED — uniforms come from the
+    portable md5 hash of (event_id, draw index), normals via Box–Muller
+    — so the whole kernel is native column algebra (explode → codegen'd
+    hash/sqrt/ln/cos → group-agg): no Python at all, vectorized by
+    whole-stage codegen, and exactly reproducible in the DuckDB oracle
+    (this was the registry's only rows-only scoring query in round 1).
+    Same statistics as the old per-row default_rng loop (mean, population
+    std of 100 scaled normals); seeding is per-(event, draw), the
+    standard Philox-style counter construction."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "value")
+    draws = ev.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(_MC_DRAWS - 1)))
     )
+    import math
+
+    def unif(tag: str) -> "F.Column":
+        h = hash64(
+            F.concat_ws(
+                ":",
+                F.col("event_id").cast("string"),
+                F.col("j").cast("string"),
+                F.lit(tag),
+            )
+        )
+        # +1 → (0,1] so ln(u) is finite
+        return (h + 1) / F.lit(_MC_SCALE)
+
+    z = F.sqrt(-2.0 * F.log(unif("u1"))) * F.cos(
+        2.0 * math.pi * unif("u2")
+    )
+    sample = F.col("value") * (1.0 + 0.1 * z)
+    return (
+        draws.withColumn("s", sample)
+        .groupBy("event_id")
+        .agg(
+            F.round(F.avg("s"), 6).alias("rate"),
+            F.round(F.stddev_pop("s"), 6).alias("rate_err"),
+        )
+    )
+
+
+ORACLE_MC_RATE = f"""
+WITH ev AS (
+  SELECT event_id, value FROM events WHERE event_type = 'purchase'
+),
+d AS (
+  SELECT event_id, value, unnest(generate_series(0, {_MC_DRAWS - 1})) AS j
+  FROM ev
+),
+u AS (
+  SELECT event_id, value,
+         ({hash64_sql("event_id::VARCHAR || ':' || j::VARCHAR || ':u1'")} + 1)
+             / {_MC_SCALE!r} AS u1,
+         ({hash64_sql("event_id::VARCHAR || ':' || j::VARCHAR || ':u2'")} + 1)
+             / {_MC_SCALE!r} AS u2
+  FROM d
+),
+s AS (
+  SELECT event_id,
+         value * (1.0 + 0.1 * (sqrt(-2.0 * ln(u1)) * cos(2.0 * pi() * u2)))
+             AS s
+  FROM u
+)
+SELECT event_id, round(avg(s), 6) AS rate, round(stddev_pop(s), 6) AS rate_err
+FROM s
+GROUP BY event_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -716,6 +774,6 @@ ORACLES_EXT: dict[str, str] = {
     "blob_features": ORACLE_BLOB_FEATURES,
     "frame_samples": ORACLE_FRAME_SAMPLES,
     "enrich_score": ORACLE_ENRICH_SCORE,
-    # mc_rate: seeded Monte-Carlo — intentionally no SQL oracle (rows-only)
+    "mc_rate": ORACLE_MC_RATE,
     "stream_weekly_counts": ORACLE_STREAM_WEEKLY_COUNTS,
 }

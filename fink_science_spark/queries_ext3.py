@@ -29,54 +29,106 @@ DAY_US = 24 * 3600 * 1_000_000
 # --------------------------------------------------------------------------
 
 
+_IVF_CELLS, _IVF_ROUNDS, _IVF_NPROBE, _IVF_K, _IVF_DIM = 8, 2, 2, 3, 64
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-3: coarse-quantize every vector to its nearest
-    centroid (deterministic centroid subset: vec_id % 40 == 1), probe the
-    query's own cell only (nprobe=1), exact cosine inside the cell.
-    One numpy block kernel per corpus partition (SURVEY M7 scale path)."""
+    """IVF approximate top-3 with a TRAINED coarse quantizer: 8 centroids
+    from deterministic-hash init + 2 distributed Lloyd rounds
+    (train_ivf_centroids — mapInPandas partial sums, one scan per round),
+    nprobe=2 probing, exact cosine inside the probed cells. One numpy
+    block kernel per corpus partition (SURVEY M7 scale path). The oracle
+    replays the identical training (unrolled Lloyd rounds in SQL) —
+    cosines rounded to 9 decimals before every argmax in both engines so
+    assignment boundaries cannot flip on engine ulp noise."""
+    from fink_science_spark.operators.similarity import train_ivf_centroids
+
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     queries = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    cents = emb.filter(F.col("vec_id") % 40 == 1).select(
-        F.col("vec_id").alias("centid"), F.col("embedding").alias("centv")
+    trained = train_ivf_centroids(
+        corpus, "cid", "cv", n_centroids=_IVF_CELLS, rounds=_IVF_ROUNDS
+    )
+    cents = spark.createDataFrame(
+        trained, "centid long, centv array<double>"
     )
     return ivf_topk_blocked(
-        corpus, queries, cents, "cid", "cv", "qid", "qv", "centid", "centv", k=3
+        corpus, queries, cents, "cid", "cv", "qid", "qv", "centid", "centv",
+        k=_IVF_K, nprobe=_IVF_NPROBE,
     )
 
 
-ORACLE_ANN_IVF_TOPK = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-cent AS (SELECT vec_id AS centid, v AS centv FROM e WHERE vec_id % 40 = 1),
-assign AS (
-  SELECT e.vec_id, e.v, centid,
-         row_number() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY list_inner_product(e.v, cent.centv) /
-                    sqrt(list_inner_product(e.v, e.v) *
-                         list_inner_product(cent.centv, cent.centv)) DESC,
-                    centid ASC) AS rn
-  FROM e CROSS JOIN cent
-),
-cells AS (SELECT vec_id, v, centid AS cell FROM assign WHERE rn = 1),
-q AS (SELECT vec_id AS qid, v AS qv, cell FROM cells WHERE vec_id % 20 = 0),
-scored AS (
+def _oracle_ann_ivf_topk() -> str:
+    """The trained-IVF oracle: k-means training unrolled round-by-round
+    as SQL CTEs (init = smallest md5-hash vectors; per-dimension means
+    rounded like the engine's), then assignment, nprobe probing and
+    in-cell exact ranking."""
+    h = hash64_sql("vec_id::VARCHAR")
+
+    def cos9(a: str, b: str) -> str:
+        return (
+            f"round(list_inner_product({a}, {b}) / "
+            f"sqrt(list_inner_product({a}, {a}) * "
+            f"list_inner_product({b}, {b})), 9)"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell, v AS cv
+  FROM e ORDER BY {h}, vec_id LIMIT {_IVF_CELLS})""",
+    ]
+    prev = "c0"
+    for r in range(1, _IVF_ROUNDS + 1):
+        parts += [
+            f"""a{r} AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos9('e.v', 'c.cv')} DESC, c.cell ASC) AS rn
+  FROM e CROSS JOIN {prev} c)""",
+            f"m{r} AS (SELECT vec_id, v, cell FROM a{r} WHERE rn = 1)",
+            f"""c{r}d AS (
+  SELECT cell, g.i AS i, round(avg(v[g.i]), 6) AS m
+  FROM m{r}, generate_series(1, {_IVF_DIM}) AS g(i)
+  GROUP BY cell, g.i)""",
+            f"c{r} AS (SELECT cell, list(m ORDER BY i) AS cv "
+            f"FROM c{r}d GROUP BY cell)",
+        ]
+        prev = f"c{r}"
+    parts += [
+        f"""af AS (
+  SELECT e.vec_id, e.v, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos9('e.v', 'c.cv')} DESC, c.cell ASC) AS rn
+  FROM e CROSS JOIN {prev} c)""",
+        "cells AS (SELECT vec_id, v, cell FROM af WHERE rn = 1)",
+        f"qp AS (SELECT vec_id AS qid, cell FROM af "
+        f"WHERE rn <= {_IVF_NPROBE} AND vec_id % 20 = 0)",
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 20 = 0)",
+        """scored AS (
   SELECT q.qid, c.vec_id AS cid,
          list_inner_product(q.qv, c.v) /
          sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.v, c.v))
              AS cosr
-  FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id != q.qid
-),
-ranked AS (
+  FROM q JOIN qp ON qp.qid = q.qid
+         JOIN cells c ON c.cell = qp.cell AND c.vec_id != q.qid)""",
+        """ranked AS (
   SELECT qid, cid, cosr,
-         row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, cid ASC) AS rank
-  FROM scored
-)
+         row_number() OVER (PARTITION BY qid ORDER BY cosr DESC, cid ASC)
+             AS rank
+  FROM scored)""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
 SELECT qid, cid, rank, round(cosr, 6) AS cos
-FROM ranked WHERE rank <= 3
+FROM ranked WHERE rank <= {_IVF_K}
 """
+    )
+
+
+ORACLE_ANN_IVF_TOPK = _oracle_ann_ivf_topk()
 
 
 # --------------------------------------------------------------------------

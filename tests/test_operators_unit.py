@@ -237,3 +237,82 @@ def test_nearest_join_sky_polar_ra_wrap_against_cross_join(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_trained_ivf_recall_vs_brute_force(spark, sf_smoke):
+    """Trained IVF (hash init + 2 Lloyd rounds, nprobe=2 of 8 cells) must
+    recall well above the 2/8 random-cell-coverage baseline against the
+    exact brute-force top-3. Deterministic end to end."""
+    from fink_science_spark.queries_ext import QUERIES_EXT
+    from fink_science_spark.queries_ext3 import QUERIES_EXT3
+
+    ivf = {
+        (r["qid"], r["cid"])
+        for r in QUERIES_EXT3["ann_ivf_topk"](spark, sf_smoke).collect()
+    }
+    brute = {
+        (r["qid"], r["cid"])
+        for r in QUERIES_EXT["ann_cosine_topk"](spark, sf_smoke).collect()
+        if r["rank"] <= 3
+    }
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.4, recall
+
+
+def test_frame_samples_byte_semantics_on_unicode(spark):
+    """Frame sampling slices UTF-8 BYTES, not characters: multi-byte text
+    must produce byte-based frame counts/sizes (the round-1 driver
+    snapshot's hash mismatches were byte-vs-char divergence)."""
+    from fink_science_spark.operators.multimodal import sample_frames
+
+    texts = [
+        (1, "héllo wörld " * 12),          # 2-byte chars
+        (2, "日本語のテキスト" * 16),        # 3-byte chars
+        (3, "emoji 🚀🔭✨ " * 10),           # 4-byte chars
+        (4, "plain ascii " * 10),
+        (5, ""),                             # empty → no frames
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    got = {
+        r["doc_id"]: (r["n_frames"], r["sampled_bytes"])
+        for r in sample_frames(df, "doc_id", "blob", frame_size=32,
+                               stride=64, max_frames=8)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_frames"),
+             F.sum(F.length("frame_bytes")).alias("sampled_bytes"))
+        .collect()
+    }
+    expected = {}
+    for doc_id, text in texts:
+        nbytes = len(text.encode("utf-8"))
+        frames = [
+            min(32, nbytes - i * 64) for i in range(8) if nbytes - i * 64 > 0
+        ]
+        if frames:
+            expected[doc_id] = (len(frames), sum(frames))
+    assert got == expected
+
+
+def test_blob_features_on_unicode_text(spark):
+    """Blob feature extraction over md5(text) blobs must agree with a
+    pure-Python recomputation on non-ASCII input (md5 of the UTF-8
+    encoding in both engines)."""
+    import hashlib
+
+    from fink_science_spark.operators.multimodal import extract_blob_features
+
+    texts = [(1, "crème brûlée 🍮"), (2, "γειά σου κόσμε"), (3, "abc")]
+    df = spark.createDataFrame(texts, "doc_id long, text string").select(
+        "doc_id", F.unhex(F.md5("text")).alias("blob")
+    )
+    got = {
+        r["doc_id"]: (r["byte_len"], r["first_byte"], r["checksum"])
+        for r in extract_blob_features(df, "doc_id", "blob").collect()
+    }
+    expected = {}
+    for doc_id, text in texts:
+        b = hashlib.md5(text.encode("utf-8")).digest()
+        expected[doc_id] = (len(b), b[0], sum(b[:64]) % 997)
+    assert got == expected
