@@ -10,9 +10,12 @@ SURVEY.md) as native Spark aggregations and window frames — partial
 
 Skew/kurtosis note: Spark's builtin ``skewness``/``kurtosis`` use one set
 of bias conventions, other engines use another; for oracle-portable
-results :func:`order_stats` computes central moments explicitly (two-pass
-via a self-join on the group means), which is also the numerically honest
-way to get identical answers from any engine.
+results :func:`order_stats` derives central moments from raw moments
+(E[x], E[x²], E[x³], E[x⁴]) computed in a SINGLE scan — one shuffle, no
+self-join — with the identical closed-form algebra spelled out in the
+oracle SQL. The raw→central conversion loses digits only under extreme
+cancellation (|mean| ≫ std); outputs are rounded at 4 decimals and the
+differential oracle would surface any such case.
 """
 
 from __future__ import annotations
@@ -34,22 +37,22 @@ def order_stats(
     """Per-group count / mean / stddev (sample) / min / max / exact
     interpolated percentiles / skewness / excess kurtosis.
 
-    Moments are explicit (population m2/m3/m4 around the group mean) so the
-    duckdb oracle can reproduce them with the same formula. One extra
-    pass for the mean join; both shuffles share the same keys so AQE
-    coalesces them into one exchange reuse."""
-    means = df.groupBy(*keys).agg(F.avg(val).alias("__mean"))
-    j = df.join(means, keys)
-    d = F.col(val) - F.col("__mean")
+    SINGLE scan, one shuffle: raw moments E[x]..E[x⁴] as plain avg()
+    aggregates (map-side partial aggregation + whole-stage codegen),
+    then the closed-form central-moment algebra
+    m2 = E2−μ², m3 = E3−3μE2+2μ³, m4 = E4−4μE3+6μ²E2−3μ⁴
+    in the projection. The duckdb oracle spells out the identical
+    formula, so both engines agree at the 4-decimal rounding."""
+    v = F.col(val)
     aggs = [
         F.count("*").alias("n"),
-        F.round(F.first("__mean"), round_to).alias("mean"),
+        F.avg(val).alias("__e1"),
+        F.avg(v * v).alias("__e2"),
+        F.avg(v * v * v).alias("__e3"),
+        F.avg(v * v * v * v).alias("__e4"),
         F.round(F.stddev_samp(val), round_to).alias("std"),
         F.round(F.min(val), round_to).alias("vmin"),
         F.round(F.max(val), round_to).alias("vmax"),
-        F.avg(d * d).alias("__m2"),
-        F.avg(d * d * d).alias("__m3"),
-        F.avg(d * d * d * d).alias("__m4"),
     ]
     for p in percentiles:
         aggs.append(
@@ -57,17 +60,21 @@ def order_stats(
                 f"p{int(p * 100):02d}"
             )
         )
-    out = j.groupBy(*keys).agg(*aggs)
+    out = df.groupBy(*keys).agg(*aggs)
+    u, e2, e3, e4 = (F.col(c) for c in ("__e1", "__e2", "__e3", "__e4"))
+    m2 = e2 - u * u
+    m3 = e3 - 3.0 * u * e2 + 2.0 * u * u * u
+    m4 = e4 - 4.0 * u * e3 + 6.0 * u * u * e2 - 3.0 * u * u * u * u
     return out.select(
         *keys,
         "n",
-        "mean",
+        F.round(u, round_to).alias("mean"),
         "std",
         "vmin",
         "vmax",
         *[f"p{int(p * 100):02d}" for p in percentiles],
-        F.round(F.col("__m3") / F.pow("__m2", 1.5), round_to).alias("skew"),
-        F.round(F.col("__m4") / F.pow("__m2", 2.0) - 3.0, round_to).alias("kurt"),
+        F.round(m3 / F.pow(m2, 1.5), round_to).alias("skew"),
+        F.round(m4 / F.pow(m2, 2.0) - 3.0, round_to).alias("kurt"),
     )
 
 

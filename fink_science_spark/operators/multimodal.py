@@ -34,12 +34,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CODECS: dict[str, Callable[[bytes], dict]] = {}
+DECODE_SCHEMA = "byte_len int, first_byte int, checksum int"
+
+_CODECS: dict[str, tuple[Callable[[bytes], dict], str]] = {}
 
 
-def register_codec(name: str, fn: Callable[[bytes], dict]) -> None:
-    """Install a blob decoder: bytes → {feature: value} dict."""
-    _CODECS[name] = fn
+def register_codec(
+    name: str, fn: Callable[[bytes], dict], schema: str = DECODE_SCHEMA
+) -> None:
+    """Install a blob decoder: bytes → {feature: value} dict, plus the
+    Spark DDL schema of the emitted features (every codec owns its own
+    output shape)."""
+    _CODECS[name] = (fn, schema)
 
 
 def _fake_decode(blob: bytes) -> dict:
@@ -55,9 +61,27 @@ def _fake_decode(blob: bytes) -> dict:
     }
 
 
-register_codec("fake", _fake_decode)
+def _gzip_decode(blob: bytes) -> dict:
+    """REAL decode path (stdlib, no image libs needed): gunzip the blob —
+    the reference's stamp decode is exactly gzip.open(...).read() over
+    ``cutout{Science,Template,Difference}`` payloads
+    (ztf/hostless_detection/pipeline_utils.py:46-57) — and fingerprint
+    the decompressed payload (length + md5). md5 makes the roundtrip
+    differentially testable: any engine can hash the expected payload."""
+    import gzip
+    import hashlib
 
-DECODE_SCHEMA = "byte_len int, first_byte int, checksum int"
+    if blob is None:
+        return {"payload_len": 0, "payload_md5": ""}
+    raw = gzip.decompress(bytes(blob))
+    return {
+        "payload_len": len(raw),
+        "payload_md5": hashlib.md5(raw).hexdigest(),
+    }
+
+
+register_codec("fake", _fake_decode)
+register_codec("gzip", _gzip_decode, schema="payload_len long, payload_md5 string")
 
 
 def decode_image(blob: bytes):  # pragma: no cover - explicit stub
@@ -76,10 +100,10 @@ def extract_blob_features(
 ) -> DataFrame:
     """mapInPandas feature extraction over a binary column.
 
-    Returns (id_col, byte_len, first_byte, checksum); the blob column is
-    projected away before anything downstream can shuffle it."""
-    fn = _CODECS[codec]
-    out_schema = f"{id_col} long, {DECODE_SCHEMA}"
+    Returns (id_col, *codec features); the blob column is projected away
+    before anything downstream can shuffle it."""
+    fn, schema = _CODECS[codec]
+    out_schema = f"{id_col} long, {schema}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -97,6 +121,7 @@ def image_matrix_stats(
     blob_col: str,
     width: int = 4,
     height: int = 4,
+    gzip_input: bool = False,
 ) -> DataFrame:
     """Image-shaped statistics over a decoded pixel matrix — the
     hostless-detection analysis shape (reference: sigma-clip + statistic
@@ -108,7 +133,10 @@ def image_matrix_stats(
     matrix; emit pixel mean/max, the 2σ-clipped mean (pixels ≤ mean +
     2·population-std — one-sided clip like the reference's bright-source
     masking), and center−edge contrast (interior mean minus border mean).
-    numpy per Arrow batch; blob never leaves the kernel."""
+    numpy per Arrow batch; blob never leaves the kernel.
+
+    ``gzip_input=True`` gunzips each blob first — the reference's actual
+    stamp layout (gzip-compressed FITS payload) end to end."""
     import numpy as np
 
     out_schema = (
@@ -126,9 +154,16 @@ def image_matrix_stats(
         for pdf in batches:
             ids, means, maxs, clipped, contrasts = [], [], [], [], []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
-                if blob is None or len(blob) < n_px:
+                if blob is None:
                     continue
-                px = np.frombuffer(bytes(blob)[:n_px], dtype=np.uint8).astype(
+                raw = bytes(blob)
+                if gzip_input:
+                    import gzip
+
+                    raw = gzip.decompress(raw)
+                if len(raw) < n_px:
+                    continue
+                px = np.frombuffer(raw[:n_px], dtype=np.uint8).astype(
                     np.float64
                 )
                 mean = px.mean()

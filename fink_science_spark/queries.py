@@ -514,20 +514,25 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EVENT_TYPE_STATS = """
-WITH m AS (SELECT event_type, avg(value) AS mean FROM events GROUP BY event_type)
-SELECT e.event_type,
-       count(*)                                            AS n,
-       round(any_value(m.mean), 4)                         AS mean,
-       round(stddev_samp(e.value), 4)                      AS std,
-       round(min(e.value), 4)                              AS vmin,
-       round(max(e.value), 4)                              AS vmax,
-       round(quantile_cont(e.value, 0.5), 4)               AS p50,
-       round(avg(pow(e.value - m.mean, 3))
-             / pow(avg(pow(e.value - m.mean, 2)), 1.5), 4) AS skew,
-       round(avg(pow(e.value - m.mean, 4))
-             / pow(avg(pow(e.value - m.mean, 2)), 2.0) - 3.0, 4) AS kurt
-FROM events e JOIN m ON e.event_type = m.event_type
-GROUP BY e.event_type
+WITH r AS (
+  SELECT event_type,
+         count(*)                  AS n,
+         avg(value)                AS e1,
+         avg(value * value)         AS e2,
+         avg(value * value * value) AS e3,
+         avg(value * value * value * value) AS e4,
+         round(stddev_samp(value), 4)       AS std,
+         round(min(value), 4)               AS vmin,
+         round(max(value), 4)               AS vmax,
+         round(quantile_cont(value, 0.5), 4) AS p50
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, round(e1, 4) AS mean, std, vmin, vmax, p50,
+       round((e3 - 3.0*e1*e2 + 2.0*e1*e1*e1)
+             / pow(e2 - e1*e1, 1.5), 4) AS skew,
+       round((e4 - 4.0*e1*e3 + 6.0*e1*e1*e2 - 3.0*e1*e1*e1*e1)
+             / pow(e2 - e1*e1, 2.0) - 3.0, 4) AS kurt
+FROM r
 """
 
 

@@ -532,6 +532,34 @@ FROM documents
 """
 
 
+def q_blob_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path (no fake): gzip-compress each doc's UTF-8 bytes
+    (mtime=0 → deterministic), then decode through the registered 'gzip'
+    codec — stdlib gunzip, the reference's exact stamp decode
+    (ztf/hostless_detection/pipeline_utils.py:46-57) — and fingerprint
+    the decompressed payload. The oracle recomputes the fingerprint
+    (strlen + md5) straight from the text, so a wrong roundtrip anywhere
+    (compress, Arrow binary transfer, gunzip) breaks the hash match."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf("binary")
+    def gz(text: pd.Series) -> pd.Series:
+        import gzip
+
+        return text.map(lambda t: gzip.compress(t.encode("utf-8"), mtime=0))
+
+    blobs = docs.select("doc_id", gz("text").alias("blob"))
+    return extract_blob_features(blobs, "doc_id", "blob", codec="gzip")
+
+
+# md5(text) in duckdb hashes the string's UTF-8 bytes — identical input
+# to hashlib.md5 over the gunzipped payload
+ORACLE_BLOB_GZIP_ROUNDTRIP = """
+SELECT doc_id, strlen(text) AS payload_len, md5(text) AS payload_md5
+FROM documents
+"""
+
+
 def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame/chunk sampling of binary payloads (video/audio shape): text
     bytes → up to 8 windows of 32 bytes, stride 64; per-doc frame count +
@@ -752,6 +780,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_nn": q_spatial_nn,
     "spatial_range_count": q_spatial_range_count,
     "blob_features": q_blob_features,
+    "blob_gzip_roundtrip": q_blob_gzip_roundtrip,
     "frame_samples": q_frame_samples,
     "enrich_score": q_enrich_score,
     "mc_rate": q_mc_rate,
@@ -772,6 +801,7 @@ ORACLES_EXT: dict[str, str] = {
     "spatial_nn": ORACLE_SPATIAL_NN,
     "spatial_range_count": ORACLE_SPATIAL_RANGE_COUNT,
     "blob_features": ORACLE_BLOB_FEATURES,
+    "blob_gzip_roundtrip": ORACLE_BLOB_GZIP_ROUNDTRIP,
     "frame_samples": ORACLE_FRAME_SAMPLES,
     "enrich_score": ORACLE_ENRICH_SCORE,
     "mc_rate": ORACLE_MC_RATE,

@@ -316,3 +316,44 @@ def test_blob_features_on_unicode_text(spark):
         b = hashlib.md5(text.encode("utf-8")).digest()
         expected[doc_id] = (len(b), b[0], sum(b[:64]) % 997)
     assert got == expected
+
+
+def test_gzip_codec_roundtrip(spark):
+    """The 'gzip' codec must gunzip real gzip payloads (stdlib compress →
+    codec decompress) and fingerprint the ORIGINAL bytes — including
+    non-ASCII payloads where char length != byte length."""
+    import gzip
+    import hashlib
+
+    from fink_science_spark.operators.multimodal import extract_blob_features
+
+    texts = [(1, "crème brûlée 🍮"), (2, "a" * 1000), (3, "")]
+    rows = [(i, gzip.compress(t.encode("utf-8"), mtime=0)) for i, t in texts]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        r["doc_id"]: (r["payload_len"], r["payload_md5"])
+        for r in extract_blob_features(df, "doc_id", "blob", codec="gzip").collect()
+    }
+    expected = {
+        i: (len(t.encode("utf-8")), hashlib.md5(t.encode("utf-8")).hexdigest())
+        for i, t in texts
+    }
+    assert got == expected
+
+
+def test_image_matrix_stats_gzip_input(spark):
+    """gzip_input=True must produce identical statistics to feeding the
+    decompressed pixel matrix directly (the gunzip-FITS-stamp shape)."""
+    import gzip
+
+    from fink_science_spark.operators.multimodal import image_matrix_stats
+
+    px = bytes(range(16))  # 4x4 row-major matrix
+    plain = spark.createDataFrame([(1, px)], "id long, blob binary")
+    packed = spark.createDataFrame(
+        [(1, gzip.compress(px, mtime=0))], "id long, blob binary"
+    )
+    a = image_matrix_stats(plain, "id", "blob").collect()[0]
+    b = image_matrix_stats(packed, "id", "blob", gzip_input=True).collect()[0]
+    assert a == b
+    assert a["px_max"] == 15
