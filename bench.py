@@ -59,6 +59,10 @@ HEADLINE = [
     "ssoft_hg_fit",
     "dedup_ngram_jaccard_capped",
     "mc_rate",
+    "model_score_forest",
+    "pii_redact",
+    "doc_repetition",
+    "blob_gzip_roundtrip",
 ]
 
 

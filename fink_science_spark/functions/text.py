@@ -144,3 +144,72 @@ def rolling_fingerprint(tok: Column | str, window: int = 8) -> Column:
 
     t = F.col(tok) if isinstance(tok, str) else tok
     return hash64(F.concat_ws(" ", F.slice(t, 1, window)))
+
+
+# --------------------------------------------------------------------------
+# Training-data hygiene: PII redaction + repetition metrics
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (duckdb) evaluate
+# identically: plain character classes, bounded repeats, \b — no
+# lookaround, no backrefs. Order matters and is part of the contract:
+# emails first (their digits must not be eaten by the phone pass), then
+# IPs (dotted digits), then phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> tuple[Column, dict[str, Column]]:
+    """Sequential PII scrub (email → IP → phone): returns the redacted
+    text column and per-kind match counts, each count taken on that
+    stage's input (i.e. after earlier kinds were already replaced).
+    Narrow codegen'd per-row maps — no shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts: dict[str, Column] = {}
+    for kind, pat, token in PII_PATTERNS:
+        counts[kind] = F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, token)
+    return c, counts
+
+
+def redact_pii_sql(expr: str) -> tuple[str, dict[str, str]]:
+    """duckdb twin of :func:`redact_pii` (regexp_replace needs the 'g'
+    flag there; Spark replaces all matches by default)."""
+    counts: dict[str, str] = {}
+    for kind, pat, token in PII_PATTERNS:
+        counts[kind] = f"len(regexp_extract_all({expr}, '{pat}'))"
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr, counts
+
+
+def repetition_metrics(tok: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition signals over a token array, all per-row
+    native (no shuffle): n_tokens; uniq_ratio = |distinct|/n; dup_bigram
+    ratio = 1 − |distinct bigrams|/|bigrams|; top_token_ratio = count of
+    the most frequent token / n (O(distinct·n) per row via a transform
+    over the distinct tokens — docs are bounded, this stays in codegen'd
+    HOFs rather than paying a shuffle)."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    n = F.size(t)
+    bi = word_shingles(t, 2)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda d: F.size(F.filter(t, lambda x: x == d)),
+        )
+    )
+    return {
+        "n_tokens": n,
+        "uniq_ratio": F.round(F.size(F.array_distinct(t)) / n, 6),
+        "dup_bigram_ratio": F.round(
+            F.when(
+                F.size(bi) > 0,
+                1.0 - F.size(F.array_distinct(bi)) / F.size(bi),
+            ).otherwise(0.0),
+            6,
+        ),
+        "top_token_ratio": F.round(top / n, 6),
+    }

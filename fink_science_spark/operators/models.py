@@ -113,3 +113,89 @@ def mlp_score_sql(feature_exprs: list[str]) -> str:
         f"{h} * ({MLP_W2[j]!r})" for j, h in enumerate(hidden)
     )
     return f"1.0 / (1.0 + exp(-(({z}) + ({MLP_B2!r}))))"
+
+
+# --------------------------------------------------------------------------
+# Frozen decision forest — the tree-ensemble kernel family (sklearn RF /
+# XGBoost shape) as distinct from the matmul family above. predict_proba
+# of an RF is the MEAN of per-tree leaf probabilities
+# (ztf/random_forest_snia/processor.py:200-216 uses clf.predict_proba[:,1];
+# rubin/orphans/processor.py:29-102 is the XGBoost twin).
+#
+# IMPORTANT feature contract: tree output is DISCONTINUOUS at thresholds,
+# so forest features must be exact IEEE arithmetic only (+,-,*,/ on
+# stored doubles) — never libm calls (log/exp/pow), whose last-ulp
+# engine differences could flip a comparison and change the leaf. The
+# MLP above tolerates libm features because its output is continuous and
+# rounded; the forest does not.
+# --------------------------------------------------------------------------
+
+# Each node: (feature_idx, threshold, lo_subtree, hi_subtree); leaves are
+# bare probabilities. Literal decimal thresholds repr()-round-trip into
+# SQL bit-exactly.
+FOREST = [
+    (0, 24.0, (2, 0.55, 0.05, 0.35), (1, 2.4, 0.55, 0.9)),
+    (1, 0.9, (3, 0.45, 0.1, 0.3), (0, 38.0, 0.6, 0.85)),
+    (2, 0.25, 0.15, (1, 4.2, 0.5, 0.8)),
+    (3, 0.35, (0, 12.0, 0.2, 0.4), (2, 0.75, 0.45, 0.7)),
+]
+
+
+def _load_forest():
+    """Executor-side materialization slot (a real joblib.load /
+    xgb.Booster.load_model goes here)."""
+    return FOREST
+
+
+def forest_forward(xs):
+    """Vectorized forest evaluation: np.where per node (both subtrees
+    evaluated, branch selected per row — the standard vectorized-tree
+    trick), tree votes averaged in declaration order."""
+    import numpy as np
+
+    forest = ExecutorRegistry.get("frozen_forest_v1", _load_forest)
+
+    def node(nd):
+        if not isinstance(nd, tuple):
+            return float(nd)
+        f, t, lo, hi = nd
+        return np.where(xs[f] <= t, node(lo), node(hi))
+
+    acc = node(forest[0])
+    for tree in forest[1:]:
+        acc = acc + node(tree)
+    return acc / float(len(forest))
+
+
+def make_forest_score_udf():
+    """Arrow-batched forest scoring kernel (factory: pandas_udf needs an
+    active session)."""
+
+    @F.pandas_udf("double")
+    def forest_score_udf(
+        x1: pd.Series, x2: pd.Series, x3: pd.Series, x4: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        xs = [s.to_numpy(dtype=np.float64) for s in (x1, x2, x3, x4)]
+        return pd.Series(forest_forward(xs))
+
+    return forest_score_udf
+
+
+def forest_score_sql(feature_exprs: list[str]) -> str:
+    """The identical forest as nested CASE WHEN — the differential oracle
+    for the numpy path (same thresholds, same <= comparisons, same
+    left-to-right vote sum)."""
+
+    def node(nd) -> str:
+        if not isinstance(nd, tuple):
+            return repr(float(nd))
+        f, t, lo, hi = nd
+        return (
+            f"CASE WHEN ({feature_exprs[f]}) <= ({t!r}) "
+            f"THEN {node(lo)} ELSE {node(hi)} END"
+        )
+
+    votes = " + ".join(f"({node(tree)})" for tree in FOREST)
+    return f"(({votes}) / {float(len(FOREST))!r})"

@@ -95,6 +95,83 @@ FROM p
 
 
 # --------------------------------------------------------------------------
+# §2.8 model scoring, tree-ensemble family: frozen decision forest
+# --------------------------------------------------------------------------
+
+# Forest features must be EXACT IEEE arithmetic (see operators/models.py):
+# raw column, one division, two multiplications — no libm. Tree output is
+# discontinuous at thresholds, so a log10 ulp difference between engines
+# could flip a leaf; these cannot.
+_FOREST_FEATURES_SQL = [
+    "l_quantity",
+    "l_extendedprice / 10000.0",
+    "l_discount * 10.0",
+    "l_tax * 10.0",
+]
+_FOREST_MASK_SQL = "l_extendedprice > 2000.0 AND l_quantity >= 2.0"
+
+
+def q_model_score_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen decision-forest scoring over lineitem — the tree-ensemble
+    kernel family (sklearn RF predict_proba = mean of leaf probabilities,
+    ztf/random_forest_snia/processor.py:200-216; XGBoost twin:
+    rubin/orphans/processor.py:29-102). Same masked-kernel lifecycle as
+    q_model_score but a branchy np.where kernel instead of matmul, with a
+    nested-CASE-WHEN oracle. No shuffle; embarrassingly parallel."""
+    from fink_science_spark.operators.enrich import apply_masked_pandas_kernel
+    from fink_science_spark.operators.models import make_forest_score_udf
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        *[
+            F.expr(e).alias(f"__x{k + 1}")
+            for k, e in enumerate(_FOREST_FEATURES_SQL)
+        ],
+        F.expr(_FOREST_MASK_SQL).alias("__sel"),
+    )
+    scored = apply_masked_pandas_kernel(
+        li,
+        mask=F.col("__sel"),
+        kernel_udf=make_forest_score_udf(),
+        input_cols=["__x1", "__x2", "__x3", "__x4"],
+        output_col="__p",
+        default=0.0,
+        output_type="double",
+    )
+    return scored.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("__p", 6).alias("score"),
+        (F.round("__p", 6) > 0.5).alias("is_candidate"),
+    )
+
+
+def _oracle_model_score_forest() -> str:
+    from fink_science_spark.operators.models import forest_score_sql
+
+    p = forest_score_sql([f"x{k}" for k in range(1, 5)])
+    return f"""
+WITH f AS (
+  SELECT l_orderkey, l_linenumber,
+         {_FOREST_FEATURES_SQL[0]} AS x1,
+         {_FOREST_FEATURES_SQL[1]} AS x2,
+         {_FOREST_FEATURES_SQL[2]} AS x3,
+         {_FOREST_FEATURES_SQL[3]} AS x4,
+         ({_FOREST_MASK_SQL}) AS sel
+  FROM lineitem
+),
+p AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN sel THEN round({p}, 6) ELSE 0.0 END AS score
+  FROM f
+)
+SELECT l_orderkey, l_linenumber, score, score > 0.5 AS is_candidate
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
 # §2.8 SSOFT phase-curve fit: closed-form HG per (object, band)
 # --------------------------------------------------------------------------
 
@@ -193,6 +270,113 @@ FROM ab
 
 
 # --------------------------------------------------------------------------
+# M7 text hygiene: PII redaction + Gopher-style repetition metrics
+# --------------------------------------------------------------------------
+
+# The synthetic docs carry no PII, so the query plants a deterministic
+# PII-bearing tail (email + IPv4 + phone derived from doc_id) with the
+# IDENTICAL native expression in both engines, then redacts it — the
+# operator under test is the sequential scrub in functions/text.py.
+
+
+def _pii_payload_spark():
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 555 "),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" now"),
+    )
+
+
+_PII_PAYLOAD_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com or 10.0.' "
+    "|| (doc_id % 256)::VARCHAR || '.7 call +1 555 ' "
+    "|| (1000 + doc_id % 9000)::VARCHAR || ' now'"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents (training-data hygiene): sequential
+    email → IPv4 → phone regexp redaction, per-kind match counts, and an
+    md5 fingerprint of the scrubbed text (the strong equality check —
+    any divergence in match extents or replacement order breaks it).
+    Narrow codegen'd per-row maps; no shuffle, no Python."""
+    from fink_science_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_payload_spark().alias("payload")
+    )
+    red, counts = redact_pii("payload")
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+    )
+
+
+def _oracle_pii_redact() -> str:
+    from fink_science_spark.functions.text import redact_pii_sql
+
+    red, counts = redact_pii_sql(_PII_PAYLOAD_SQL)
+    return f"""
+SELECT doc_id,
+       {counts['email']} AS n_email,
+       {counts['ip']} AS n_ip,
+       {counts['phone']} AS n_phone,
+       md5({red}) AS redacted_md5
+FROM documents
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: token count,
+    type-token ratio, duplicate-bigram fraction, top-token frequency
+    fraction — all per-row array HOFs (no shuffle; the O(distinct·n)
+    top-token scan stays in codegen rather than paying an explode +
+    groupBy exchange)."""
+    from fink_science_spark.functions.text import repetition_metrics, tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tok")
+    )
+    m = repetition_metrics("tok")
+    return docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["uniq_ratio"].alias("uniq_ratio"),
+        m["dup_bigram_ratio"].alias("dup_bigram_ratio"),
+        m["top_token_ratio"].alias("top_token_ratio"),
+    )
+
+
+def _oracle_doc_repetition() -> str:
+    from fink_science_spark.functions.text import tokens_sql, word_shingles_sql
+
+    return f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+b AS (
+  SELECT doc_id, toks, {word_shingles_sql('t.toks', 2)} AS bi FROM t
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(len(list_distinct(toks)) / len(toks), 6) AS uniq_ratio,
+       round(CASE WHEN len(bi) > 0
+                  THEN 1.0 - len(list_distinct(bi)) / len(bi)
+                  ELSE 0.0 END, 6) AS dup_bigram_ratio,
+       round(list_max([len(list_filter(toks, x -> x = d))
+                       for d in list_distinct(toks)]) / len(toks), 6)
+           AS top_token_ratio
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
 # M7 dedup: doc-frequency-capped exact Jaccard (the 100 TB default)
 # --------------------------------------------------------------------------
 
@@ -249,12 +433,18 @@ WHERE inter * 1.0 / (na + nb - inter) >= 0.5
 
 QUERIES_EXT5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_score": q_model_score,
+    "model_score_forest": q_model_score_forest,
     "ssoft_hg_fit": q_ssoft_hg_fit,
     "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+    "pii_redact": q_pii_redact,
+    "doc_repetition": q_doc_repetition,
 }
 
 ORACLES_EXT5: dict[str, str] = {
     "model_score": _oracle_model_score(),
+    "model_score_forest": _oracle_model_score_forest(),
     "ssoft_hg_fit": _oracle_ssoft_hg_fit(),
     "dedup_ngram_jaccard_capped": _oracle_dedup_ngram_jaccard_capped(),
+    "pii_redact": _oracle_pii_redact(),
+    "doc_repetition": _oracle_doc_repetition(),
 }

@@ -357,3 +357,31 @@ def test_image_matrix_stats_gzip_input(spark):
     b = image_matrix_stats(packed, "id", "blob", gzip_input=True).collect()[0]
     assert a == b
     assert a["px_max"] == 15
+
+
+def test_forest_forward_matches_scalar_walk():
+    """Vectorized np.where forest evaluation must equal a plain scalar
+    tree walk for every row."""
+    import numpy as np
+
+    from fink_science_spark.operators.models import FOREST, forest_forward
+
+    rng_vals = [
+        [1.0, 24.0, 25.0, 50.0],   # x1 incl. exact threshold hit
+        [0.5, 0.9, 2.4, 9.9],      # x2
+        [0.0, 0.25, 0.55, 1.0],    # x3
+        [0.1, 0.35, 0.45, 0.8],    # x4
+    ]
+    xs = [np.array(v, dtype=np.float64) for v in rng_vals]
+
+    def walk(nd, row):
+        if not isinstance(nd, tuple):
+            return float(nd)
+        f, t, lo, hi = nd
+        return walk(lo, row) if row[f] <= t else walk(hi, row)
+
+    got = forest_forward(xs)
+    for i in range(4):
+        row = [v[i] for v in rng_vals]
+        exp = sum(walk(tr, row) for tr in FOREST) / len(FOREST)
+        assert got[i] == exp
