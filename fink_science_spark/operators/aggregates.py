@@ -194,8 +194,27 @@ BAND_FEATURE_COLS = [
     "cusum", "ipr10", "eta", "linear_trend", "linear_trend_sigma",
     "linear_fit_slope", "linear_fit_chi2", "mpr_40_05", "mpr_20_10",
     "median_buffer_pct", "percent_amplitude", "mean_variance",
-    "reduced_chi2", "stetson_k",
+    "reduced_chi2", "stetson_k", "anderson_darling_normal",
 ]
+
+
+def _phi_normal(z):
+    """Standard-normal CDF via the Abramowitz–Stegun 7.1.26 erf
+    approximation — NOT math.erf, deliberately: the SQL oracle evaluates
+    the identical polynomial, so the two engines agree to float ulp
+    instead of to the (engine-specific) erf approximation error."""
+    import numpy as np
+
+    x = z / np.sqrt(2.0)
+    ax = np.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = (
+        (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736)
+        * t
+        + 0.254829592
+    ) * t
+    erf = np.where(x < 0, -1.0, 1.0) * (1.0 - poly * np.exp(-ax * ax))
+    return 0.5 * (1.0 + erf)
 
 
 def band_features_per_group(
@@ -209,9 +228,9 @@ def band_features_per_group(
     """Per-(object, band) light-curve feature extraction — the ad_features
     shape (reference: 26 features per band via the light-curve package,
     ztf/ad_features/processor.py:36-75 lists the extractor), as ONE Arrow
-    kernel per group computing 24 features, each with an exact SQL twin
-    (Anderson–Darling is the one omission: its normal CDF needs erf,
-    which the oracle engine lacks):
+    kernel per group computing the full 26-feature set, each feature with
+    an exact SQL twin (Anderson–Darling included: both engines evaluate
+    the same A-S erf polynomial, see :func:`_phi_normal`):
 
     n, mean, weighted_mean (1/err² weights), std (sample), median,
     amplitude ((max−min)/2), beyond_1_std (fraction with |x−mean| > std),
@@ -227,7 +246,8 @@ def band_features_per_group(
     median_buffer_pct (fraction within ±10 % of amplitude around the
     median), percent_amplitude (max(max−med, med−min)), mean_variance
     (std/mean), reduced_chi2 (Σ((v−wmean)/err)²/(n−1)), stetson_k
-    (mean|δ|/sqrt(mean δ²), δ=(v−wmean)/err).
+    (mean|δ|/sqrt(mean δ²), δ=(v−wmean)/err), anderson_darling_normal
+    (A*² with the (1 + 4/n − 25/n²) small-sample correction).
 
     The regression features center t on the group mean before forming the
     normal equations — in BOTH engines — so the sufficient statistics
@@ -325,6 +345,24 @@ def band_features_per_group(
             mpr_20_10 = (
                 (q80 - q20) / (q90 - q10) if (q90 - q10) != 0 else None
             )
+            # Anderson–Darling normality A*² (std ddof=1, small-sample
+            # correction (1 + 4/n − 25/n²) like the light-curve package).
+            # Single-pass form: each sorted z_i contributes
+            # (2i−1)·lnΦ(z_i) + (2(n−i)+1)·ln(1−Φ(z_i)); invariant to
+            # tie ordering since tied z have equal Φ.
+            if std > 0:
+                zs = np.sort((v - mean) / std)
+                ph = _phi_normal(zs)
+                ii = np.arange(1, n + 1, dtype=np.float64)
+                ssum = float(
+                    (
+                        (2.0 * ii - 1.0) * np.log(ph)
+                        + (2.0 * (n - ii) + 1.0) * np.log(1.0 - ph)
+                    ).sum()
+                )
+                ad = (-n - ssum / n) * (1.0 + 4.0 / n - 25.0 / (n * n))
+            else:
+                ad = None
             if ce is not None:
                 e = np.asarray(ce.iloc[i], dtype=np.float64)
                 w = 1.0 / (e * e)
@@ -368,7 +406,7 @@ def band_features_per_group(
                     max_slope,
                     cusum, q90 - q10, eta, b0, trend_sigma,
                     fit_slope, fit_chi2, mpr_40_05, mpr_20_10,
-                    mbp, pamp, mean_var, red_chi2, stetson_k,
+                    mbp, pamp, mean_var, red_chi2, stetson_k, ad,
                 )
             )
         return pd.DataFrame(rows, columns=BAND_FEATURE_COLS)

@@ -350,11 +350,10 @@ def q_band_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(object, band) feature extraction — the reference's marquee
     per-band UDF (ad_features: 26 features per filter id via the
     light-curve extractor, ztf/ad_features/processor.py:36-75) as one
-    Arrow kernel per (user, event_type) group emitting 24 features
-    (everything in the reference's extractor list except
-    Anderson–Darling, whose normal CDF needs erf — absent from the
-    oracle engine) — every feature with an exact SQL twin. See
-    operators/aggregates.band_features_per_group for definitions."""
+    Arrow kernel per (user, event_type) group emitting the full
+    26-feature set — every feature with an exact SQL twin, including
+    Anderson–Darling normality (both engines evaluate the same A-S erf
+    polynomial). See operators/aggregates.band_features_per_group."""
     from fink_science_spark.operators.aggregates import (
         BAND_FEATURE_COLS,
         band_features_per_group,
@@ -433,6 +432,36 @@ sq AS (
          sum(dvv * dvv) AS sdd,
          max(CASE WHEN dt > 0 THEN sl END) AS max_slope
   FROM seq GROUP BY user_id, event_type
+),
+adr AS (  -- Anderson-Darling per-row terms: same A-S erf polynomial as
+          -- operators/aggregates._phi_normal, rank over value order
+          -- (= sort of z; tie order cannot change the weighted sum)
+  SELECT x.user_id, x.event_type, m.n,
+         row_number() OVER (PARTITION BY x.user_id, x.event_type
+                            ORDER BY x.v) AS i,
+         ((x.v - m.mean) / m.std) / sqrt(2.0) AS xx
+  FROM x JOIN m USING (user_id, event_type)
+  WHERE m.std > 0
+),
+adp AS (
+  SELECT user_id, event_type, n, i,
+         0.5 * (1.0 + (CASE WHEN xx < 0 THEN -1.0 ELSE 1.0 END) *
+           (1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * abs(xx)))
+                       - 1.453152027) * (1.0 / (1.0 + 0.3275911 * abs(xx)))
+                      + 1.421413741) * (1.0 / (1.0 + 0.3275911 * abs(xx)))
+                     - 0.284496736) * (1.0 / (1.0 + 0.3275911 * abs(xx)))
+                    + 0.254829592) * (1.0 / (1.0 + 0.3275911 * abs(xx)))
+                  * exp(-abs(xx) * abs(xx))))) AS phi
+  FROM adr
+),
+ads AS (
+  SELECT user_id, event_type,
+         (-any_value(n) - sum((2.0 * i - 1.0) * ln(phi)
+                              + (2.0 * (n - i) + 1.0) * ln(1.0 - phi))
+                          / any_value(n))
+         * (1.0 + 4.0 / any_value(n)
+            - 25.0 / (any_value(n) * any_value(n))) AS ad
+  FROM adp GROUP BY user_id, event_type
 )
 SELECT xc.user_id, xc.event_type,
        any_value(p2.n) AS n,
@@ -488,10 +517,12 @@ SELECT xc.user_id, xc.event_type,
                   THEN avg(abs((xc.v - p2.wmean) / xc.err))
                        / sqrt(avg(((xc.v - p2.wmean) / xc.err)
                                   * ((xc.v - p2.wmean) / xc.err)))
-             END, 6) AS stetson_k
+             END, 6) AS stetson_k,
+       round(any_value(ads.ad), 6) AS anderson_darling_normal
 FROM xc
 JOIN p2 USING (user_id, event_type)
 LEFT JOIN sq USING (user_id, event_type)
+LEFT JOIN ads USING (user_id, event_type)
 GROUP BY xc.user_id, xc.event_type
 HAVING any_value(p2.n) >= 3
 """
