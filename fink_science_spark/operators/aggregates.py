@@ -290,126 +290,153 @@ def band_features_per_group(
     def _compute(ct: pd.Series, cv: pd.Series, ce: pd.Series | None) -> pd.DataFrame:
         import numpy as np
 
-        rows = []
-        for i in range(len(ct)):
-            t = np.asarray(ct.iloc[i], dtype=np.float64)
-            v = np.asarray(cv.iloc[i], dtype=np.float64)
-            n = len(v)
-            mean = float(v.mean())
-            std = float(v.std(ddof=1))
-            var = std * std
-            vmin, vmax = float(v.min()), float(v.max())
-            med = float(np.median(v))
-            d = v - mean
-            m2 = float((d * d).mean())
-            m3 = float((d * d * d).mean())
-            m4 = float((d * d * d * d).mean())
-            dt = np.diff(t)
-            dv = np.diff(v)
-            valid = dt > 0
-            max_slope = (
-                float(np.max(np.abs(dv[valid] / dt[valid])))
-                if valid.any()
-                else None
-            )
-            # cusum range over the time-ordered curve
-            s = np.cumsum(v) - np.arange(1, n + 1, dtype=np.float64) * mean
-            cusum = (
-                float((s.max() - s.min()) / (n * std)) if std > 0 else None
-            )
-            q05, q10, q20, q40, q60, q80, q90, q95 = (
-                float(x) for x in np.percentile(v, [5, 10, 20, 40, 60, 80, 90, 95])
-            )
-            eta = (
-                float((dv * dv).sum() / ((n - 1) * var)) if var > 0 else None
-            )
-            # unweighted LSQ on centered time
-            tc = t - t.mean()
-            st2 = float((tc * tc).sum())
-            if st2 > 0:
-                b0 = float((tc * v).sum() / st2)
-                r0 = v - mean - b0 * tc
-                sse = float((r0 * r0).sum())
+        # LENGTH-CLASS BATCHING: curves are bucketed by point count and
+        # each class is processed as one dense (g, n) matrix with axis-1
+        # reductions. numpy's row-wise reduction uses the same pairwise
+        # summation as the 1-D per-curve ops, so results are BIT-IDENTICAL
+        # to a python loop over curves — but the per-group python/numpy
+        # dispatch overhead (~0.5 ms/curve × tens of calls) collapses to
+        # ~n_distinct_lengths vectorized passes per Arrow batch.
+        N = len(ct)
+        out: list[tuple | None] = [None] * N
+        by_len: dict[int, list[int]] = {}
+        for i in range(N):
+            by_len.setdefault(len(ct.iloc[i]), []).append(i)
+
+        def opt(vals, mask):
+            """Per-row value-or-None emission helper."""
+            return [float(x) if m else None for x, m in zip(vals, mask)]
+
+        for n, idxs in by_len.items():
+            g = len(idxs)
+            T = np.empty((g, n), dtype=np.float64)
+            V = np.empty((g, n), dtype=np.float64)
+            E = np.empty((g, n), dtype=np.float64) if ce is not None else None
+            for r, i in enumerate(idxs):
+                T[r] = ct.iloc[i]
+                V[r] = cv.iloc[i]
+                if E is not None:
+                    E[r] = ce.iloc[i]
+
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                mean = V.mean(axis=1)
+                std = V.std(axis=1, ddof=1)
+                var = std * std
+                vmin, vmax = V.min(axis=1), V.max(axis=1)
+                med = np.median(V, axis=1)
+                d = V - mean[:, None]
+                m2 = (d * d).mean(axis=1)
+                m3 = (d * d * d).mean(axis=1)
+                m4 = (d * d * d * d).mean(axis=1)
+                dt = np.diff(T, axis=1)
+                dv = np.diff(V, axis=1)
+                valid = dt > 0
+                any_valid = valid.any(axis=1)
+                sl = np.where(valid, np.abs(dv / dt), -np.inf)
+                max_slope = sl.max(axis=1)
+                s = np.cumsum(V, axis=1) - np.arange(
+                    1, n + 1, dtype=np.float64
+                )[None, :] * mean[:, None]
+                cusum = (s.max(axis=1) - s.min(axis=1)) / (n * std)
+                q05, q10, q20, q40, q60, q80, q90, q95 = np.percentile(
+                    V, [5, 10, 20, 40, 60, 80, 90, 95], axis=1
+                )
+                eta = (dv * dv).sum(axis=1) / ((n - 1) * var)
+                # unweighted LSQ on centered time
+                tc = T - T.mean(axis=1)[:, None]
+                st2 = (tc * tc).sum(axis=1)
+                has_fit0 = st2 > 0
+                b0 = (tc * V).sum(axis=1) / st2
+                r0 = V - mean[:, None] - b0[:, None] * tc
+                sse = (r0 * r0).sum(axis=1)
                 trend_sigma = (
-                    float(np.sqrt(sse / ((n - 2) * st2))) if n > 2 else None
+                    np.sqrt(sse / ((n - 2) * st2)) if n > 2 else np.full(g, np.nan)
                 )
-            else:
-                b0, trend_sigma = None, None
-            amp_half = (vmax - vmin) / 2.0
-            mbp = float((np.abs(v - med) < 0.1 * amp_half).mean())
-            pamp = max(vmax - med, med - vmin)
-            mean_var = std / mean if mean != 0 else None
-            mpr_40_05 = (
-                (q60 - q40) / (q95 - q05) if (q95 - q05) != 0 else None
-            )
-            mpr_20_10 = (
-                (q80 - q20) / (q90 - q10) if (q90 - q10) != 0 else None
-            )
-            # Anderson–Darling normality A*² (std ddof=1, small-sample
-            # correction (1 + 4/n − 25/n²) like the light-curve package).
-            # Single-pass form: each sorted z_i contributes
-            # (2i−1)·lnΦ(z_i) + (2(n−i)+1)·ln(1−Φ(z_i)); invariant to
-            # tie ordering since tied z have equal Φ.
-            if std > 0:
-                zs = np.sort((v - mean) / std)
+                amp_half = (vmax - vmin) / 2.0
+                mbp = (
+                    np.abs(V - med[:, None]) < 0.1 * amp_half[:, None]
+                ).mean(axis=1)
+                pamp = np.maximum(vmax - med, med - vmin)
+                mean_var = std / mean
+                mpr_40_05 = (q60 - q40) / (q95 - q05)
+                mpr_20_10 = (q80 - q20) / (q90 - q10)
+                beyond = (np.abs(d) > std[:, None]).mean(axis=1)
+                mad = np.median(np.abs(V - med[:, None]), axis=1)
+                skew = m3 / m2**1.5
+                kurt = m4 / m2**2 - 3.0
+                # Anderson–Darling normality A*² (std ddof=1, small-sample
+                # correction (1 + 4/n − 25/n²) like the light-curve
+                # package). Single-pass sorted form: each z_i contributes
+                # (2i−1)·lnΦ(z_i) + (2(n−i)+1)·ln(1−Φ(z_i)); invariant to
+                # tie ordering since tied z have equal Φ.
+                zs = np.sort(d / std[:, None], axis=1)
                 ph = _phi_normal(zs)
-                ii = np.arange(1, n + 1, dtype=np.float64)
-                ssum = float(
-                    (
-                        (2.0 * ii - 1.0) * np.log(ph)
-                        + (2.0 * (n - ii) + 1.0) * np.log(1.0 - ph)
-                    ).sum()
-                )
+                ii = np.arange(1, n + 1, dtype=np.float64)[None, :]
+                ssum = (
+                    (2.0 * ii - 1.0) * np.log(ph)
+                    + (2.0 * (n - ii) + 1.0) * np.log(1.0 - ph)
+                ).sum(axis=1)
                 ad = (-n - ssum / n) * (1.0 + 4.0 / n - 25.0 / (n * n))
-            else:
-                ad = None
-            if ce is not None:
-                e = np.asarray(ce.iloc[i], dtype=np.float64)
-                w = 1.0 / (e * e)
-                sw = float(w.sum())
-                wmean = float((v * w).sum() / sw)
-                delta = (v - wmean) / e
-                d2 = delta * delta
-                red_chi2 = float(d2.sum() / (n - 1))
-                msq = float(d2.mean())
-                stetson_k = (
-                    float(np.abs(delta).mean() / np.sqrt(msq))
-                    if msq > 0
-                    else None
-                )
-                # weighted LSQ on centered time
-                swt = float((w * tc).sum())
-                swv = float((w * v).sum())
-                swtt = float((w * tc * tc).sum())
-                swtv = float((w * tc * v).sum())
-                det = sw * swtt - swt * swt
-                if det > 0:
+
+                if E is not None:
+                    w = 1.0 / (E * E)
+                    sw = w.sum(axis=1)
+                    wmean = (V * w).sum(axis=1) / sw
+                    delta = (V - wmean[:, None]) / E
+                    d2 = delta * delta
+                    red_chi2 = d2.sum(axis=1) / (n - 1)
+                    msq = d2.mean(axis=1)
+                    stetson_k = np.abs(delta).mean(axis=1) / np.sqrt(msq)
+                    # weighted LSQ on centered time
+                    swt = (w * tc).sum(axis=1)
+                    swv = (w * V).sum(axis=1)
+                    swtt = (w * tc * tc).sum(axis=1)
+                    swtv = (w * tc * V).sum(axis=1)
+                    det = sw * swtt - swt * swt
+                    has_fit = det > 0
                     b = (sw * swtv - swt * swv) / det
                     a = (swv - b * swt) / sw
-                    rw = v - a - b * tc
+                    rw = V - a[:, None] - b[:, None] * tc
                     fit_chi2 = (
-                        float((w * rw * rw).sum() / (n - 2)) if n > 2 else None
+                        (w * rw * rw).sum(axis=1) / (n - 2)
+                        if n > 2
+                        else np.full(g, np.nan)
                     )
-                    fit_slope = b
-                else:
-                    fit_slope, fit_chi2 = None, None
-            else:
-                wmean = mean
-                red_chi2 = stetson_k = fit_slope = fit_chi2 = None
-            rows.append(
-                (
-                    n, mean, wmean, std, med, amp_half,
-                    float((np.abs(d) > std).mean()),
-                    float(np.median(np.abs(v - med))),
-                    m3 / m2**1.5 if m2 > 0 else None,
-                    m4 / m2**2 - 3.0 if m2 > 0 else None,
-                    max_slope,
-                    cusum, q90 - q10, eta, b0, trend_sigma,
-                    fit_slope, fit_chi2, mpr_40_05, mpr_20_10,
-                    mbp, pamp, mean_var, red_chi2, stetson_k, ad,
-                )
-            )
-        return pd.DataFrame(rows, columns=BAND_FEATURE_COLS)
+
+            m2_pos, std_pos = m2 > 0, std > 0
+            col_mean = opt(mean, np.ones(g, dtype=bool))
+            col_wmean = opt(wmean, np.ones(g, dtype=bool)) if E is not None else col_mean
+            cols = [
+                [n] * g,
+                col_mean,
+                col_wmean,
+                opt(std, np.ones(g, dtype=bool)),
+                opt(med, np.ones(g, dtype=bool)),
+                opt(amp_half, np.ones(g, dtype=bool)),
+                opt(beyond, np.ones(g, dtype=bool)),
+                opt(mad, np.ones(g, dtype=bool)),
+                opt(skew, m2_pos),
+                opt(kurt, m2_pos),
+                opt(max_slope, any_valid),
+                opt(cusum, std_pos),
+                opt(q90 - q10, np.ones(g, dtype=bool)),
+                opt(eta, var > 0),
+                opt(b0, has_fit0),
+                opt(trend_sigma, has_fit0 & (n > 2)),
+                opt(b, has_fit) if E is not None else [None] * g,
+                opt(fit_chi2, has_fit & (n > 2)) if E is not None else [None] * g,
+                opt(mpr_40_05, (q95 - q05) != 0),
+                opt(mpr_20_10, (q90 - q10) != 0),
+                opt(mbp, np.ones(g, dtype=bool)),
+                opt(pamp, np.ones(g, dtype=bool)),
+                opt(mean_var, mean != 0),
+                opt(red_chi2, np.ones(g, dtype=bool)) if E is not None else [None] * g,
+                opt(stetson_k, msq > 0) if E is not None else [None] * g,
+                opt(ad, std_pos),
+            ]
+            for r, i in enumerate(idxs):
+                out[i] = tuple(c[r] for c in cols)
+        return pd.DataFrame(out, columns=BAND_FEATURE_COLS)
 
     if has_err:
 

