@@ -63,6 +63,8 @@ HEADLINE = [
     "pii_redact",
     "doc_repetition",
     "blob_gzip_roundtrip",
+    "dedup_incremental",
+    "stream_dedup",
 ]
 
 

@@ -180,6 +180,109 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The PERSISTABLE LSH index: one row per (doc, band) with the band's
+    signature-slice key — columns (<id_col>, band, band_hash).
+
+    This is the incremental-dedup contract at 100 TB: build the index
+    once (write partitioned/bucketed by (band, band_hash) so the
+    incremental join co-locates), then each new batch joins its own band
+    rows against the stored index WITHOUT touching the corpus again —
+    O(batch) work per batch instead of O(corpus + batch). Same signature
+    pipeline as :func:`minhash_lsh_pairs` (md5-derived, engine-portable).
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    ex = _exploded_hashes(df, id_col, tokens_col, hash28)
+    sig = ex.groupBy("__id").agg(
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"__m{i}"
+            )
+            for i, (a, b) in enumerate(minhash_perm_coeffs(num_hashes))
+        ]
+    )
+    return sig.select(
+        F.col("__id").alias(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"__m{i}")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def incremental_minhash_pairs(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float | None = None,
+    corpus_sets: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: band rows are computed for the NEW
+    batch only and equi-joined against the stored ``index``
+    (:func:`minhash_band_index` schema). Returns (id_new, id_corpus
+    [, jaccard]) distinct.
+
+    Verification re-tokenizes ONLY matched corpus docs (``corpus_sets`` =
+    (id, shingle-set) source, candidates ≪ corpus ⇒ AQE picks a broadcast
+    join) — the verify-on-collision shape of the batch operator."""
+    new_idx = minhash_band_index(
+        new_docs, id_col, tokens_col, num_hashes=num_hashes, bands=bands
+    )
+    pairs = (
+        new_idx.withColumnRenamed(id_col, "id_new")
+        .join(
+            index.withColumnRenamed(id_col, "id_corpus"),
+            ["band", "band_hash"],
+        )
+        .select("id_new", "id_corpus")
+        .dropDuplicates()
+    )
+    if jaccard_threshold is None:
+        return pairs
+    new_sets = new_docs.select(
+        F.col(id_col).alias("__sid"), F.col(tokens_col).alias("__sset")
+    )
+    corp_sets = corpus_sets.select(
+        F.col(id_col).alias("__sid"), F.col(tokens_col).alias("__sset")
+    )
+    verified = (
+        pairs.join(new_sets, F.col("id_new") == F.col("__sid"))
+        .withColumnRenamed("__sset", "__sha")
+        .drop("__sid")
+        .join(corp_sets, F.col("id_corpus") == F.col("__sid"))
+        .withColumnRenamed("__sset", "__shb")
+        .drop("__sid")
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size(F.array_union("__sha", "__shb"))
+    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        verified.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_new", "id_corpus", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

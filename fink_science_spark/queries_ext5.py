@@ -270,6 +270,135 @@ FROM ab
 
 
 # --------------------------------------------------------------------------
+# M7 dedup: incremental MinHash against a persisted band index
+# --------------------------------------------------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection — the streaming form of the dedup
+    family: the corpus's LSH band index (doc_id % 10 != 0) is WRITTEN to
+    parquet and read back (the maintained-index contract; production
+    partitions/buckets it by (band, band_hash)); the new batch
+    (doc_id % 10 == 0) computes only its own signatures and joins the
+    stored index — O(batch) work, the corpus is never re-signed.
+    Verification re-tokenizes matched corpus docs only."""
+    import os
+    import tempfile
+
+    from fink_science_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+    from fink_science_spark.queries_ext import _MH_BANDS, _MH_NUM, _doc_shingles
+
+    docs = _doc_shingles(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    path = os.path.join(tempfile.gettempdir(), "fink_minhash_band_index")
+    minhash_band_index(
+        corpus, "doc_id", "shingles", num_hashes=_MH_NUM, bands=_MH_BANDS
+    ).write.mode("overwrite").parquet(path)
+    index = spark.read.parquet(path)
+    return incremental_minhash_pairs(
+        index,
+        new,
+        "doc_id",
+        "shingles",
+        num_hashes=_MH_NUM,
+        bands=_MH_BANDS,
+        jaccard_threshold=0.5,
+        corpus_sets=corpus,
+    )
+
+
+def _oracle_dedup_incremental() -> str:
+    from fink_science_spark.functions.hashing import hash28_sql, minhash_sql_hashed
+    from fink_science_spark.queries_ext import (
+        _DOCS_TOK_CTE,
+        _MH_NUM,
+        _minhash_band_eq_sql,
+    )
+
+    return f"""
+WITH {_DOCS_TOK_CTE},
+hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, x -> {hash28_sql('x')}) AS th
+  FROM sh WHERE len(shingles) > 0
+),
+sigs AS (
+  SELECT doc_id, shingles, {minhash_sql_hashed('th', _MH_NUM)} AS sig
+  FROM hashed
+),
+cand AS (
+  SELECT a.doc_id id_new, b.doc_id id_corpus, a.shingles sa, b.shingles sb
+  FROM sigs a JOIN sigs b
+    ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+   AND ({_minhash_band_eq_sql()})
+)
+SELECT id_new, id_corpus,
+       round(len(list_intersect(sa, sb)) * 1.0 /
+             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+FROM cand
+WHERE len(list_intersect(sa, sb)) * 1.0 /
+      (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.9 streaming dedup (exactly-once semantics over an at-least-once feed)
+# --------------------------------------------------------------------------
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication as a REAL Structured Streaming query: the
+    event stream unioned with itself (an at-least-once delivery double),
+    watermarked `dropDuplicates` on event_id restoring exactly-once, then
+    a per-type aggregate. The oracle is the plain batch aggregate over
+    the original table — stream dedup must make the double-delivery
+    invisible. At 100 TB the dedup state is per-key in the state store,
+    bounded by the watermark horizon."""
+    import os as _os
+
+    from fink_science_spark.streaming.shell import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    with scoped_shuffle_partitions(spark, 8):
+
+        def feed():
+            return (
+                spark.readStream.schema(schema)
+                .format("parquet")
+                .option("pathGlobFilter", "events.parquet")
+                .load(sf_dir)
+            )
+
+        doubled = feed().union(feed()).withColumn(
+            "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+        deduped = doubled.withWatermark("ts_event", "1 day").dropDuplicates(
+            ["event_id"]
+        )
+        counts = deduped.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        return run_to_memory(counts, "stream_dedup_q", spark)
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # M7 text hygiene: PII redaction + Gopher-style repetition metrics
 # --------------------------------------------------------------------------
 
@@ -460,6 +589,8 @@ QUERIES_EXT5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_score_forest": q_model_score_forest,
     "ssoft_hg_fit": q_ssoft_hg_fit,
     "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+    "dedup_incremental": q_dedup_incremental,
+    "stream_dedup": q_stream_dedup,
     "pii_redact": q_pii_redact,
     "doc_repetition": q_doc_repetition,
 }
@@ -469,6 +600,8 @@ ORACLES_EXT5: dict[str, str] = {
     "model_score_forest": _oracle_model_score_forest(),
     "ssoft_hg_fit": _oracle_ssoft_hg_fit(),
     "dedup_ngram_jaccard_capped": _oracle_dedup_ngram_jaccard_capped(),
+    "dedup_incremental": _oracle_dedup_incremental(),
+    "stream_dedup": ORACLE_STREAM_DEDUP,
     "pii_redact": _oracle_pii_redact(),
     "doc_repetition": _oracle_doc_repetition(),
 }
