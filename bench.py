@@ -65,6 +65,7 @@ HEADLINE = [
     "blob_gzip_roundtrip",
     "dedup_incremental",
     "stream_dedup",
+    "photometry_conversion",
 ]
 
 

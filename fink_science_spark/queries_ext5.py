@@ -346,6 +346,100 @@ WHERE len(list_intersect(sa, sb)) * 1.0 /
 
 
 # --------------------------------------------------------------------------
+# §2.7 photometry conversions (the fink-utils algebra the processors use)
+# --------------------------------------------------------------------------
+
+# Deterministic synthetic photometry derived from event columns with the
+# IDENTICAL native expression in both engines (events carry no magnitudes;
+# the operators under test are the conversions).
+_PHOT_IN = {
+    "magpsf": "15.0 + (event_id % 600) / 100.0",
+    "sigmapsf": "0.05 + (event_id % 7) / 100.0",
+    "magnr": "16.0 + (user_id % 300) / 100.0",
+    "sigmagnr": "0.03 + (user_id % 5) / 100.0",
+    "ispos": "event_id % 3 != 0",
+}
+
+
+def q_photometry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNANA calibrated flux + DC (difference→apparent) photometry — the
+    conversion layer the reference imports from fink-utils in
+    ztf/kilonova/processor.py:149, ztf/standardized_flux/utils.py:36-38,
+    ztf/ad_features/processor.py:181 — as pure native column algebra
+    (pow/log10/sqrt in whole-stage codegen; negative DC flux → NULL
+    magnitude in both engines)."""
+    from fink_science_spark.functions.photometry import (
+        apparent_flux,
+        dc_mag,
+        mag2fluxcal_snana,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        *[F.expr(e).alias(k) for k, e in _PHOT_IN.items()],
+    )
+    flux, ferr = mag2fluxcal_snana(F.col("magpsf"), F.col("sigmapsf"))
+    dcf, dcs = apparent_flux(
+        F.col("magpsf"),
+        F.col("sigmapsf"),
+        F.col("magnr"),
+        F.col("sigmagnr"),
+        F.col("ispos"),
+    )
+    dmag, dsig = dc_mag(dcf, dcs)
+    return ev.select(
+        "event_id",
+        F.round(flux, 6).alias("fluxcal"),
+        F.round(ferr, 6).alias("fluxcal_err"),
+        F.round(dcf, 6).alias("dc_flux"),
+        F.round(dcs, 6).alias("dc_sigflux"),
+        F.round(dmag, 6).alias("dc_mag"),
+        F.round(dsig, 6).alias("dc_sigmag"),
+    )
+
+
+def _oracle_photometry_conversion() -> str:
+    from fink_science_spark.functions.photometry import (
+        apparent_flux_sql,
+        dc_mag_sql,
+        mag2fluxcal_snana_sql,
+    )
+
+    flux, ferr = mag2fluxcal_snana_sql("magpsf", "sigmapsf")
+    dcf, dcs = apparent_flux_sql(
+        "magpsf", "sigmapsf", "magnr", "sigmagnr", "ispos"
+    )
+    dmag, dsig = dc_mag_sql("dc_flux_raw", "dc_sigflux_raw")
+    return f"""
+WITH src AS (
+  SELECT event_id,
+         {_PHOT_IN['magpsf']} AS magpsf,
+         {_PHOT_IN['sigmapsf']} AS sigmapsf,
+         {_PHOT_IN['magnr']} AS magnr,
+         {_PHOT_IN['sigmagnr']} AS sigmagnr,
+         {_PHOT_IN['ispos']} AS ispos
+  FROM events
+),
+conv AS (
+  SELECT event_id,
+         {flux} AS fluxcal_raw,
+         {ferr} AS fluxcal_err_raw,
+         {dcf} AS dc_flux_raw,
+         {dcs} AS dc_sigflux_raw
+  FROM src
+)
+SELECT event_id,
+       round(fluxcal_raw, 6) AS fluxcal,
+       round(fluxcal_err_raw, 6) AS fluxcal_err,
+       round(dc_flux_raw, 6) AS dc_flux,
+       round(dc_sigflux_raw, 6) AS dc_sigflux,
+       round({dmag}, 6) AS dc_mag,
+       round({dsig}, 6) AS dc_sigmag
+FROM conv
+"""
+
+
+# --------------------------------------------------------------------------
 # §2.9 streaming dedup (exactly-once semantics over an at-least-once feed)
 # --------------------------------------------------------------------------
 
@@ -591,6 +685,7 @@ QUERIES_EXT5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
     "dedup_incremental": q_dedup_incremental,
     "stream_dedup": q_stream_dedup,
+    "photometry_conversion": q_photometry_conversion,
     "pii_redact": q_pii_redact,
     "doc_repetition": q_doc_repetition,
 }
@@ -602,6 +697,7 @@ ORACLES_EXT5: dict[str, str] = {
     "dedup_ngram_jaccard_capped": _oracle_dedup_ngram_jaccard_capped(),
     "dedup_incremental": _oracle_dedup_incremental(),
     "stream_dedup": ORACLE_STREAM_DEDUP,
+    "photometry_conversion": _oracle_photometry_conversion(),
     "pii_redact": _oracle_pii_redact(),
     "doc_repetition": _oracle_doc_repetition(),
 }
