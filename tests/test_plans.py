@@ -129,3 +129,40 @@ def test_order_flags_stays_in_codegen(spark, registry):
     plan = plan_of(registry["order_flags"](spark, SF))
     assert "codegen id" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_pure_map_queries_have_no_exchange(spark, registry):
+    """pii_redact and photometry_conversion are narrow per-row maps —
+    any Exchange in their plans is a regression."""
+    for name in ("pii_redact", "photometry_conversion"):
+        plan = plan_of(registry[name](spark, SF))
+        assert "Exchange" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_model_score_forest_mask_pushdown(spark, registry):
+    """The selection cuts must reach the parquet scan on the kernel
+    branch (Python cost scales with rows passing the cuts only)."""
+    plan = plan_of(registry["model_score_forest"](spark, SF))
+    assert re.search(r"PushedFilters:.*GreaterThan\(l_extendedprice,2000.0\)", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_incremental_no_cartesian_single_sig_shuffle(spark, registry):
+    """The incremental band join is an equi-join (never a cartesian);
+    the only aggregation Exchange is the new-batch signature groupBy."""
+    plan = plan_of(registry["dedup_incremental"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_doc_repetition_bigrams_not_inlined_into_generate(spark, registry):
+    """The bigram metrics must be evaluated once per DOC: CollapseProject
+    inlining them into the Generate (explode) child re-evaluates them per
+    token — measured 25x slower. The explode branch's scan must read only
+    (doc_id, text)-derived columns and the per-row branch joins back."""
+    plan = plan_of(registry["doc_repetition"](spark, SF))
+    # the Generate operator's output must not contain bigram expressions
+    gen = [seg for seg in plan.split("\n") if "Generate" in seg]
+    assert gen, plan
+    assert not any("array_distinct" in g for g in gen), gen
