@@ -70,6 +70,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     shuffle_partitions: int | None = None,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     is the minimum node id in the node's connected component.
@@ -89,6 +90,16 @@ def connected_components(
     of magnitude smaller than the corpus, and a batch-sized shuffle width
     pays fixed per-partition overhead every round.
 
+    ``driver_threshold``: edge sets at or below this size (measured from
+    the already-materialized distinct edge set — one cheap scalar) run a
+    driver-side union-find instead of the iterative loop. The verified
+    near-dup pair graph is typically orders of magnitude smaller than the
+    corpus (256 pairs at sf0.1 here), and every distributed round costs
+    2 shuffles + a checkpoint + a convergence job of pure fixed overhead
+    — path-halving union-find on ≤10⁶ pairs (≈16 MB collected) is
+    microseconds. Same min-id-root output, bit for bit; set 0 to force
+    the distributed path (the regression tests do).
+
     The round count of the last call is exposed as
     ``connected_components.last_rounds`` (observability + the O(log n)
     regression test)."""
@@ -97,7 +108,9 @@ def connected_components(
     if shuffle_partitions is not None:
         spark = edges.sparkSession
         with scoped_shuffle_partitions(spark, shuffle_partitions):
-            return connected_components(edges, src, dst, max_iter, None)
+            return connected_components(
+                edges, src, dst, max_iter, None, driver_threshold
+            )
 
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -113,6 +126,31 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if e.count() <= driver_threshold:
+        rows = e.collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # union by min ⇒ every root is its set's min
+        seen = {x for r in rows for x in (r["u"], r["v"])}
+        connected_components.last_rounds = 0
+        roots = edges.sparkSession.createDataFrame(
+            [(x, find(x)) for x in sorted(seen)], "node long, __root long"
+        )
+        return nodes.join(roots, "node", "left").select(
+            "node", F.coalesce("__root", F.col("node")).alias("component")
+        )
 
     prev: tuple | None = None
     converged = False

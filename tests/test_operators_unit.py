@@ -85,7 +85,7 @@ def test_connected_components_diameter_guard(spark):
         [(i, i + 1) for i in range(6)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=1)
+        connected_components(chain, max_iter=1, driver_threshold=0)
 
 
 def test_connected_components_chain_logarithmic_rounds(spark):
@@ -99,7 +99,9 @@ def test_connected_components_chain_logarithmic_rounds(spark):
     )
     got = {
         r["node"]: r["component"]
-        for r in connected_components(chain, shuffle_partitions=4).collect()
+        for r in connected_components(
+            chain, shuffle_partitions=4, driver_threshold=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(n)}
     # diameter is 63; star contraction must finish way below that
@@ -437,3 +439,26 @@ def test_photometry_dc_roundtrip():
         f = 10.0 ** (-0.4 * m)
         assert abs(-2.5 * math.log10(f) - m) < 1e-12
     assert abs(LN10_OVER_2P5 - math.log(10.0) / 2.5) < 1e-15
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The small-graph driver union-find and the distributed star
+    contraction must produce identical (node, component) maps."""
+    from fink_science_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 2), (2, 9), (9, 5), (1, 7), (30, 31), (31, 32), (40, 40)],
+        "id_a long, id_b long",
+    )
+    drv = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert connected_components.last_rounds == 0  # driver path taken
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert connected_components.last_rounds >= 1  # distributed path taken
+    assert drv == dist
+    assert (40, 40) in drv  # self-loop-only node maps to itself
