@@ -151,13 +151,16 @@ def rolling_fingerprint(tok: Column | str, window: int = 8) -> Column:
 # --------------------------------------------------------------------------
 
 # Patterns restricted to syntax Java regex and RE2 (duckdb) evaluate
-# identically: plain character classes, bounded repeats, \b — no
-# lookaround, no backrefs. Order matters and is part of the contract:
-# emails first (their digits must not be eaten by the phone pass), then
-# IPs (dotted digits), then phones.
+# identically: plain character classes and bounded repeats — no
+# lookaround, no backrefs, and notably no \b: Java's \b is Unicode-aware
+# (no boundary between 'À' and '1') while RE2's is ASCII-only, so the
+# two engines disagree on match extents next to non-ASCII letters.
+# Order matters and is part of the contract: emails first (their digits
+# must not be eaten by the phone pass), then IPs (dotted digits), then
+# phones.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
     ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
 )
 

@@ -126,3 +126,60 @@ def test_trapezoid_matches_numpy(spark, pts):
     trapezoid = getattr(np, "trapezoid", None) or np.trapz
     expected = float(trapezoid(np.array(v), np.array(t)))
     assert got == pytest.approx(expected, rel=1e-9, abs=1e-9)
+
+
+# PII-ish fragments interleaved with arbitrary text: the regex portability
+# surface (Java regex in Spark vs RE2 in duckdb) is exactly where the two
+# engines could silently disagree on match extents.
+_pii_bits = st.sampled_from(
+    [
+        "a@b.co",
+        "user.name+tag@example.com",
+        "not@an@email",
+        "10.0.0.1",
+        "999.999.999.999",
+        "1.2.3.4.5",
+        "+1 555 123 4567",
+        "(02) 1234-5678",
+        "12345678",
+        "x1234567x",
+        "@",
+        ".",
+        "-",
+    ]
+)
+_pii_glue = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+)
+
+
+@given(
+    st.lists(
+        st.tuples(_pii_glue, _pii_bits), min_size=1, max_size=6
+    ).map(lambda parts: "".join(g + b for g, b in parts))
+)
+@_settings
+def test_redact_pii_matches_duckdb(spark, text):
+    """Spark's Java regex and duckdb's RE2 must agree on every match
+    extent AND count, for every redaction stage, on adversarial
+    PII-fragment soup."""
+    from fink_science_spark.functions.text import redact_pii, redact_pii_sql
+
+    df = spark.createDataFrame([(text,)], "t string")
+    red, counts = redact_pii("t")
+    row = df.select(
+        red.alias("red"),
+        counts["email"].alias("ce"),
+        counts["ip"].alias("ci"),
+        counts["phone"].alias("cp"),
+    ).collect()[0]
+
+    red_sql, counts_sql = redact_pii_sql("?::VARCHAR")
+    con = duckdb.connect()
+    exp = con.execute(
+        f"SELECT {red_sql}, {counts_sql['email']}, "
+        f"{counts_sql['ip']}, {counts_sql['phone']}",
+        [text, text, text, text],
+    ).fetchone()
+    con.close()
+    assert (row["red"], row["ce"], row["ci"], row["cp"]) == exp, text

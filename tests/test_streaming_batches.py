@@ -121,3 +121,62 @@ def test_windowed_counts_across_batches(spark, multi_file_events):
     )
     diff = result.exceptAll(batch).count() + batch.exceptAll(result).count()
     assert diff == 0
+
+
+def test_windowed_counts_under_rocksdb_state_store(spark, multi_file_events):
+    """The production state-store config for unbounded per-key state
+    (ROADMAP): the same multi-batch windowed aggregation must produce
+    identical results with the RocksDB state store provider as with the
+    default HDFS-backed one. Scoped config — restored afterwards."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        schema = spark.read.parquet(multi_file_events).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(multi_file_events)
+        )
+        counts = (
+            stream.withColumn(
+                "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+            .withWatermark("ts_event", "1 day")
+            .groupBy(F.window("ts_event", "7 days"), F.col("event_type"))
+            .agg(F.count("*").alias("n"))
+            .select("event_type", "n")
+        )
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches = [p.numInputRows for p in q.recentProgress if p.numInputRows]
+        assert len(batches) >= 2, batches
+        got = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"))
+        )
+        expected = (
+            spark.read.parquet(multi_file_events)
+            .withColumn("ts_event", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .groupBy(F.window("ts_event", "7 days"), F.col("event_type"))
+            .agg(F.count("*").alias("n"))
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"))
+        )
+        diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+        assert diff == 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
