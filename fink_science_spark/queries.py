@@ -41,19 +41,42 @@ DAY_US = 24 * 3600 * 1_000_000
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores timestamp[ns]; a session without nanosAsLong
-    # refuses the file (PARQUET_TYPE_ILLEGAL). Queries must run on ANY
-    # caller-provided session (the driver builds its own), so pin the
-    # runtime conf here — idempotent, scan-planning only.
+    # events.parquet has shipped as both timestamp[ns]-as-int64 and
+    # timestamp[us]; nanosAsLong lets the former load (PARQUET_TYPE_ILLEGAL
+    # otherwise) and the UTC pin makes TIMESTAMP_NTZ→TIMESTAMP casts
+    # timezone-stable no matter which session the caller built. Queries must
+    # run on ANY caller-provided session (the driver builds its own), so pin
+    # the runtime confs here — idempotent, scan-planning only.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _ts_us_col(df: DataFrame):
+    """events.ts as epoch MICROseconds, across both source schemas.
+
+    The events table has shipped with ts as int64 nanoseconds (read as
+    BIGINT under nanosAsLong) and as timestamp[us] (read as TIMESTAMP_NTZ).
+    Both normalize to the same epoch-µs integers the oracles compute with
+    ``epoch_us(ts)`` (DuckDB treats naive timestamps as UTC; ``_t`` pins the
+    Spark session to UTC so the NTZ cast agrees).
+    """
+    if df.schema["ts"].dataType.simpleString().startswith("timestamp"):
+        return F.unix_micros(F.col("ts").cast("timestamp"))
+    return F.expr("ts DIV 1000")
+
+
+def _ts_event_col(df: DataFrame):
+    """events.ts as a TIMESTAMP column (for windows/watermarks), both schemas."""
+    if df.schema["ts"].dataType.simpleString().startswith("timestamp"):
+        return F.col("ts").cast("timestamp")
+    return F.timestamp_micros(F.expr("ts DIV 1000"))
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as epoch microseconds (engine time convention)."""
-    return _t(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts_us", _ts_us_col(ev))
 
 
 # --------------------------------------------------------------------------

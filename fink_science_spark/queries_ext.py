@@ -50,7 +50,7 @@ from fink_science_spark.operators.spatial import (
     nearest_join_1d,
     range_count_join_1d,
 )
-from fink_science_spark.queries import _events_us, _t
+from fink_science_spark.queries import _events_us, _t, _ts_event_col
 
 # Shared oracle CTE: tokenized + 3-gram-shingled documents
 _DOCS_TOK_CTE = f"""
@@ -750,7 +750,7 @@ def q_stream_weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(sf_dir)
         )
         enriched = stream.withColumn(
-            "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
+            "ts_event", _ts_event_col(stream)
         )
         counts = windowed_counts(
             enriched, "ts_event", ["event_type"], window="7 days", watermark="1 day"

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from fink_science_spark.functions.arrays import trapezoid_integral
 from fink_science_spark.operators.aggregates import fit_features_per_group
 from fink_science_spark.operators.spatial import nearest_join_sky
-from fink_science_spark.queries import _events_us, _t
+from fink_science_spark.queries import _events_us, _t, _ts_event_col
 
 DAY_US = 24 * 3600 * 1_000_000
 WEEK_US = 7 * DAY_US
@@ -363,7 +363,7 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(sf_dir)
         )
         enriched = stream.withColumn(
-            "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
+            "ts_event", _ts_event_col(stream)
         )
         counts = (
             enriched.withWatermark("ts_event", "1 day")

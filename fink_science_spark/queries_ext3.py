@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from fink_science_spark.functions.hashing import hash64, hash64_sql
 from fink_science_spark.functions.text import tokens, tokens_sql, word_shingles, word_shingles_sql
 from fink_science_spark.operators.similarity import ivf_topk_blocked
-from fink_science_spark.queries import _events_us, _t
+from fink_science_spark.queries import _events_us, _t, _ts_event_col
 
 DAY_US = 24 * 3600 * 1_000_000
 
@@ -158,7 +158,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(sf_dir)
         )
         enriched = stream.withColumn(
-            "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
+            "ts_event", _ts_event_col(stream)
         )
         sessions = (
             enriched.withWatermark("ts_event", "1 day")

@@ -11,7 +11,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fink_science_spark.queries import _events_us, _t
+from fink_science_spark.queries import _events_us, _t, _ts_event_col
 
 # --------------------------------------------------------------------------
 # §2.8 model scoring: frozen-weight MLP, end-to-end (closes the one "no"
@@ -472,9 +472,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .load(sf_dir)
             )
 
-        doubled = feed().union(feed()).withColumn(
-            "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        unioned = feed().union(feed())
+        doubled = unioned.withColumn("ts_event", _ts_event_col(unioned))
         deduped = doubled.withWatermark("ts_event", "1 day").dropDuplicates(
             ["event_id"]
         )

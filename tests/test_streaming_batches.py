@@ -16,6 +16,8 @@ import uuid
 import pandas as pd
 import pytest
 
+from fink_science_spark.queries import _ts_event_col
+
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -103,18 +105,17 @@ def test_windowed_counts_across_batches(spark, multi_file_events):
         .option("maxFilesPerTrigger", "1")
         .load(multi_file_events)
     )
-    enriched = stream.withColumn(
-        "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    enriched = stream.withColumn("ts_event", _ts_event_col(stream))
     counts = windowed_counts(
         enriched, "ts_event", ["event_type"], window="7 days", watermark="1 day"
     )
     name = f"mbw_{uuid.uuid4().hex[:8]}"
     result = run_to_memory(counts, name, spark)
 
+    batch_src = spark.read.parquet(multi_file_events)
     batch = (
-        spark.read.parquet(multi_file_events)
-        .withColumn("ts_event", F.timestamp_micros(F.expr("ts DIV 1000")))
+        batch_src
+        .withColumn("ts_event", _ts_event_col(batch_src))
         .groupBy(F.window("ts_event", "7 days").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
@@ -141,9 +142,7 @@ def test_windowed_counts_under_rocksdb_state_store(spark, multi_file_events):
             .load(multi_file_events)
         )
         counts = (
-            stream.withColumn(
-                "ts_event", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
+            stream.withColumn("ts_event", _ts_event_col(stream))
             .withWatermark("ts_event", "1 day")
             .groupBy(F.window("ts_event", "7 days"), F.col("event_type"))
             .agg(F.count("*").alias("n"))
@@ -165,9 +164,10 @@ def test_windowed_counts_under_rocksdb_state_store(spark, multi_file_events):
             .groupBy("event_type")
             .agg(F.sum("n").alias("n"))
         )
+        exp_src = spark.read.parquet(multi_file_events)
         expected = (
-            spark.read.parquet(multi_file_events)
-            .withColumn("ts_event", F.timestamp_micros(F.expr("ts DIV 1000")))
+            exp_src
+            .withColumn("ts_event", _ts_event_col(exp_src))
             .groupBy(F.window("ts_event", "7 days"), F.col("event_type"))
             .agg(F.count("*").alias("n"))
             .groupBy("event_type")
