@@ -219,18 +219,27 @@ def train_ivf_centroids(
     n_centroids: int = 8,
     rounds: int = 2,
     round_to: int = 6,
+    oversample: int = 4,
 ) -> list[tuple[int, list[float]]]:
-    """Train the IVF coarse quantizer: deterministic init + distributed
-    Lloyd rounds (the k-means|| execution shape — each round is ONE
+    """Train the IVF coarse quantizer: deterministic k-means||-style
+    oversampled init + distributed Lloyd rounds (each round is ONE
     corpus scan emitting per-partition partial sums, merged on the
     driver; no shuffle of vectors, driver traffic is
     O(partitions × n_centroids × dim)).
 
-    Init: the ``n_centroids`` vectors with the smallest portable md5 hash
-    of their id (a deterministic uniform sample — reproducible by any
-    engine, unlike random seeding). Cell ids are the hash-order ranks and
-    are STABLE across rounds; cells that empty out are dropped, not
-    renumbered.
+    Init (k-means|| shape, deterministic): take the
+    ``oversample × n_centroids`` vectors with the smallest portable md5
+    hash of their id (a deterministic uniform oversample — one
+    TakeOrdered scan, reproducible by any engine, unlike random
+    seeding), then reduce to ``n_centroids`` seeds on the driver by
+    maximin (farthest-point) greedy selection: seed 0 is the
+    smallest-hash vector; each next seed is the candidate whose maximum
+    cosine to the already-chosen set is smallest (cosines rounded to 9
+    decimals, ties → smallest hash rank). Spread-out seeds start Lloyd
+    near-balanced — the plain smallest-k-hashes init could draw several
+    seeds from one dense cluster and leave cells empty. Cell ids are
+    the selection order and are STABLE across rounds; cells that empty
+    out are dropped, not renumbered.
 
     Assignment = max cosine with the cosine ROUNDED to 9 decimals before
     the argmax (ties → smallest cell id). The rounding is what makes
@@ -245,14 +254,33 @@ def train_ivf_centroids(
     """
     import numpy as np
 
-    hashed = corpus.select(
+    # One narrow projection, persisted across the init scan + every Lloyd
+    # round (the MLlib k-means discipline: never re-read the source per
+    # round). MEMORY_AND_DISK so a 100 TB corpus degrades to spilled
+    # columnar batches instead of OOM.
+    from pyspark import StorageLevel
+
+    vecs = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).withColumn("__h", hash64(F.col("__id").cast("string")))
-    init_rows = (
-        hashed.orderBy("__h", "__id").limit(n_centroids).select("__v").collect()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = vecs.withColumn("__h", hash64(F.col("__id").cast("string")))
+    sample_rows = (
+        hashed.orderBy("__h", "__id")
+        .limit(max(n_centroids * oversample, n_centroids))
+        .select("__v")
+        .collect()
     )
-    cent_ids = list(range(len(init_rows)))
-    CENT = np.array([list(r[0]) for r in init_rows], dtype=np.float64)
+    S = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    # maximin greedy: minimize the max (rounded) cosine to the chosen set
+    nrm_s = np.sqrt((S * S).sum(axis=1))
+    G = np.round((S @ S.T) / (nrm_s[:, None] * nrm_s[None, :]), 9)
+    chosen = [0]  # smallest-hash vector
+    while len(chosen) < min(n_centroids, len(S)):
+        maxcos = G[:, chosen].max(axis=1)
+        maxcos[chosen] = np.inf  # never re-pick
+        chosen.append(int(maxcos.argmin()))  # argmin ties → smallest rank
+    cent_ids = list(range(len(chosen)))
+    CENT = S[chosen]
 
     sc = corpus.sparkSession.sparkContext
     dim = CENT.shape[1]
@@ -289,7 +317,7 @@ def train_ivf_centroids(
             yield pd.DataFrame(out, columns=["cell", "cnt", "vsum"])
 
         rows = (
-            corpus.select(F.col(vec_col).alias("__v"))
+            vecs.select("__v")
             .mapInPandas(
                 partials, schema=f"cell long, cnt long, vsum array<double>"
             )
@@ -307,6 +335,7 @@ def train_ivf_centroids(
             [np.round(merged[c][1] / merged[c][0], round_to) for c in cent_ids],
             dtype=np.float64,
         )
+    vecs.unpersist()
     return [(c, [float(x) for x in CENT[i]]) for i, c in enumerate(cent_ids)]
 
 

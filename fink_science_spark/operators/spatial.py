@@ -136,35 +136,70 @@ def nearest_join_sky(
     ties on right id. No pair outside the 3×3 neighborhood is ever
     materialized; bucket keys are uniform by construction.
 
-    Polar caps: the grid's RA-block width (radius/cos(dec_cap)) only
-    guarantees capture for pairs with both |dec| ≤ dec_cap. Any pair
-    within ``radius_deg`` that has one side beyond dec_cap necessarily
-    has BOTH sides at |dec| > dec_cap − radius, so two dedicated
-    per-hemisphere cap cells (membership: |dec| > dec_cap − radius,
-    keyed by hemisphere) joined all-pairs + haversine-refined cover
-    exactly the pairs the grid can miss — the all-sky completeness the
-    reference gets from its KD-tree (astropy handles poles natively,
-    ztf/xmatch/utils.py:32-82). Cap candidates UNION with grid
-    candidates before the arg-min; duplicate candidates are harmless
-    (row_number picks one). At realistic crossmatch radii (arcseconds)
-    the cap cells hold a ~cos(dec_cap)·radius sliver of each catalog —
-    broadcast-sized at any corpus scale; ``dec_cap`` is purely a
-    performance knob, not a correctness bound. ``polar_cells=False``
-    restores the grid-only plan for known-equatorial domains.
+    Zoned RA widths (the Gray–Szalay "zones" refinement): instead of one
+    global RA-block width sized for the worst-case shrink at dec_cap
+    (which over-widens every equatorial cell by 1/cos(dec_cap) — ~2× of
+    wasted candidates at dec_cap 60°, ~10× at 84°), each dec zone gets
+    its own block count n_ra(zone) from the rigorous per-zone RA bound:
+    a pair within ``radius_deg`` whose higher-|dec| side is at δ has
+    wrapped ΔRA ≤ 2·asin(sin(radius/2)/cos δ) (from the haversine lower
+    bound sin(d/2) ≥ cos δ·sin(ΔRA/2); the asin form matters at wide
+    radii where ΔRA > radius/cos δ). δ is bounded by the right row's
+    zone extent + radius (a matching left row sits within one zone) and
+    by dec_cap (beyond it the cap cells own the pair). Both sides
+    derive n_ra from the zone id alone, so the (ra_block, dec_zone) key
+    stays a plain equi-join key; occupancy is ~uniform for uniform sky
+    density instead of decaying by cos(dec).
+
+    Polar caps: the zoned grid guarantees capture for pairs with both
+    |dec| ≤ dec_cap. Any pair within ``radius_deg`` that has one side
+    beyond dec_cap necessarily has BOTH sides at |dec| > dec_cap −
+    radius, so two dedicated per-hemisphere cap cells (membership:
+    |dec| > dec_cap − radius, keyed by hemisphere) joined all-pairs +
+    haversine-refined cover exactly the pairs the grid can miss — the
+    all-sky completeness the reference gets from its KD-tree (astropy
+    handles poles natively, ztf/xmatch/utils.py:32-82). Cap candidates
+    UNION with grid candidates before the arg-min; duplicate candidates
+    are harmless (row_number picks one). At realistic crossmatch radii
+    (arcseconds) the cap cells hold a ~cos(dec_cap)·radius sliver of
+    each catalog — broadcast-sized at any corpus scale; ``dec_cap`` is
+    purely a performance knob, not a correctness bound.
+    ``polar_cells=False`` restores the grid-only plan for
+    known-equatorial domains.
 
     Returns (left_id, right_id, dist_deg, *payload) — matched rows only.
     """
     import math
 
-    ra_width = radius_deg / math.cos(math.radians(dec_cap))
-    n_ra = max(int(math.ceil(360.0 / ra_width)), 1)
-    ra_width = 360.0 / n_ra  # exact tiling so wraparound blocks align
+    sin_half_r = math.sin(math.radians(radius_deg / 2.0))
 
     def dec_zone(c: Column) -> Column:
         return F.floor((c + F.lit(90.0)) / F.lit(radius_deg)).cast("long")
 
-    def ra_block(c: Column) -> Column:
-        return F.floor(c / F.lit(ra_width)).cast("long")
+    def zone_n_ra(z: Column) -> Column:
+        # blocks in this zone's ring: 360 / (the zone's rigorous ΔRA
+        # bound), computed from the zone id ONLY so both join sides and
+        # all 3 exploded neighbor zones agree exactly.
+        d_lo = F.lit(-90.0) + z.cast("double") * F.lit(radius_deg)
+        d_hi = d_lo + F.lit(radius_deg)
+        d_max = F.greatest(F.abs(d_lo), F.abs(d_hi))
+        d_eff = F.least(d_max + F.lit(radius_deg), F.lit(float(dec_cap)))
+        margin = F.degrees(
+            2.0
+            * F.asin(
+                F.least(
+                    F.lit(1.0), F.lit(sin_half_r) / F.cos(F.radians(d_eff))
+                )
+            )
+        )
+        return F.greatest(F.floor(F.lit(360.0) / margin), F.lit(1)).cast(
+            "long"
+        )
+
+    def ra_block(ra: Column, n: Column) -> Column:
+        # exact ring tiling: width = 360/n, then wrap into [0, n)
+        b = F.floor(ra / (F.lit(360.0) / n.cast("double"))).cast("long")
+        return ((b % n) + n) % n
 
     l = left.select(
         F.col(left_id).alias("__lid"),
@@ -172,16 +207,19 @@ def nearest_join_sky(
         F.col(left_dec).cast("double").alias("__ldec"),
     )
     l = (
-        l.withColumn("__rb0", ra_block(F.col("__lra")))
-        .withColumn("__dz0", dec_zone(F.col("__ldec")))
-        .withColumn("__dra", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        l.withColumn("__dz0", dec_zone(F.col("__ldec")))
         .withColumn("__ddec", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("__dz", F.col("__dz0") + F.col("__ddec"))
+        .withColumn("__n", zone_n_ra(F.col("__dz")))
+        .withColumn("__rb0", ra_block(F.col("__lra"), F.col("__n")))
+        .withColumn("__dra", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
         .select(
             "__lid",
             "__lra",
             "__ldec",
-            (((F.col("__rb0") + F.col("__dra")) % n_ra + n_ra) % n_ra).alias("__rb"),
-            (F.col("__dz0") + F.col("__ddec")).alias("__dz"),
+            (((F.col("__rb0") + F.col("__dra")) % F.col("__n") + F.col("__n"))
+             % F.col("__n")).alias("__rb"),
+            "__dz",
         )
     )
 
@@ -190,11 +228,8 @@ def nearest_join_sky(
         F.col(right_ra).cast("double").alias("__rra"),
         F.col(right_dec).cast("double").alias("__rdec"),
         *[F.col(p) for p in (payload or [])],
-    ).withColumns(
-        {
-            "__rb": ra_block(F.col("__rra")),
-            "__dz": dec_zone(F.col("__rdec")),
-        }
+    ).withColumn("__dz", dec_zone(F.col("__rdec"))).withColumn(
+        "__rb", ra_block(F.col("__rra"), zone_n_ra(F.col("__dz")))
     )
     if broadcast_right:
         r = F.broadcast(r)

@@ -30,17 +30,20 @@ DAY_US = 24 * 3600 * 1_000_000
 
 
 _IVF_CELLS, _IVF_ROUNDS, _IVF_NPROBE, _IVF_K, _IVF_DIM = 8, 2, 2, 3, 64
+_IVF_OVERSAMPLE = 4
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3 with a TRAINED coarse quantizer: 8 centroids
-    from deterministic-hash init + 2 distributed Lloyd rounds
-    (train_ivf_centroids — mapInPandas partial sums, one scan per round),
-    nprobe=2 probing, exact cosine inside the probed cells. One numpy
-    block kernel per corpus partition (SURVEY M7 scale path). The oracle
-    replays the identical training (unrolled Lloyd rounds in SQL) —
-    cosines rounded to 9 decimals before every argmax in both engines so
-    assignment boundaries cannot flip on engine ulp noise."""
+    from a deterministic k-means||-style init (hash-ranked 4× oversample
+    → driver-local maximin seed selection) + 2 distributed Lloyd rounds
+    (train_ivf_centroids — mapInPandas partial sums, one persisted-scan
+    per round), nprobe=2 probing, exact cosine inside the probed cells.
+    One numpy block kernel per corpus partition (SURVEY M7 scale path).
+    The oracle replays the identical training (oversample + unrolled
+    maximin picks + unrolled Lloyd rounds in SQL) — cosines rounded to 9
+    decimals before every argmax/argmin in both engines so assignment
+    boundaries cannot flip on engine ulp noise."""
     from fink_science_spark.operators.similarity import train_ivf_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -49,7 +52,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     trained = train_ivf_centroids(
-        corpus, "cid", "cv", n_centroids=_IVF_CELLS, rounds=_IVF_ROUNDS
+        corpus, "cid", "cv", n_centroids=_IVF_CELLS, rounds=_IVF_ROUNDS,
+        oversample=_IVF_OVERSAMPLE,
     )
     cents = spark.createDataFrame(
         trained, "centid long, centv array<double>"
@@ -62,9 +66,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ann_ivf_topk() -> str:
     """The trained-IVF oracle: k-means training unrolled round-by-round
-    as SQL CTEs (init = smallest md5-hash vectors; per-dimension means
-    rounded like the engine's), then assignment, nprobe probing and
-    in-cell exact ranking."""
+    as SQL CTEs (init = hash-ranked oversample + maximin greedy seed
+    picks unrolled one CTE per seed; per-dimension means rounded like
+    the engine's), then assignment, nprobe probing and in-cell exact
+    ranking."""
     h = hash64_sql("vec_id::VARCHAR")
 
     def cos9(a: str, b: str) -> str:
@@ -76,10 +81,29 @@ def _oracle_ann_ivf_topk() -> str:
 
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)",
-        f"""c0 AS (
-  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell, v AS cv
-  FROM e ORDER BY {h}, vec_id LIMIT {_IVF_CELLS})""",
+        f"""s AS (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) AS rk, v
+  FROM e ORDER BY {h}, vec_id LIMIT {_IVF_CELLS * _IVF_OVERSAMPLE})""",
+        "p1 AS (SELECT rk, v FROM s WHERE rk = 1)",
     ]
+    # maximin greedy, one single-row CTE per seed: the candidate whose
+    # LARGEST rounded cosine to the already-picked seeds is smallest
+    for i in range(2, _IVF_CELLS + 1):
+        prev_ps = [f"p{j}" for j in range(1, i)]
+        coses = [cos9("s.v", f"{p}.v") for p in prev_ps]
+        maxcos = coses[0] if len(coses) == 1 else f"greatest({', '.join(coses)})"
+        not_in = ", ".join(f"{p}.rk" for p in prev_ps)
+        parts.append(
+            f"""p{i} AS (
+  SELECT s.rk, s.v FROM s, {', '.join(prev_ps)}
+  WHERE s.rk NOT IN ({not_in})
+  ORDER BY {maxcos} ASC, s.rk ASC LIMIT 1)"""
+        )
+    seeds = " UNION ALL ".join(
+        f"SELECT {i - 1} AS cell, v AS cv FROM p{i}"
+        for i in range(1, _IVF_CELLS + 1)
+    )
+    parts.append(f"c0 AS ({seeds})")
     prev = "c0"
     for r in range(1, _IVF_ROUNDS + 1):
         parts += [

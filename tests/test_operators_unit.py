@@ -241,6 +241,66 @@ def test_nearest_join_sky_polar_ra_wrap_against_cross_join(spark):
     assert got == expected
 
 
+def test_nearest_join_sky_zoned_all_latitudes_against_cross_join(spark):
+    """Randomized all-latitude stress for the ZONED grid (per-dec-zone RA
+    block widths): 60 x 60 points with dec spanning the full sphere —
+    equator, mid-latitudes, the dec_cap boundary region, and the caps —
+    at a wide radius where the asin RA bound exceeds radius/cos(dec).
+    Engine result must equal the cross-join ground truth."""
+    import itertools
+    import math
+
+    from fink_science_spark.operators.spatial import nearest_join_sky
+
+    def lcg(seed):
+        s = seed
+        while True:
+            s = (s * 1103515245 + 12345) % (2**31)
+            yield s / 2**31
+
+    g = lcg(99)
+    lefts = [
+        (i, next(g) * 360.0, -90.0 + next(g) * 180.0) for i in range(60)
+    ]
+    rights = [
+        (1000 + i, next(g) * 360.0, -90.0 + next(g) * 180.0)
+        for i in range(60)
+    ]
+    ldf = spark.createDataFrame(lefts, "lid long, ra double, dec double")
+    rdf = spark.createDataFrame(rights, "rid long, ra double, dec double")
+    radius = 12.0  # wide: stresses the asin margin at mid/high dec
+
+    def hav(ra1, dec1, ra2, dec2):
+        dphi = math.radians(dec2 - dec1)
+        dlam = math.radians(ra2 - ra1)
+        a = (
+            math.sin(dphi / 2) ** 2
+            + math.cos(math.radians(dec1))
+            * math.cos(math.radians(dec2))
+            * math.sin(dlam / 2) ** 2
+        )
+        return math.degrees(2 * math.asin(math.sqrt(min(1.0, a))))
+
+    expected = {}
+    for (lid, lra, ldec), (rid, rra, rdec) in itertools.product(lefts, rights):
+        d = hav(lra, ldec, rra, rdec)
+        if d <= radius:
+            cur = expected.get(lid)
+            if cur is None or (d, rid) < cur:
+                expected[lid] = (d, rid)
+    expected = {k: v[1] for k, v in expected.items()}
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in nearest_join_sky(
+            ldf, rdf, "lid", "ra", "dec", "rid", "ra", "dec",
+            radius_deg=radius,
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_trained_ivf_recall_vs_brute_force(spark, sf_smoke):
     """Trained IVF (hash init + 2 Lloyd rounds, nprobe=2 of 8 cells) must
     recall well above the 2/8 random-cell-coverage baseline against the
