@@ -69,6 +69,28 @@ HEADLINE = [
 ]
 
 
+# scan-bound queries → their dominant input table, for the rows/s metric
+# (wall time on these is scan + narrow codegen'd maps, so rows/s is the
+# comparable throughput number across scale factors and hosts)
+SCAN_BOUND = {
+    "pricing_summary": "lineitem",
+    "text_quality": "documents",
+    "pii_redact": "documents",
+    "doc_repetition": "documents",
+    "bpe_token_count": "documents",
+    "alert_rule_flags": "events",
+    "mc_rate": "events",
+    "photometry_conversion": "events",
+    "weekly_counts": "events",
+}
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
+
+
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -121,6 +143,14 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    rows_per_s = {}
+    for name, table in SCAN_BOUND.items():
+        t = timings.get(name)
+        if t and t > 0:
+            try:
+                rows_per_s[name] = round(_table_rows(SF_DIR, table) / t)
+            except Exception:  # noqa: BLE001 - metric is best-effort
+                pass
     print(
         json.dumps(
             {
@@ -128,6 +158,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rows_per_s": rows_per_s,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
