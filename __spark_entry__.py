@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext3 import QUERIES_EXT3
     from fink_science_spark.queries_ext4 import QUERIES_EXT4
     from fink_science_spark.queries_ext5 import QUERIES_EXT5
+    from fink_science_spark.queries_ext6 import QUERIES_EXT6
 
     return {
         **QUERIES,
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT3,
         **QUERIES_EXT4,
         **QUERIES_EXT5,
+        **QUERIES_EXT6,
     }
 
 
@@ -49,6 +51,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext3 import ORACLES_EXT3
     from fink_science_spark.queries_ext4 import ORACLES_EXT4
     from fink_science_spark.queries_ext5 import ORACLES_EXT5
+    from fink_science_spark.queries_ext6 import ORACLES_EXT6
 
     return {
         **ORACLES,
@@ -57,4 +60,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT3,
         **ORACLES_EXT4,
         **ORACLES_EXT5,
+        **ORACLES_EXT6,
     }

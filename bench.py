@@ -66,6 +66,12 @@ HEADLINE = [
     "dedup_incremental",
     "stream_dedup",
     "photometry_conversion",
+    # round 2, wave 6: training-data curation stages
+    "decontaminate",
+    "train_shard_assign",
+    "sequence_packing",
+    "tfidf_topk",
+    "domain_mix_sample",
 ]
 
 
@@ -82,6 +88,7 @@ SCAN_BOUND = {
     "mc_rate": "events",
     "photometry_conversion": "events",
     "weekly_counts": "events",
+    "domain_mix_sample": "documents",
 }
 
 

@@ -1,0 +1,362 @@
+"""Query registry, wave 6 (round 2): the training-data curation stages a
+100 TB LLM pipeline runs downstream of dedup/quality — benchmark
+decontamination, deterministic global shuffle + sharding, sequence
+packing into fixed token budgets, TF-IDF term ranking, and weighted
+domain-mixture sampling. Each has an exact DuckDB oracle (the hashes,
+tokenizer, and window semantics are engine-portable by construction).
+
+Scale notes are per-query; the common thread is that every stage is
+either a narrow per-row map (no shuffle) or a single keyed shuffle whose
+key is a uniform 60-bit hash — no driver-side loops, no collects, and
+the only broadcast sides are provably small (an eval-suite n-gram set, a
+vocabulary-sized IDF table, a one-row corpus count).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fink_science_spark.functions.hashing import hash64, hash64_sql
+from fink_science_spark.functions.text import (
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+from fink_science_spark.queries import _t
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval split)
+# --------------------------------------------------------------------------
+
+_DECON_N = 4  # word n-gram size (13-gram in prod; 4 here so the tiny
+# synthetic vocab still yields overlaps to check)
+_DECON_MOD = 13  # docs with doc_id % 13 == 0 play the "benchmark suite"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag training documents that share
+    any word n-gram with the benchmark/eval split, with the count of
+    distinct shared n-grams per document.
+
+    The standard pre-training hygiene step (the GPT-3/PaLM 13-gram
+    overlap check). Scale shape: the eval suite is tiny and fixed, so its
+    distinct hashed n-gram set is BROADCAST — the 100 TB training side
+    never shuffles; each task filters its exploded n-grams against the
+    in-memory set and the only shuffle is the per-doc count aggregation
+    (uniform doc_id key, map-side partial). n-grams travel as 60-bit
+    md5-derived hashes (~8 B each), never as strings.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(word_shingles("toks", _DECON_N))
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", hash64("g").alias("h"))
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("h").distinct()
+    )
+    train_grams = grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "h")
+        # (doc_id, h) is already distinct (array_distinct upstream), so
+        # count(*) == count(DISTINCT h) without the distinct-agg cost
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .withColumn("contaminated", F.col("n_overlap") >= F.lit(1))
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct({word_shingles_sql('t.toks', _DECON_N)}) AS shingles
+  FROM tok t
+),
+ex AS (
+  SELECT doc_id, {hash64_sql('g0')} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS g0 FROM sh)
+),
+ev AS (SELECT DISTINCT h FROM ex WHERE doc_id % {_DECON_MOD} = 0)
+SELECT e.doc_id, count(*) AS n_overlap, count(*) >= 1 AS contaminated
+FROM ex e JOIN ev USING (h)
+WHERE e.doc_id % {_DECON_MOD} != 0
+GROUP BY e.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle + shard assignment
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def q_train_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training: every document gets a
+    reproducible (shard, position) from a salted 60-bit hash of its id —
+    the "shuffle once, stream forever" step before sequence packing.
+
+    Scale shape: ONE shuffle on the uniform hash-derived shard key; the
+    per-shard row_number is a sort within each shard's partitions (Spark
+    window), which at 1000 executors is embarrassingly parallel because
+    shards are hash-balanced by construction. No skew is possible: the
+    key is md5 output, not a natural key.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        hash64(F.col("doc_id").cast("string"), seed="shuffle").alias("__k"),
+    ).withColumn("shard", (F.col("__k") % _N_SHARDS).cast("int"))
+    w = Window.partitionBy("shard").orderBy("__k", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+ORACLE_TRAIN_SHARD_ASSIGN = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {hash64_sql('doc_id::VARCHAR', seed='shuffle')} AS k
+  FROM documents
+)
+SELECT doc_id, (k % {_N_SHARDS})::INT AS shard,
+       row_number() OVER (PARTITION BY (k % {_N_SHARDS})::INT
+                          ORDER BY k, doc_id) AS pos
+FROM keyed
+"""
+
+# --------------------------------------------------------------------------
+# Sequence packing into fixed token budgets
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per packed sequence (2048/4096 in prod;
+# small here so sf0.001 still produces multi-bin shards)
+_PACK_SHARDS = 8
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences:
+    shard by hash, order within shard, running-cumsum of token counts,
+    bin = floor(cumsum_before / budget).
+
+    This is the streaming-compatible packing rule (a document lands in
+    the bin its running offset starts in; bins may overflow by at most
+    one document) — the variant a 100 TB pipeline actually runs, because
+    exact first-fit packing is inherently sequential per shard and this
+    form is pure window algebra: one shuffle on the hash-balanced shard
+    key, then codegen'd window cumsum + row_number, no Python, no state.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        (
+            hash64(F.col("doc_id").cast("string"), seed="pack") % _PACK_SHARDS
+        ).cast("int").alias("shard"),
+    )
+    w_cum = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.withColumn("__cum", F.sum("n_tokens").over(w_cum)).withColumn(
+        "bin_id",
+        F.floor((F.col("__cum") - F.col("n_tokens")) / F.lit(_PACK_BUDGET)),
+    )
+    w_pos = Window.partitionBy("shard", "bin_id").orderBy("doc_id")
+    return packed.select(
+        "doc_id",
+        "shard",
+        "bin_id",
+        "n_tokens",
+        F.row_number().over(w_pos).alias("pos_in_bin"),
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH tok AS (
+  SELECT doc_id, len({tokens_sql('text')}) AS n_tokens,
+         ({hash64_sql('doc_id::VARCHAR', seed='pack')} % {_PACK_SHARDS})::INT AS shard
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM tok
+)
+SELECT doc_id, shard,
+       CAST(floor((c - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       n_tokens,
+       row_number() OVER (
+         PARTITION BY shard,
+                      CAST(floor((c - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+         ORDER BY doc_id) AS pos_in_bin
+FROM cum
+"""
+
+# --------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1, the sklearn convention).
+
+    Scale shape: term frequencies are one hash-agg on (doc_id, term);
+    document frequencies reduce that to a VOCABULARY-sized table, which
+    is broadcast back (vocab ≪ corpus — at 100 TB it is the only small
+    side), as is the one-row corpus count. The final top-k is a window
+    over doc_id — the same key the tf agg already shuffled on, so AQE
+    reuses the partitioning. Ties break on term for determinism.
+    """
+    terms = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode_outer(tokens("text")).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
+ORACLE_TFIDF_TOPK = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+# --------------------------------------------------------------------------
+# Weighted domain-mixture sampling
+# --------------------------------------------------------------------------
+
+# Target mixture: up/down-weight sources by name. Unlisted sources get
+# the tail weight. (In prod this map comes from the data-mixing config.)
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.8, "src2": 0.6, "src3": 0.4}
+_MIX_TAIL = 0.25
+
+
+def _mix_weight_spark() -> F.Column:
+    expr = F.lit(_MIX_TAIL)
+    for src, wgt in reversed(_MIX_WEIGHTS.items()):
+        expr = F.when(F.col("source") == src, F.lit(wgt)).otherwise(expr)
+    return expr
+
+
+def _mix_weight_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"CASE {whens} ELSE {_MIX_TAIL} END"
+
+
+_U_DENOM = float(1 << 60)  # hash64 is uniform on [0, 2^60)
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source (domain) sampling toward a target mixture:
+    keep a document iff its deterministic md5-uniform draw falls under
+    its source's weight.
+
+    The data-mixing step of a pre-training pipeline (up/down-sampling
+    domains to a recipe). Deterministic — re-runs and the oracle see the
+    same sample — and a pure per-row map: the weight lookup is a codegen'd
+    CASE, the draw is md5 on the row's own id, no shuffle, no RNG state.
+    At 100 TB this composes with the parquet scan (filter pushes to rows;
+    only doc_id/source/n_chars are read).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    u = hash64(F.col("doc_id").cast("string"), seed="mix") / F.lit(_U_DENOM)
+    return (
+        docs.withColumn("w", _mix_weight_spark())
+        .withColumn("u", F.round(u, 9))
+        .filter(F.col("u") < F.col("w"))
+        .select("doc_id", "source", "n_chars", "w", "u")
+    )
+
+
+ORACLE_DOMAIN_MIX_SAMPLE = f"""
+WITH draws AS (
+  SELECT doc_id, source, n_chars,
+         {_mix_weight_sql()} AS w,
+         round({hash64_sql('doc_id::VARCHAR', seed='mix')} / {_U_DENOM!r}, 9)
+           AS u
+  FROM documents
+)
+SELECT doc_id, source, n_chars, w, u FROM draws WHERE u < w
+"""
+
+
+QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "decontaminate": q_decontaminate,
+    "train_shard_assign": q_train_shard_assign,
+    "sequence_packing": q_sequence_packing,
+    "tfidf_topk": q_tfidf_topk,
+    "domain_mix_sample": q_domain_mix_sample,
+}
+
+ORACLES_EXT6: dict[str, str] = {
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "train_shard_assign": ORACLE_TRAIN_SHARD_ASSIGN,
+    "sequence_packing": ORACLE_SEQUENCE_PACKING,
+    "tfidf_topk": ORACLE_TFIDF_TOPK,
+    "domain_mix_sample": ORACLE_DOMAIN_MIX_SAMPLE,
+}

@@ -166,3 +166,39 @@ def test_doc_repetition_bigrams_not_inlined_into_generate(spark, registry):
     gen = [seg for seg in plan.split("\n") if "Generate" in seg]
     assert gen, plan
     assert not any("array_distinct" in g for g in gen), gen
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, registry):
+    """The eval-suite n-gram set must be the BROADCAST side (the training
+    side is the 100 TB one); no cartesian anywhere."""
+    plan = plan_of(registry["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_domain_mix_sample_is_pure_map(spark, registry):
+    """Weighted mixture sampling is a per-row map: no Exchange, no
+    Python, and the scan reads only (doc_id, source, n_chars)."""
+    plan = plan_of(registry["domain_mix_sample"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1), plan
+
+
+def test_tfidf_broadcasts_vocab_sides(spark, registry):
+    """Both small sides (vocab-sized df table, one-row corpus count) are
+    broadcast; the corpus never sort-merge-joins."""
+    plan = plan_of(registry["tfidf_topk"](spark, SF))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sequence_packing_single_shuffle(spark, registry):
+    """Packing is one shuffle on the hash-balanced shard key; both
+    windows (cumsum, pos_in_bin) must reuse that partitioning."""
+    plan = plan_of(registry["sequence_packing"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
+    assert "EvalPython" not in plan, plan
