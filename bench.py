@@ -72,6 +72,8 @@ HEADLINE = [
     "sequence_packing",
     "tfidf_topk",
     "domain_mix_sample",
+    "color_features",
+    "stream_sequence_packing",
 ]
 
 

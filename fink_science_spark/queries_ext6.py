@@ -26,7 +26,7 @@ from fink_science_spark.functions.text import (
     word_shingles,
     word_shingles_sql,
 )
-from fink_science_spark.queries import _t
+from fink_science_spark.queries import _events_us, _t
 
 # --------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap against an eval split)
@@ -345,12 +345,206 @@ SELECT doc_id, source, n_chars, w, u FROM draws WHERE u < w
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-band color + per-band rate features (kilonova / transient_features
+# shape: ztf/kilonova/processor.py and ztf/transient_features compute
+# dmag/dt per band and cross-band color from the latest measurements)
+# --------------------------------------------------------------------------
+
+_DAY_US_F = 86400000000.0
+
+
+def q_color_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object cross-band features: the last measurement in each of
+    two bands (event_type as the band axis), the within-band rate
+    d(value)/dt from the last two measurements, and the cross-band
+    "color" (difference of latest values) with its per-day rate.
+
+    The kilonova/fast-transient feature shape: rise rate per band +
+    color evolution across bands, from per-band argmax-by-time rows.
+    Scale shape: ONE shuffle (user_id, band window); the rn<=2 filter
+    drops everything but two rows per (object, band) before the final
+    per-object conditional aggregation, which reuses the window's
+    partitioning key prefix. Ties on ts break on event_id so both
+    engines pick identical rows.
+    """
+    ev = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click"))
+        .select("user_id", "event_type", "event_id", "ts_us", "value")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    top2 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+
+    def pick(band: str, rn: int, col: str) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("event_type") == band) & (F.col("rn") == rn), F.col(col)
+            )
+        )
+
+    g = top2.groupBy("user_id").agg(
+        pick("view", 1, "value").alias("view_last"),
+        pick("view", 1, "ts_us").alias("view_ts"),
+        pick("view", 2, "value").alias("view_prev"),
+        pick("view", 2, "ts_us").alias("view_prev_ts"),
+        pick("click", 1, "value").alias("click_last"),
+        pick("click", 1, "ts_us").alias("click_ts"),
+    )
+    dt_view = (F.col("view_ts") - F.col("view_prev_ts")) / F.lit(_DAY_US_F)
+    dt_color = (F.col("view_ts") - F.col("click_ts")) / F.lit(_DAY_US_F)
+    view_rate = F.when(
+        F.col("view_prev").isNotNull() & (F.col("view_ts") != F.col("view_prev_ts")),
+        (F.col("view_last") - F.col("view_prev")) / dt_view,
+    )
+    color = F.col("view_last") - F.col("click_last")
+    color_rate = F.when(F.col("view_ts") != F.col("click_ts"), color / dt_color)
+    return (
+        g.filter(F.col("view_last").isNotNull() & F.col("click_last").isNotNull())
+        .select(
+            "user_id",
+            F.round("view_last", 6).alias("view_last"),
+            F.round(view_rate, 6).alias("view_rate_per_day"),
+            F.round("click_last", 6).alias("click_last"),
+            F.round(color, 6).alias("color"),
+            F.round(color_rate, 6).alias("color_rate_per_day"),
+        )
+    )
+
+
+ORACLE_COLOR_FEATURES = f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t, value
+  FROM events WHERE event_type IN ('view', 'click')
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY t DESC, event_id DESC) AS rn
+  FROM e
+),
+g AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view'  AND rn = 1 THEN value END) AS view_last,
+         max(CASE WHEN event_type = 'view'  AND rn = 1 THEN t END)     AS view_ts,
+         max(CASE WHEN event_type = 'view'  AND rn = 2 THEN value END) AS view_prev,
+         max(CASE WHEN event_type = 'view'  AND rn = 2 THEN t END)     AS view_prev_ts,
+         max(CASE WHEN event_type = 'click' AND rn = 1 THEN value END) AS click_last,
+         max(CASE WHEN event_type = 'click' AND rn = 1 THEN t END)     AS click_ts
+  FROM r WHERE rn <= 2 GROUP BY user_id
+)
+SELECT user_id,
+       round(view_last, 6) AS view_last,
+       round(CASE WHEN view_prev IS NOT NULL AND view_ts != view_prev_ts
+                  THEN (view_last - view_prev)
+                       / ((view_ts - view_prev_ts) / {_DAY_US_F!r}) END, 6)
+         AS view_rate_per_day,
+       round(click_last, 6) AS click_last,
+       round(view_last - click_last, 6) AS color,
+       round(CASE WHEN view_ts != click_ts
+                  THEN (view_last - click_last)
+                       / ((view_ts - click_ts) / {_DAY_US_F!r}) END, 6)
+         AS color_rate_per_day
+FROM g
+WHERE view_last IS NOT NULL AND click_last IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming sequence packing (stateful: running token offset per shard)
+# --------------------------------------------------------------------------
+
+
+def q_stream_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing as a STATEFUL streaming operator: each shard's
+    running token offset (plus current bin and position) lives in
+    applyInPandasWithState state, so new micro-batches continue packing
+    exactly where the previous batch stopped — the streaming twin of
+    ``sequence_packing`` (same shard hash, same budget, same bin rule),
+    and the batch SQL is its oracle.
+
+    This is how a 100 TB pipeline packs an APPEND-ONLY corpus without
+    re-running the batch job: state is O(1) per shard (three integers),
+    the shuffle key is the hash-balanced shard, and emission is
+    append-mode (each document exactly once). Within a batch documents
+    are packed in doc_id order; cross-batch determinism holds when
+    batches arrive in doc_id order (the append-log contract — same
+    condition the incremental dedup documents).
+    """
+    import os as _os
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from fink_science_spark.streaming.shell import scoped_shuffle_partitions
+
+    schema = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+
+    def update(key, pdfs, state: GroupState):
+        cum, cur_bin, cur_pos = state.get if state.exists else (0, 0, 0)
+        out_rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("doc_id")
+        for doc_id, n_tok in zip(batch["doc_id"], batch["n_tokens"]):
+            b = cum // _PACK_BUDGET
+            if b == cur_bin:
+                cur_pos += 1
+            else:
+                cur_bin, cur_pos = b, 1
+            out_rows.append((int(doc_id), int(key[0]), int(b), int(n_tok), cur_pos))
+            cum += int(n_tok)
+        state.update((int(cum), int(cur_bin), int(cur_pos)))
+        yield pd.DataFrame(
+            out_rows, columns=["doc_id", "shard", "bin_id", "n_tokens", "pos_in_bin"]
+        )
+
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "documents.parquet")
+            .load(sf_dir)
+        )
+        enriched = stream.select(
+            "doc_id",
+            F.size(tokens("text")).alias("n_tokens"),
+            (
+                hash64(F.col("doc_id").cast("string"), seed="pack") % _PACK_SHARDS
+            ).cast("int").alias("shard"),
+        )
+        out = enriched.groupBy("shard").applyInPandasWithState(
+            update,
+            outputStructType=(
+                "doc_id long, shard int, bin_id long, n_tokens int, pos_in_bin int"
+            ),
+            stateStructType="cum long, cur_bin long, cur_pos int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"packstream_{_uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "doc_id", "shard", "bin_id", "n_tokens", "pos_in_bin"
+    )
+
+
 QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "train_shard_assign": q_train_shard_assign,
     "sequence_packing": q_sequence_packing,
     "tfidf_topk": q_tfidf_topk,
     "domain_mix_sample": q_domain_mix_sample,
+    "color_features": q_color_features,
+    "stream_sequence_packing": q_stream_sequence_packing,
 }
 
 ORACLES_EXT6: dict[str, str] = {
@@ -359,4 +553,7 @@ ORACLES_EXT6: dict[str, str] = {
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
     "domain_mix_sample": ORACLE_DOMAIN_MIX_SAMPLE,
+    "color_features": ORACLE_COLOR_FEATURES,
+    # the batch packing SQL IS the streaming oracle (stream/batch parity)
+    "stream_sequence_packing": ORACLE_SEQUENCE_PACKING,
 }

@@ -180,3 +180,119 @@ def test_windowed_counts_under_rocksdb_state_store(spark, multi_file_events):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+@pytest.fixture(scope="module")
+def multi_file_documents(spark):
+    """documents split into 3 parquet files by doc_id RANGE, written in
+    ascending order (mtime order = doc_id order) — the append-log
+    contract the streaming packer documents."""
+    import time
+
+    path = os.path.join(SCRATCH, "stream_pack_src")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    parts = [
+        docs.filter(F.col("doc_id") < cuts[0]),
+        docs.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        docs.filter(F.col("doc_id") >= cuts[1]),
+    ]
+    for i, part in enumerate(parts):
+        part.toPandas().to_parquet(os.path.join(path, f"part{i}.parquet"))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+    return path
+
+
+def test_sequence_packing_across_batches(spark, multi_file_documents):
+    """The stateful streaming packer must continue each shard's running
+    offset across micro-batches: streaming over 3 files == the batch
+    window-cumsum packing over their union."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.functions.text import tokens
+    from fink_science_spark.queries_ext6 import _PACK_BUDGET, _PACK_SHARDS
+
+    schema = spark.read.parquet(multi_file_documents).schema
+
+    def enrich(df):
+        return df.select(
+            "doc_id",
+            F.size(tokens("text")).alias("n_tokens"),
+            (hash64(F.col("doc_id").cast("string"), seed="pack") % _PACK_SHARDS)
+            .cast("int")
+            .alias("shard"),
+        )
+
+    def update(key, pdfs, state: GroupState):
+        cum, cur_bin, cur_pos = state.get if state.exists else (0, 0, 0)
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        for doc_id, n_tok in zip(batch["doc_id"], batch["n_tokens"]):
+            b = cum // _PACK_BUDGET
+            if b == cur_bin:
+                cur_pos += 1
+            else:
+                cur_bin, cur_pos = b, 1
+            rows.append((int(doc_id), int(key[0]), int(b), int(n_tok), cur_pos))
+            cum += int(n_tok)
+        state.update((int(cum), int(cur_bin), int(cur_pos)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "shard", "bin_id", "n_tokens", "pos_in_bin"]
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(multi_file_documents)
+    )
+    out = enrich(stream).groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "doc_id long, shard int, bin_id long, n_tokens int, pos_in_bin int"
+        ),
+        stateStructType="cum long, cur_bin long, cur_pos int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"pack_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [p.numInputRows for p in q.recentProgress if p.numInputRows]
+    assert len(batches) >= 2, f"expected multiple micro-batches, got {batches}"
+
+    got = spark.table(name)
+
+    base = enrich(spark.read.parquet(multi_file_documents))
+    w_cum = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = base.withColumn("__cum", F.sum("n_tokens").over(w_cum)).withColumn(
+        "bin_id",
+        F.floor((F.col("__cum") - F.col("n_tokens")) / F.lit(_PACK_BUDGET)),
+    )
+    w_pos = Window.partitionBy("shard", "bin_id").orderBy("doc_id")
+    expected = packed.select(
+        "doc_id",
+        "shard",
+        "bin_id",
+        "n_tokens",
+        F.row_number().over(w_pos).alias("pos_in_bin"),
+    )
+    got_c = got.select(*(F.col(c).cast("long") for c in expected.columns))
+    exp_c = expected.select(*(F.col(c).cast("long") for c in expected.columns))
+    diff = got_c.exceptAll(exp_c).count() + exp_c.exceptAll(got_c).count()
+    assert diff == 0
