@@ -74,6 +74,7 @@ HEADLINE = [
     "domain_mix_sample",
     "color_features",
     "stream_sequence_packing",
+    "stream_interval_join",
 ]
 
 

@@ -537,6 +537,89 @@ def q_stream_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Stream-stream watermarked interval join (§2.9): view→click attribution
+# --------------------------------------------------------------------------
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with watermarks and an event-time interval
+    bound, as a REAL Structured Streaming query: every click a user makes
+    within 3 days after a view, attributed to that view. The oracle is the
+    identical batch self-join — stream/batch parity is the check.
+
+    This is the one §2.9 shape the rest of the streaming surface didn't
+    cover: BOTH inputs are unbounded. The interval bound plus the two
+    watermarks are what bound the join state (each side buffers only
+    watermark+3 days of rows per user); without them Spark would hold both
+    streams forever. State is keyed by user_id — the same shuffle both
+    sides already need — so the join costs exactly one exchange per input.
+    """
+    import os as _os
+    import uuid as _uuid
+
+    from fink_science_spark.streaming.shell import (
+        interval_join_streams,
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+
+    with scoped_shuffle_partitions(spark, 8):
+
+        def feed(etype: str) -> DataFrame:
+            s = (
+                spark.readStream.schema(schema)
+                .format("parquet")
+                .option("pathGlobFilter", "events.parquet")
+                .load(sf_dir)
+            )
+            from fink_science_spark.queries import _ts_event_col
+
+            return (
+                s.filter(F.col("event_type") == etype)
+                .withColumn("ts_event", _ts_event_col(s))
+                .select("user_id", "event_id", "ts_event")
+            )
+
+        joined = interval_join_streams(
+            feed("view"),
+            feed("click"),
+            key="user_id",
+            left_ts="ts_event",
+            right_ts="ts_event",
+            max_lag="3 days",
+            watermark="1 day",
+        )
+        out = joined.select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            F.col("r_event_id").alias("click_event_id"),
+            (
+                F.unix_micros("r_ts_event") - F.unix_micros("ts_event")
+            ).alias("lag_us"),
+        )
+        name = f"ivjoin_{_uuid.uuid4().hex[:8]}"
+        result = run_to_memory(out, name, spark, output_mode="append")
+    return result
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       c.event_id AS click_event_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 3 DAY
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
 QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "train_shard_assign": q_train_shard_assign,
@@ -545,6 +628,7 @@ QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_sample": q_domain_mix_sample,
     "color_features": q_color_features,
     "stream_sequence_packing": q_stream_sequence_packing,
+    "stream_interval_join": q_stream_interval_join,
 }
 
 ORACLES_EXT6: dict[str, str] = {
@@ -556,4 +640,5 @@ ORACLES_EXT6: dict[str, str] = {
     "color_features": ORACLE_COLOR_FEATURES,
     # the batch packing SQL IS the streaming oracle (stream/batch parity)
     "stream_sequence_packing": ORACLE_SEQUENCE_PACKING,
+    "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
 }

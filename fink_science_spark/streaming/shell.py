@@ -113,17 +113,53 @@ def windowed_history(
 
 
 def run_to_memory(
-    stream_result: DataFrame, query_name: str, spark: SparkSession
+    stream_result: DataFrame,
+    query_name: str,
+    spark: SparkSession,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a streaming frame with an availableNow trigger into a memory
     sink and return the completed static result — used by tests and the
-    correctness harness to check stream/batch parity."""
+    correctness harness to check stream/batch parity. Stream-stream joins
+    only support append mode; aggregations here use complete."""
     q = (
         stream_result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag: str = "3 days",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join with an event-time interval
+    condition: right rows within (left_ts, left_ts + max_lag] for the same
+    key. The interval bound + both-side watermarks are what let Spark age
+    join state out of the state store — without them an inner stream-stream
+    join buffers both streams forever. At 100 TB/day the state held per
+    side is bounded by (watermark + max_lag) of stream volume, and the join
+    shuffles both streams on the key exactly once."""
+    lw = left.withWatermark(left_ts, watermark)
+    # rename BEFORE the watermark: the event-time tag is attached to the
+    # column and an alias after withWatermark would drop it
+    rw = right.select(
+        [F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withWatermark(f"r_{right_ts}", watermark)
+    return lw.join(
+        rw,
+        F.expr(
+            f"{key} = r_{key} AND r_{right_ts} >= {left_ts} "
+            f"AND r_{right_ts} <= {left_ts} + INTERVAL {max_lag}"
+        ),
+        "inner",
+    )

@@ -296,3 +296,74 @@ def test_sequence_packing_across_batches(spark, multi_file_documents):
     exp_c = expected.select(*(F.col(c).cast("long") for c in expected.columns))
     diff = got_c.exceptAll(exp_c).count() + exp_c.exceptAll(got_c).count()
     assert diff == 0
+
+
+def test_stream_interval_join_across_batches(spark, multi_file_events):
+    """Stream-stream interval join where the two sides' rows arrive in
+    DIFFERENT micro-batches: a click in batch 3 must still match a view
+    buffered since batch 1. Watermark is set beyond the data span so no
+    row is late — the test isolates cross-batch join-state buffering; the
+    registered query covers the watermarked single-batch parity."""
+    from fink_science_spark.streaming.shell import (
+        interval_join_streams,
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    schema = spark.read.parquet(multi_file_events).schema
+
+    def feed(etype):
+        s = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(multi_file_events)
+        )
+        return (
+            s.filter(F.col("event_type") == etype)
+            .withColumn("ts_event", _ts_event_col(s))
+            .select("user_id", "event_id", "ts_event")
+        )
+
+    with scoped_shuffle_partitions(spark, 4):
+        joined = interval_join_streams(
+            feed("view"),
+            feed("click"),
+            key="user_id",
+            left_ts="ts_event",
+            right_ts="ts_event",
+            max_lag="3 days",
+            watermark="3650 days",
+        )
+        out = joined.select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            F.col("r_event_id").alias("click_event_id"),
+        )
+        name = f"ivj_{uuid.uuid4().hex[:8]}"
+        got = run_to_memory(out, name, spark, output_mode="append")
+
+    ev = spark.read.parquet(multi_file_events)
+    ev = ev.withColumn("ts_event", _ts_event_col(ev))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"),
+        F.col("ts_event").alias("v_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_event_id"),
+        F.col("ts_event").alias("c_ts"),
+    )
+    expected = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 3 DAYS")),
+    ).select("user_id", "view_event_id", "click_event_id")
+
+    cols = ["user_id", "view_event_id", "click_event_id"]
+    diff = (
+        got.select(cols).exceptAll(expected.select(cols)).count()
+        + expected.select(cols).exceptAll(got.select(cols)).count()
+    )
+    assert diff == 0
+    assert got.count() > 0
