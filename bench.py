@@ -75,6 +75,7 @@ HEADLINE = [
     "color_features",
     "stream_sequence_packing",
     "stream_interval_join",
+    "ssoft_hg1g2_fit",
 ]
 
 

@@ -270,6 +270,130 @@ FROM ab
 
 
 # --------------------------------------------------------------------------
+# §2.8 SSOFT phase-curve fit: three-parameter HG1G2 per (object, band)
+# --------------------------------------------------------------------------
+
+_G1_TRUE, _G2_TRUE = 0.2, 0.4
+
+
+def q_ssoft_hg1g2_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSOFT HG1G2 pipeline: the three-parameter Muinonen system fitted
+    per (object, band) as closed-form 3×3 normal equations — the linear
+    form of the reference's sbpy HG1G2 fit (ztf/ssoft/processor.py:436-671).
+    Same one-shuffle + scalar-Arrow-kernel shape as the HG fit; the
+    differential oracle reproduces the Cramer solve in SQL from nine
+    sufficient statistics."""
+    from fink_science_spark.operators.phase_curve import (
+        hg1g2_basis_sql,
+        hg1g2_fit_native,
+    )
+
+    p1, p2, p3 = hg1g2_basis_sql("alpha")
+    ev = (
+        _events_us(spark, sf_dir)
+        .withColumn("alpha", F.radians(_alpha_deg_spark()))
+        .withColumn(
+            "mred",
+            F.lit(_H_TRUE)
+            - 2.5
+            * F.log10(
+                F.lit(_G1_TRUE) * F.expr(p1)
+                + F.lit(_G2_TRUE) * F.expr(p2)
+                + F.lit(1.0 - _G1_TRUE - _G2_TRUE) * F.expr(p3)
+            )
+            + (F.col("value") - 245.0) / 1000.0,
+        )
+    )
+    fit = hg1g2_fit_native(
+        ev, ["user_id", "event_type"], "alpha", "mred",
+        min_points=_HG_MIN_POINTS, m0=_H_TRUE,
+    )
+    return fit.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round("h", 6).alias("h"),
+        F.round("g1", 6).alias("g1"),
+        F.round("g2", 6).alias("g2"),
+    )
+
+
+def _oracle_ssoft_hg1g2_fit() -> str:
+    from fink_science_spark.operators.phase_curve import (
+        _QX,
+        _QY,
+        hg1g2_basis_sql,
+    )
+
+    p1, p2, p3 = hg1g2_basis_sql("alpha")
+    # Integer-quantized sufficient statistics (exact, order-independent
+    # sums) — the same contract hg1g2_fit_native applies Spark-side; see
+    # operators/phase_curve.py for why the 3×3 solve demands it.
+    qxx = _QX * _QX
+    qxy = _QX * _QY
+    return f"""
+WITH obs AS (
+  SELECT user_id, event_type,
+         radians({_ALPHA_DEG_SQL}) AS alpha, value
+  FROM events
+),
+xy AS (
+  SELECT user_id, event_type,
+         cast(floor(({p1}) * {_QX!r} + 0.5) AS BIGINT) AS x1q,
+         cast(floor(({p2}) * {_QX!r} + 0.5) AS BIGINT) AS x2q,
+         cast(floor(({p3}) * {_QX!r} + 0.5) AS BIGINT) AS x3q,
+         cast(floor(pow(10.0, -0.4 * (-2.5 * log10(
+             {_G1_TRUE!r} * {p1} + {_G2_TRUE!r} * {p2}
+             + {1.0 - _G1_TRUE - _G2_TRUE!r} * {p3})
+             + (value - 245.0) / 1000.0)) * {_QY!r} + 0.5) AS BIGINT) AS yq
+  FROM obs
+),
+s AS (
+  SELECT user_id, event_type, count(*) AS n,
+         cast(sum(x1q * x1q) AS DOUBLE) / {qxx!r} AS s11,
+         cast(sum(x1q * x2q) AS DOUBLE) / {qxx!r} AS s12,
+         cast(sum(x1q * x3q) AS DOUBLE) / {qxx!r} AS s13,
+         cast(sum(x2q * x2q) AS DOUBLE) / {qxx!r} AS s22,
+         cast(sum(x2q * x3q) AS DOUBLE) / {qxx!r} AS s23,
+         cast(sum(x3q * x3q) AS DOUBLE) / {qxx!r} AS s33,
+         cast(sum(x1q * yq) AS DOUBLE) / {qxy!r} AS b1,
+         cast(sum(x2q * yq) AS DOUBLE) / {qxy!r} AS b2,
+         cast(sum(x3q * yq) AS DOUBLE) / {qxy!r} AS b3
+  FROM xy GROUP BY user_id, event_type
+  HAVING count(*) >= {_HG_MIN_POINTS}
+),
+d AS (
+  SELECT *,
+         s11 * (s22 * s33 - s23 * s23)
+         - s12 * (s12 * s33 - s23 * s13)
+         + s13 * (s12 * s23 - s22 * s13) AS det
+  FROM s
+),
+ab AS (
+  SELECT user_id, event_type, n, det,
+         (b1 * (s22 * s33 - s23 * s23)
+          - s12 * (b2 * s33 - s23 * b3)
+          + s13 * (b2 * s23 - s22 * b3)) / det AS a1,
+         (s11 * (b2 * s33 - s23 * b3)
+          - b1 * (s12 * s33 - s23 * s13)
+          + s13 * (s12 * b3 - b2 * s13)) / det AS a2,
+         (s11 * (s22 * b3 - b2 * s23)
+          - s12 * (s12 * b3 - b2 * s13)
+          + b1 * (s12 * s23 - s22 * s13)) / det AS a3
+  FROM d
+)
+SELECT user_id, event_type, n,
+       CASE WHEN det > 0 AND a1 + a2 + a3 > 0
+            THEN round({_H_TRUE!r} - 2.5 * log10(a1 + a2 + a3), 6) END AS h,
+       CASE WHEN det > 0 AND a1 + a2 + a3 > 0
+            THEN round(a1 / (a1 + a2 + a3), 6) END AS g1,
+       CASE WHEN det > 0 AND a1 + a2 + a3 > 0
+            THEN round(a2 / (a1 + a2 + a3), 6) END AS g2
+FROM ab
+"""
+
+
+# --------------------------------------------------------------------------
 # M7 dedup: incremental MinHash against a persisted band index
 # --------------------------------------------------------------------------
 
@@ -687,6 +811,7 @@ QUERIES_EXT5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_score": q_model_score,
     "model_score_forest": q_model_score_forest,
     "ssoft_hg_fit": q_ssoft_hg_fit,
+    "ssoft_hg1g2_fit": q_ssoft_hg1g2_fit,
     "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
     "dedup_incremental": q_dedup_incremental,
     "stream_dedup": q_stream_dedup,
@@ -699,6 +824,7 @@ ORACLES_EXT5: dict[str, str] = {
     "model_score": _oracle_model_score(),
     "model_score_forest": _oracle_model_score_forest(),
     "ssoft_hg_fit": _oracle_ssoft_hg_fit(),
+    "ssoft_hg1g2_fit": _oracle_ssoft_hg1g2_fit(),
     "dedup_ngram_jaccard_capped": _oracle_dedup_ngram_jaccard_capped(),
     "dedup_incremental": _oracle_dedup_incremental(),
     "stream_dedup": ORACLE_STREAM_DEDUP,

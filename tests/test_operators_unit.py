@@ -522,3 +522,50 @@ def test_connected_components_driver_path_matches_distributed(spark):
     assert connected_components.last_rounds >= 1  # distributed path taken
     assert drv == dist
     assert (40, 40) in drv  # self-loop-only node maps to itself
+
+
+def test_hg1g2_native_matches_arrow_kernel_and_truth(spark):
+    """The native sufficient-statistics path and the Arrow-kernel path fit
+    the same synthetic HG1G2 curve to the same parameters (up to the
+    native path's 1e-6 quantization), and both recover the ground truth
+    on noiseless data."""
+    import math
+
+    from fink_science_spark.operators.phase_curve import (
+        hg1g2_basis,
+        hg1g2_fit_native,
+        hg1g2_fit_per_group,
+    )
+
+    h_true, g1_true, g2_true = 14.2, 0.25, 0.35
+    alphas = [math.radians(3.0 + 0.9 * i) for i in range(30)]
+    rows = []
+    for a in alphas:
+        p1, p2, p3 = hg1g2_basis(a)
+        flux = g1_true * p1 + g2_true * p2 + (1 - g1_true - g2_true) * p3
+        rows.append((1, a, h_true - 2.5 * math.log10(flux)))
+    df = spark.createDataFrame(rows, "obj long, alpha double, mred double")
+
+    nat = hg1g2_fit_native(df, ["obj"], "alpha", "mred", m0=h_true).first()
+    ker = hg1g2_fit_per_group(df, ["obj"], "alpha", "mred").first()
+    assert nat["n"] == ker["n"] == 30
+    for got in (nat, ker):
+        assert abs(got["h"] - h_true) < 1e-3
+        assert abs(got["g1"] - g1_true) < 1e-2
+        assert abs(got["g2"] - g2_true) < 1e-2
+    assert abs(nat["h"] - ker["h"]) < 1e-3
+    assert abs(nat["g1"] - ker["g1"]) < 1e-2
+    assert abs(nat["g2"] - ker["g2"]) < 1e-2
+
+
+def test_hg1g2_native_degenerate_group_yields_nulls(spark):
+    """A single repeated phase angle makes the 3×3 system singular — the
+    fit must emit NULL parameters, not crash or fabricate values."""
+    from fink_science_spark.operators.phase_curve import hg1g2_fit_native
+
+    df = spark.createDataFrame(
+        [(1, 0.2, 15.0)] * 6, "obj long, alpha double, mred double"
+    )
+    row = hg1g2_fit_native(df, ["obj"], "alpha", "mred").first()
+    assert row["n"] == 6
+    assert row["h"] is None and row["g1"] is None and row["g2"] is None

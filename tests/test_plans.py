@@ -202,3 +202,14 @@ def test_sequence_packing_single_shuffle(spark, registry):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert "hashpartitioning(shard" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_hg1g2_native_single_shuffle_no_python(spark, registry):
+    """The native HG1G2 fit is one hash aggregation: partial agg before a
+    single Exchange (nine int64 stats + count per group travel, not the
+    observations), and no Python anywhere in the plan."""
+    plan = plan_of(registry["ssoft_hg1g2_fit"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
