@@ -76,6 +76,7 @@ HEADLINE = [
     "stream_sequence_packing",
     "stream_interval_join",
     "ssoft_hg1g2_fit",
+    "dedup_spans",
 ]
 
 

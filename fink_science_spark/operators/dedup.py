@@ -456,3 +456,69 @@ def argmin_dedup(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def span_dedup_docs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    span: int = 10,
+    idx_base: int = 1_000_000,
+) -> DataFrame:
+    """Span-level exact dedup across the WHOLE corpus (the C4 move: drop
+    any repeated three-sentence span corpus-wide, first occurrence wins —
+    here the unit is a fixed ``span``-word window since the corpus has no
+    sentence delimiters).
+
+    Docs are cut into consecutive non-overlapping ``span``-word chunks;
+    for every distinct chunk string the earliest (doc_id, chunk_idx)
+    survives; surviving chunks reassemble per doc (docs whose every span
+    was seen earlier disappear — that IS the dedup).
+
+    Scale shape: TWO map-side-combinable hash aggregations and NO join —
+    the first-occurrence winner set is exactly ``min(doc_id*B + idx)``
+    per chunk, so hot boilerplate spans collapse in the combiner instead
+    of skewing a shuffle partition (the failure mode of the window-rank
+    formulation). Chunk strings shuffle once; reassembly shuffles only
+    winner rows on doc_id.
+    """
+    toks = F.col(tokens_col)
+    nchunks = F.ceil(F.size(toks) / F.lit(span)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), (nchunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("idx"),
+            F.concat_ws(" ", F.slice(toks, i * span + 1, span)).alias("chunk"),
+        ),
+    )
+    exploded = (
+        df.filter(F.size(toks) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            (F.col(id_col) * idx_base + F.col("c.idx")).alias("code"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )
+    winners = exploded.groupBy("chunk").agg(F.min("code").alias("code"))
+    return (
+        winners.groupBy(
+            F.expr(f"code DIV {idx_base}").alias(id_col)
+        )
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (F.col("code") % idx_base).alias("idx"),
+                                F.col("chunk").alias("chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("dedup_text"),
+        )
+    )

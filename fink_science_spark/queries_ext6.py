@@ -538,6 +538,55 @@ def q_stream_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Span-level exact corpus dedup (C4-style repeated-span removal)
+# --------------------------------------------------------------------------
+
+_SPAN_W = 10
+_SPAN_BASE = 1_000_000
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup over the whole corpus: every repeated 10-word
+    span keeps only its first (doc_id, position) occurrence; docs are
+    reassembled from surviving spans. Two map-combinable hash aggs, no
+    join — see operators/dedup.span_dedup_docs for the skew story."""
+    from fink_science_spark.operators.dedup import span_dedup_docs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    out = span_dedup_docs(docs, "doc_id", "toks", span=_SPAN_W)
+    return out.select("doc_id", "n_kept", "dedup_text")
+
+
+ORACLE_DEDUP_SPANS = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+             cast(ceil(len(toks) / {float(_SPAN_W)!r}) AS BIGINT) - 1)) AS i
+  FROM tok WHERE len(toks) > 0
+),
+ch AS (
+  SELECT doc_id * {_SPAN_BASE} + i AS code,
+         array_to_string(list_slice(toks, i * {_SPAN_W} + 1,
+                                    i * {_SPAN_W} + {_SPAN_W}), ' ') AS chunk
+  FROM idx
+),
+win AS (
+  SELECT chunk, min(code) AS code FROM ch GROUP BY chunk
+)
+SELECT code // {_SPAN_BASE} AS doc_id,
+       count(*) AS n_kept,
+       string_agg(chunk, ' ' ORDER BY code % {_SPAN_BASE}) AS dedup_text
+FROM win
+GROUP BY code // {_SPAN_BASE}
+"""
+
+
+# --------------------------------------------------------------------------
 # Stream-stream watermarked interval join (§2.9): view→click attribution
 # --------------------------------------------------------------------------
 
@@ -629,6 +678,7 @@ QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "color_features": q_color_features,
     "stream_sequence_packing": q_stream_sequence_packing,
     "stream_interval_join": q_stream_interval_join,
+    "dedup_spans": q_dedup_spans,
 }
 
 ORACLES_EXT6: dict[str, str] = {
@@ -641,4 +691,5 @@ ORACLES_EXT6: dict[str, str] = {
     # the batch packing SQL IS the streaming oracle (stream/batch parity)
     "stream_sequence_packing": ORACLE_SEQUENCE_PACKING,
     "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
+    "dedup_spans": ORACLE_DEDUP_SPANS,
 }

@@ -569,3 +569,23 @@ def test_hg1g2_native_degenerate_group_yields_nulls(spark):
     row = hg1g2_fit_native(df, ["obj"], "alpha", "mred").first()
     assert row["n"] == 6
     assert row["h"] is None and row["g1"] is None and row["g2"] is None
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """A doc that is an exact clone of an earlier doc loses ALL its spans
+    (vanishes); a doc sharing only its first span keeps the rest."""
+    from fink_science_spark.functions.text import tokens
+    from fink_science_spark.operators.dedup import span_dedup_docs
+
+    a = "one two three four five six"
+    b = "one two three seven eight nine"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], "doc_id long, text string"
+    ).select("doc_id", tokens("text").alias("toks"))
+    out = {
+        r["doc_id"]: (r["n_kept"], r["dedup_text"])
+        for r in span_dedup_docs(docs, "doc_id", "toks", span=3).collect()
+    }
+    assert out[1] == (2, a)
+    assert 2 not in out  # exact clone fully removed
+    assert out[3] == (1, "seven eight nine")  # shared first span dropped

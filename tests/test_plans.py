@@ -213,3 +213,12 @@ def test_hg1g2_native_single_shuffle_no_python(spark, registry):
     assert "EvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_dedup_spans_two_aggs_no_join(spark, registry):
+    """Span dedup is two hash aggregations and nothing else: no join
+    (winner set IS the min-code agg), no Python, exactly two shuffles."""
+    plan = plan_of(registry["dedup_spans"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
