@@ -77,6 +77,7 @@ HEADLINE = [
     "stream_interval_join",
     "ssoft_hg1g2_fit",
     "dedup_spans",
+    "quality_classifier",
 ]
 
 

@@ -63,8 +63,8 @@ def word_shingles_sql(tokens_expr: str, n: int = 3) -> str:
     """duckdb equivalent of :func:`word_shingles` (list comprehension over
     generate_series; list_slice is 1-based inclusive)."""
     return (
-        f"[array_to_string(list_slice(t.toks, i, i + {n - 1}), ' ') "
-        f"for i in generate_series(1, greatest(len(t.toks) - {n - 1}, 0))]"
+        f"[array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' ') "
+        f"for i in generate_series(1, greatest(len({tokens_expr}) - {n - 1}, 0))]"
     )
 
 

@@ -199,3 +199,64 @@ def forest_score_sql(feature_exprs: list[str]) -> str:
 
     votes = " + ".join(f"({node(tree)})" for tree in FOREST)
     return f"(({votes}) / {float(len(FOREST))!r})"
+
+
+# --------------------------------------------------------------------------
+# Hashed-n-gram linear text classifier — the fastText-shaped quality
+# classifier a curation pipeline runs corpus-wide (CCNet/GPT-3-style
+# "looks like reference text?" filtering). Bag of unigrams+bigrams →
+# feature hashing into B buckets → frozen linear weights → sigmoid.
+#
+# Weights are dyadic rationals (k/1024): exact in binary, so the per-doc
+# weight SUM is exact and order-independent — the engines can fold the
+# gram list in any order and still bit-match. Only the final exp() is
+# libm, and it lands after rounding-tolerant sigmoid output.
+#
+# Executed as native array HOFs (transform + aggregate) — per-row map,
+# no shuffle, no Python; at 100 TB this runs at scan speed.
+# --------------------------------------------------------------------------
+
+FT_BUCKETS = 64
+FT_SEED = "ftq"
+FT_GAIN = 20.0  # spreads the mean bucket weight into a useful logit range
+FT_BIAS = -8.0 / 1024.0
+
+# frozen "trained" weights: ((k*37 + 11) % 128 − 64) / 1024, k = 0..63
+FT_WEIGHTS = [((k * 37 + 11) % 128 - 64) / 1024.0 for k in range(FT_BUCKETS)]
+
+
+def ft_score_col(grams):
+    """Sigmoid linear score of a gram-array Column (native HOFs only)."""
+    from fink_science_spark.functions.hashing import hash64
+
+    warr = F.array(*[F.lit(w) for w in FT_WEIGHTS])
+    wsum = F.aggregate(
+        F.transform(
+            grams,
+            lambda g: F.element_at(
+                warr, (hash64(g, seed=FT_SEED) % FT_BUCKETS + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(grams)
+    logit = F.lit(FT_BIAS) + F.lit(FT_GAIN) * F.when(n > 0, wsum / n).otherwise(
+        F.lit(0.0)
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+
+def ft_score_sql(grams_expr: str) -> str:
+    """The duckdb twin of :func:`ft_score_col` over a list expression."""
+    from fink_science_spark.functions.hashing import hash64_sql
+
+    wlist = "[" + ", ".join(repr(w) for w in FT_WEIGHTS) + "]"
+    bucket = f"({hash64_sql('g', seed=FT_SEED)}) % {FT_BUCKETS} + 1"
+    wsum = f"list_sum(list_transform({grams_expr}, g -> ({wlist})[{bucket}]))"
+    n = f"len({grams_expr})"
+    logit = (
+        f"({FT_BIAS!r} + {FT_GAIN!r} * "
+        f"(CASE WHEN {n} > 0 THEN ({wsum}) / {n} ELSE 0.0 END))"
+    )
+    return f"1.0 / (1.0 + exp(-{logit}))"

@@ -587,6 +587,48 @@ GROUP BY code // {_SPAN_BASE}
 
 
 # --------------------------------------------------------------------------
+# fastText-shaped hashed-n-gram quality classifier (corpus-wide scoring)
+# --------------------------------------------------------------------------
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/GPT-3-style quality filtering: a frozen hashed-bigram linear
+    classifier scored over every document — feature hashing into 64
+    buckets, dyadic-rational weights (exact order-independent sums),
+    sigmoid, keep-threshold at 0.5. Pure per-row map at scan speed; see
+    operators/models.py for the kernel contract."""
+    from fink_science_spark.operators.models import ft_score_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("toks")
+    )
+    grams = F.concat(F.col("toks"), word_shingles(F.col("toks"), 2))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(ft_score_col(grams), 6).alias("quality_score"),
+    ).withColumn("keep", F.col("quality_score") > 0.5)
+
+
+def _oracle_quality_classifier() -> str:
+    from fink_science_spark.operators.models import ft_score_sql
+
+    toks = tokens_sql("text")
+    grams = f"(toks || {word_shingles_sql('toks', 2)})"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         round({ft_score_sql(grams)}, 6) AS quality_score
+  FROM tok
+)
+SELECT doc_id, source, quality_score, quality_score > 0.5 AS keep FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Stream-stream watermarked interval join (§2.9): view→click attribution
 # --------------------------------------------------------------------------
 
@@ -679,6 +721,7 @@ QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sequence_packing": q_stream_sequence_packing,
     "stream_interval_join": q_stream_interval_join,
     "dedup_spans": q_dedup_spans,
+    "quality_classifier": q_quality_classifier,
 }
 
 ORACLES_EXT6: dict[str, str] = {
@@ -692,4 +735,5 @@ ORACLES_EXT6: dict[str, str] = {
     "stream_sequence_packing": ORACLE_SEQUENCE_PACKING,
     "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
     "dedup_spans": ORACLE_DEDUP_SPANS,
+    "quality_classifier": _oracle_quality_classifier(),
 }

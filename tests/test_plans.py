@@ -222,3 +222,12 @@ def test_dedup_spans_two_aggs_no_join(spark, registry):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_quality_classifier_pure_map(spark, registry):
+    """The hashed-n-gram classifier is a per-row map at scan speed: no
+    Exchange, no Python, no join."""
+    plan = plan_of(registry["quality_classifier"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
