@@ -78,6 +78,8 @@ HEADLINE = [
     "ssoft_hg1g2_fit",
     "dedup_spans",
     "quality_classifier",
+    "host_curation",
+    "corpus_datacard",
 ]
 
 

@@ -629,6 +629,135 @@ SELECT doc_id, source, quality_score, quality_score > 0.5 AS keep FROM s
 
 
 # --------------------------------------------------------------------------
+# URL/host-level curation (C4-style blocklist + host aggregation)
+# --------------------------------------------------------------------------
+
+# The documents table carries no URL, so both engines derive the same
+# deterministic one from (source, doc_id) — the operator under test is
+# the host-extraction regexp, the broadcast blocklist anti-join, and the
+# per-host rollup (the C4/RefinedWeb curation stage that filters and
+# rates whole domains before any per-doc work).
+
+_BLOCKED_SOURCES = ("src3", "src7")
+_BLOCKED_HOSTS = [
+    f"{s}.example-{k}.org" for s in _BLOCKED_SOURCES for k in range(3)
+]
+_HOST_RE = "https://([^/]+)/"
+
+
+def q_host_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level curation: synthesize url → regexp host extraction →
+    broadcast anti-join against a blocklist → per-host doc/char rollup.
+    Blocklist is broadcast (never a shuffle); the host agg is one
+    map-combinable shuffle keyed by host — the C4 domain-filter shape."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("n_chars")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example-"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    hosts = docs.withColumn("host", F.regexp_extract(url, _HOST_RE, 1))
+    block = spark.createDataFrame(
+        [(h,) for h in _BLOCKED_HOSTS], "host string"
+    )
+    kept = hosts.join(F.broadcast(block), "host", "left_anti")
+    return (
+        kept.groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+ORACLE_HOST_CURATION = f"""
+WITH u AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         'https://' || source || '.example-' || (doc_id % 3)
+         || '.org/p/' || doc_id AS url
+  FROM documents
+),
+h AS (
+  SELECT regexp_extract(url, '{_HOST_RE}', 1) AS host, n_chars FROM u
+)
+SELECT host, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM h
+WHERE host NOT IN ({", ".join(f"'{b}'" for b in _BLOCKED_HOSTS)})
+GROUP BY host
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus data-card rollup (per-source composition statistics)
+# --------------------------------------------------------------------------
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source composition table a training run publishes with its
+    data card: doc counts, char volume, token-count percentiles, and
+    type-token ratio (lexical diversity). Two map-combinable aggs — doc
+    grain and token grain — joined on the 20-row source key."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.length("text").alias("n_chars"),
+        tokens("text").alias("toks"),
+    )
+    doc_stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.percentile(F.size("toks"), F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile(F.size("toks"), F.lit(0.9)), 4).alias("p90_tokens"),
+    )
+    tok_stats = (
+        docs.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.countDistinct("tok").alias("distinct_tokens"),
+        )
+        .withColumn(
+            "ttr",
+            F.round(F.col("distinct_tokens") / F.col("total_tokens"), 6),
+        )
+    )
+    return doc_stats.join(tok_stats, "source").select(
+        "source", "n_docs", "total_chars", "p50_tokens", "p90_tokens",
+        "total_tokens", "distinct_tokens", "ttr",
+    )
+
+
+ORACLE_CORPUS_DATACARD = f"""
+WITH tok AS (
+  SELECT source, length(text) AS n_chars, {tokens_sql('text')} AS toks
+  FROM documents
+),
+d AS (
+  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         round(quantile_cont(len(toks), 0.5), 4) AS p50_tokens,
+         round(quantile_cont(len(toks), 0.9), 4) AS p90_tokens
+  FROM tok GROUP BY source
+),
+t AS (
+  SELECT source, count(*) AS total_tokens,
+         count(DISTINCT w) AS distinct_tokens,
+         round(count(DISTINCT w) * 1.0 / count(*), 6) AS ttr
+  FROM (SELECT source, unnest(toks) AS w FROM tok)
+  GROUP BY source
+)
+SELECT d.source, n_docs, total_chars, p50_tokens, p90_tokens,
+       total_tokens, distinct_tokens, ttr
+FROM d JOIN t ON d.source = t.source
+"""
+
+
+# --------------------------------------------------------------------------
 # Stream-stream watermarked interval join (§2.9): view→click attribution
 # --------------------------------------------------------------------------
 
@@ -722,6 +851,8 @@ QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join": q_stream_interval_join,
     "dedup_spans": q_dedup_spans,
     "quality_classifier": q_quality_classifier,
+    "host_curation": q_host_curation,
+    "corpus_datacard": q_corpus_datacard,
 }
 
 ORACLES_EXT6: dict[str, str] = {
@@ -736,4 +867,6 @@ ORACLES_EXT6: dict[str, str] = {
     "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "quality_classifier": _oracle_quality_classifier(),
+    "host_curation": ORACLE_HOST_CURATION,
+    "corpus_datacard": ORACLE_CORPUS_DATACARD,
 }

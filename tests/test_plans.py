@@ -231,3 +231,12 @@ def test_quality_classifier_pure_map(spark, registry):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_host_curation_broadcast_blocklist(spark, registry):
+    """The blocklist anti-join is broadcast (never shuffles the corpus)
+    and the only Exchange is the host rollup."""
+    plan = plan_of(registry["host_curation"](spark, SF))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
