@@ -80,6 +80,8 @@ HEADLINE = [
     "quality_classifier",
     "host_curation",
     "corpus_datacard",
+    "embedding_centroids",
+    "audio_frame_energy",
 ]
 
 

@@ -80,8 +80,44 @@ def _gzip_decode(blob: bytes) -> dict:
     }
 
 
+PCM_FRAME = 25  # samples per analysis frame
+
+
+def _pcm8_decode(blob: bytes) -> dict:
+    """Audio-shaped decode path: interpret the blob as unsigned 8-bit PCM
+    centered at 128 and emit frame-energy features (the waveform
+    analogue of the image stamp statistics). All-integer arithmetic, so
+    the features are EXACTLY reproducible by any engine that can read
+    byte values — the differential oracle recomputes them from ASCII
+    codes in SQL. A real audio codec (soundfile/ffmpeg) slots in via
+    register_codec with the same signature."""
+    import numpy as np
+
+    if not blob:
+        return {
+            "n_samples": 0,
+            "n_frames": 0,
+            "total_energy": 0,
+            "max_frame_energy": 0,
+        }
+    s = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+    e = (s - 128) ** 2
+    frames = np.add.reduceat(e, np.arange(0, len(e), PCM_FRAME))
+    return {
+        "n_samples": int(len(s)),
+        "n_frames": int(len(frames)),
+        "total_energy": int(e.sum()),
+        "max_frame_energy": int(frames.max()),
+    }
+
+
 register_codec("fake", _fake_decode)
 register_codec("gzip", _gzip_decode, schema="payload_len long, payload_md5 string")
+register_codec(
+    "pcm8",
+    _pcm8_decode,
+    schema="n_samples int, n_frames int, total_energy long, max_frame_energy long",
+)
 
 
 def decode_image(blob: bytes):  # pragma: no cover - explicit stub

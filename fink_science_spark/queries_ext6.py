@@ -758,6 +758,131 @@ FROM d JOIN t ON d.source = t.source
 
 
 # --------------------------------------------------------------------------
+# Embedding-table aggregates: per-label centroids + cohesion
+# --------------------------------------------------------------------------
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids and cluster cohesion: mean vector
+    per label (posexplode → (label, dim) avg — partial aggregation
+    collapses the 64× row expansion to 10×64 rows per task before the
+    shuffle), then the 10-row centroid table broadcast back onto members
+    for the mean member→centroid cosine. The embedding-quality rollup a
+    curation pipeline tracks per source/cluster."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("cent")
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    joined = emb.join(F.broadcast(cent), "label")
+    cn = F.sqrt(dot(F.col("cent"), F.col("cent")))
+    cos = dot(F.col("embedding"), F.col("cent")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * cn
+    )
+    return (
+        joined.select("label", cn.alias("cn"), cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.first("cn"), 5).alias("centroid_norm"),
+            F.round(F.avg("cos"), 5).alias("avg_cos"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+WITH ex AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS pos, embedding
+  FROM embeddings
+),
+c AS (
+  SELECT label, pos, avg(embedding[pos]) AS c FROM ex GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(c ORDER BY pos) AS cent FROM c GROUP BY label
+),
+m AS (
+  -- embedding elements cast to DOUBLE before multiplying: duckdb would
+  -- otherwise multiply in FLOAT while Spark's lambda promotes to double
+  SELECT e.label,
+         list_sum([e.embedding[i]::DOUBLE * t.cent[i]
+                   for i in generate_series(1, len(e.embedding))])
+         / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                           for i in generate_series(1, len(e.embedding))]))
+            * sqrt(list_sum([t.cent[i] * t.cent[i]
+                             for i in generate_series(1, len(t.cent))])))
+           AS cos,
+         sqrt(list_sum([t.cent[i] * t.cent[i]
+                        for i in generate_series(1, len(t.cent))])) AS cn
+  FROM embeddings e JOIN cent t ON e.label = t.label
+)
+SELECT label, count(*) AS n_vecs,
+       round(any_value(cn), 5) AS centroid_norm,
+       round(avg(cos), 5) AS avg_cos
+FROM m GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# Audio-shaped multimodal features (second modality on the codec registry)
+# --------------------------------------------------------------------------
+
+
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the blob-codec plumbing: each
+    document's bytes stand in for an 8-bit PCM waveform; the pcm8 codec
+    (mapInPandas, Arrow-batch-bounded, blob never shuffled) emits
+    all-integer frame-energy features the oracle recomputes from ASCII
+    codes — the image-stamp pattern applied to a second modality."""
+    from fink_science_spark.operators.multimodal import extract_blob_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return extract_blob_features(docs, "doc_id", "blob", codec="pcm8")
+
+
+ORACLE_AUDIO_FRAME_ENERGY = """
+WITH f AS (
+  SELECT doc_id, length(text) AS n,
+         [list_sum([(ascii(substr(text, (fr - 1) * 25 + j, 1)) - 128)
+                    * (ascii(substr(text, (fr - 1) * 25 + j, 1)) - 128)
+                    for j in generate_series(1,
+                        least(25, length(text) - (fr - 1) * 25))])
+          for fr in generate_series(1,
+              cast(ceil(length(text) / 25.0) AS BIGINT))] AS frames
+  FROM documents
+)
+SELECT doc_id,
+       n AS n_samples,
+       len(frames) AS n_frames,
+       CASE WHEN n > 0 THEN list_sum(frames) ELSE 0 END AS total_energy,
+       CASE WHEN n > 0 THEN list_max(frames) ELSE 0 END AS max_frame_energy
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
 # Stream-stream watermarked interval join (§2.9): view→click attribution
 # --------------------------------------------------------------------------
 
@@ -853,6 +978,8 @@ QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "host_curation": q_host_curation,
     "corpus_datacard": q_corpus_datacard,
+    "embedding_centroids": q_embedding_centroids,
+    "audio_frame_energy": q_audio_frame_energy,
 }
 
 ORACLES_EXT6: dict[str, str] = {
@@ -869,4 +996,6 @@ ORACLES_EXT6: dict[str, str] = {
     "quality_classifier": _oracle_quality_classifier(),
     "host_curation": ORACLE_HOST_CURATION,
     "corpus_datacard": ORACLE_CORPUS_DATACARD,
+    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
+    "audio_frame_energy": ORACLE_AUDIO_FRAME_ENERGY,
 }

@@ -589,3 +589,26 @@ def test_span_dedup_first_occurrence_wins(spark):
     assert out[1] == (2, a)
     assert 2 not in out  # exact clone fully removed
     assert out[3] == (1, "seven eight nine")  # shared first span dropped
+
+
+def test_pcm8_codec_byte_semantics_on_unicode(spark):
+    """pcm8 operates on BYTES: a multi-byte UTF-8 char contributes one
+    sample per byte (the oracle's per-CHARACTER recompute only matches
+    on ASCII corpora — this pins the byte contract the kernel owns)."""
+    from fink_science_spark.operators.multimodal import (
+        PCM_FRAME,
+        extract_blob_features,
+    )
+
+    text = "héllo" * 11  # é = 2 bytes → 66 bytes from 55 chars
+    raw = text.encode("utf-8")
+    df = spark.createDataFrame([(1, bytearray(raw))], "doc_id long, blob binary")
+    row = extract_blob_features(df, "doc_id", "blob", codec="pcm8").first()
+    e = [(b - 128) ** 2 for b in raw]
+    frames = [
+        sum(e[i : i + PCM_FRAME]) for i in range(0, len(e), PCM_FRAME)
+    ]
+    assert row["n_samples"] == len(raw) == 66
+    assert row["n_frames"] == len(frames)
+    assert row["total_energy"] == sum(e)
+    assert row["max_frame_energy"] == max(frames)
