@@ -367,3 +367,59 @@ def test_stream_interval_join_across_batches(spark, multi_file_events):
     )
     assert diff == 0
     assert got.count() > 0
+
+
+def test_checkpoint_restart_exactly_once(spark, multi_file_events):
+    """Stop/restart recovery: a file-source stream with a checkpoint is
+    run over the first files, killed, more files appear, and the SAME
+    checkpoint+sink resume — every input row lands in the parquet sink
+    exactly once (source offsets + file-sink transaction log together
+    give end-to-end exactly-once; re-running from scratch would
+    double-count)."""
+    base = os.path.join(SCRATCH, f"ckpt_restart_{uuid.uuid4().hex[:8]}")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    staged = os.path.join(base, "staged")
+    os.makedirs(src)
+    ev = spark.read.parquet(multi_file_events)
+    # range partitioning → every file non-empty (hash partitioning can
+    # emit empty part files, which would make a half-split vacuous)
+    ev.repartitionByRange(4, "event_id").write.parquet(staged)
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(files) == 4
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+
+    schema = ev.schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert 0 < n_first < ev.count()
+
+    for f in files[half:]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    run_once()  # same checkpoint: must process ONLY the new files
+
+    got = spark.read.parquet(sink)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    shutil.rmtree(base, ignore_errors=True)
