@@ -82,6 +82,7 @@ HEADLINE = [
     "corpus_datacard",
     "embedding_centroids",
     "audio_frame_energy",
+    "scd2_history",
 ]
 
 

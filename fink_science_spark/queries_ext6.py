@@ -883,6 +883,72 @@ FROM f
 
 
 # --------------------------------------------------------------------------
+# SCD2 dimension history build (warehouse merge pattern)
+# --------------------------------------------------------------------------
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change feed: per
+    user, the coarse attribute floor(value/100) observed at each purchase
+    becomes a VERSION row only when it CHANGES (lag collapse), with
+    [valid_from, valid_to) intervals from lead() and an is_current flag.
+
+    Scale shape: both window passes share one (user_id) partitioning —
+    a single shuffle; ties break on event_id so both engines pick the
+    same version boundaries. This is the batch MERGE a warehouse runs to
+    maintain dimension history."""
+    ev = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.floor(F.col("value") / 100).cast("long").alias("attr"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changed = ev.withColumn("prev_attr", F.lag("attr").over(w)).filter(
+        F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changed.select(
+        "user_id",
+        "attr",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.lead("ts_us").over(w2).isNull().alias("is_current"),
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH feed AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         cast(floor(value / 100) AS BIGINT) AS attr
+  FROM events WHERE event_type = 'purchase'
+),
+ch AS (
+  SELECT *,
+         lag(attr) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_attr
+  FROM feed
+),
+v AS (
+  SELECT user_id, event_id, attr, ts_us AS valid_from_us
+  FROM ch WHERE prev_attr IS NULL OR attr != prev_attr
+)
+SELECT user_id, attr, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id
+                                 ORDER BY valid_from_us, event_id)
+         AS valid_to_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id
+                                 ORDER BY valid_from_us, event_id)
+         IS NULL AS is_current
+FROM v
+"""
+
+
+# --------------------------------------------------------------------------
 # Stream-stream watermarked interval join (§2.9): view→click attribution
 # --------------------------------------------------------------------------
 
@@ -980,6 +1046,7 @@ QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_datacard": q_corpus_datacard,
     "embedding_centroids": q_embedding_centroids,
     "audio_frame_energy": q_audio_frame_energy,
+    "scd2_history": q_scd2_history,
 }
 
 ORACLES_EXT6: dict[str, str] = {
@@ -998,4 +1065,5 @@ ORACLES_EXT6: dict[str, str] = {
     "corpus_datacard": ORACLE_CORPUS_DATACARD,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "audio_frame_energy": ORACLE_AUDIO_FRAME_ENERGY,
+    "scd2_history": ORACLE_SCD2_HISTORY,
 }

@@ -240,3 +240,11 @@ def test_host_curation_broadcast_blocklist(spark, registry):
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_scd2_single_shuffle_shared_by_both_windows(spark, registry):
+    """SCD2's lag-collapse and lead-interval windows share one (user_id)
+    partitioning: exactly one Exchange, no Python."""
+    plan = plan_of(registry["scd2_history"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "EvalPython" not in plan, plan
