@@ -423,3 +423,49 @@ def test_checkpoint_restart_exactly_once(spark, multi_file_events):
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_drop_duplicates_within_watermark_across_batches(spark, multi_file_events):
+    """dropDuplicatesWithinWatermark: duplicates of a row arriving in a
+    LATER micro-batch (within the watermark horizon) are still dropped —
+    unlike dropDuplicates, state here is evictable once the watermark
+    passes, which is what makes streaming dedup viable at 100 TB/day.
+    The doubled stream must aggregate to the plain batch answer."""
+    schema = spark.read.parquet(multi_file_events).schema
+
+    def feed():
+        return (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(multi_file_events)
+        )
+
+    from fink_science_spark.streaming.shell import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 4):
+        doubled = feed().union(feed())
+        doubled = doubled.withColumn("ts_event", _ts_event_col(doubled))
+        deduped = (
+            doubled.withWatermark("ts_event", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        name = f"ddww_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r["event_type"]: r["n"] for r in spark.table(name).collect()}
+
+    ev = spark.read.parquet(multi_file_events)
+    exp = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp
