@@ -248,3 +248,42 @@ def test_scd2_single_shuffle_shared_by_both_windows(spark, registry):
     plan = plan_of(registry["scd2_history"](spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Scale pin: with a selective build side, Catalyst injects a runtime
+    Bloom filter (bloom_filter_agg → might_contain) on the probe scan —
+    the mechanism that prunes a 100 TB fact scan before the shuffle when
+    broadcast is off the table. Thresholds are scoped down because the
+    test tables are far below the production defaults (10 GB probe side).
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        orders = (
+            spark.read.parquet(SF + "/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet(SF + "/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
