@@ -83,6 +83,7 @@ HEADLINE = [
     "embedding_centroids",
     "audio_frame_energy",
     "scd2_history",
+    "curated_corpus",
 ]
 
 

@@ -883,6 +883,56 @@ FROM f
 
 
 # --------------------------------------------------------------------------
+# Curated corpus: the end artifact (near-dup clusters → keep canonicals)
+# --------------------------------------------------------------------------
+
+
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact a dedup pipeline actually ships: the corpus with
+    every non-canonical near-duplicate removed. Composes the existing
+    operators end to end — MinHash-LSH pairs → connected components →
+    keep cluster minima — and anti-joins the (small) eviction list back
+    onto the corpus. The eviction side is duplicates-only, orders of
+    magnitude smaller than the corpus, so the anti-join broadcasts."""
+    from fink_science_spark.operators.graph import connected_components
+    from fink_science_spark.queries_ext import (
+        _MH_BANDS,
+        _MH_NUM,
+        _doc_shingles,
+    )
+    from fink_science_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _doc_shingles(spark, sf_dir),
+        "doc_id",
+        tokens_col="shingles",
+        num_hashes=_MH_NUM,
+        bands=_MH_BANDS,
+        jaccard_threshold=0.5,
+        shingles_col="shingles",
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", shuffle_partitions=8)
+    evict = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("n_chars")
+    )
+    return docs.join(F.broadcast(evict), "doc_id", "left_anti")
+
+
+def _oracle_curated_corpus() -> str:
+    from fink_science_spark.queries_ext import _oracle_dedup_clusters
+
+    return f"""
+WITH clusters AS ({_oracle_dedup_clusters()})
+SELECT doc_id, source, length(text) AS n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster)
+"""
+
+
+# --------------------------------------------------------------------------
 # SCD2 dimension history build (warehouse merge pattern)
 # --------------------------------------------------------------------------
 
@@ -1047,6 +1097,7 @@ QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "audio_frame_energy": q_audio_frame_energy,
     "scd2_history": q_scd2_history,
+    "curated_corpus": q_curated_corpus,
 }
 
 ORACLES_EXT6: dict[str, str] = {
@@ -1066,4 +1117,5 @@ ORACLES_EXT6: dict[str, str] = {
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "audio_frame_energy": ORACLE_AUDIO_FRAME_ENERGY,
     "scd2_history": ORACLE_SCD2_HISTORY,
+    "curated_corpus": _oracle_curated_corpus(),
 }
