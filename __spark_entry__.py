@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext4 import QUERIES_EXT4
     from fink_science_spark.queries_ext5 import QUERIES_EXT5
     from fink_science_spark.queries_ext6 import QUERIES_EXT6
+    from fink_science_spark.queries_ext7 import QUERIES_EXT7
 
     return {
         **QUERIES,
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT4,
         **QUERIES_EXT5,
         **QUERIES_EXT6,
+        **QUERIES_EXT7,
     }
 
 
@@ -52,6 +54,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext4 import ORACLES_EXT4
     from fink_science_spark.queries_ext5 import ORACLES_EXT5
     from fink_science_spark.queries_ext6 import ORACLES_EXT6
+    from fink_science_spark.queries_ext7 import ORACLES_EXT7
 
     return {
         **ORACLES,
@@ -61,4 +64,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT4,
         **ORACLES_EXT5,
         **ORACLES_EXT6,
+        **ORACLES_EXT7,
     }

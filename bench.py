@@ -84,6 +84,11 @@ HEADLINE = [
     "audio_frame_energy",
     "scd2_history",
     "curated_corpus",
+    # round 2, wave 8: remaining §2.8 kernel shapes
+    "crossmatch_mangrove",
+    "anomaly_score",
+    "ks_source_drift",
+    "power_spectrum",
 ]
 
 

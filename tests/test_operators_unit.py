@@ -612,3 +612,50 @@ def test_pcm8_codec_byte_semantics_on_unicode(spark):
     assert row["n_frames"] == len(frames)
     assert row["total_energy"] == sum(e)
     assert row["max_frame_energy"] == max(frames)
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    """KS via the RANGE-window plan equals the textbook sup|F_a - F_b|
+    computed pointwise in Python, including ties across samples."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.operators.stats import ks_two_sample
+
+    a = [1.0, 2.0, 2.0, 5.0, 9.0]
+    b = [2.0, 3.0, 3.0, 9.0]
+    rows = [("g", v, "a") for v in a] + [("g", v, "b") for v in b]
+    df = spark.createDataFrame(rows, "grp string, v double, lab string")
+    got = ks_two_sample(
+        df, "grp", "v", F.col("lab") == "a", F.col("lab") == "b"
+    ).first()
+
+    pts = sorted(set(a + b))
+    expect = max(
+        abs(
+            sum(x <= p for x in a) / len(a)
+            - sum(x <= p for x in b) / len(b)
+        )
+        for p in pts
+    )
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["ks_stat"] - expect) < 1e-12
+
+
+def test_dft_power_matches_numpy_fft(spark):
+    """The unrolled fold equals |np.fft.fft(x)[k]|² for every k, and the
+    empty-slice guard returns 0.0 (sequence(0,-1) would descend)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.operators.stats import dft_power
+
+    x = [3.0, -1.0, 4.0, 1.0, -5.0, 9.0, 2.0, -6.0]
+    df = spark.createDataFrame([(x,), ([],)], "arr array<double>")
+    cols = [dft_power(F.col("arr"), k, len(x)).alias(f"p{k}") for k in range(1, 4)]
+    rows = df.select(*cols).collect()
+    # np.fft sign convention: X_k = sum x_j * exp(-2πi jk/N); |X_k|² is
+    # invariant under the conjugate, so the cos/sin fold matches directly.
+    ref = np.abs(np.fft.fft(np.array(x))) ** 2
+    for k in range(1, 4):
+        assert abs(rows[0][f"p{k}"] - ref[k]) < 1e-9
+        assert rows[1][f"p{k}"] == 0.0
