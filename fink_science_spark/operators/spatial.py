@@ -119,6 +119,7 @@ def nearest_join_sky(
     broadcast_right: bool = True,
     payload: list[str] | None = None,
     polar_cells: bool = True,
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """The flagship 2-D sky crossmatch: for each left row, the nearest
     right row within ``radius_deg`` great-circle degrees (reference
@@ -168,6 +169,16 @@ def nearest_join_sky(
     known-equatorial domains.
 
     Returns (left_id, right_id, dist_deg, *payload) — matched rows only.
+
+    ``keep_unmatched=True`` restores the reference's every-row-gets-a-
+    result contract (crossmatch_mangrove's default-dict fill,
+    ztf/xmatch/processor.py:685-688) WITHOUT a join back to the left
+    table: one all-null sentinel candidate per left row is unioned in
+    before the arg-min window, and nulls-last ordering makes it lose to
+    any real match. Unmatched rows come back with null right_id / dist /
+    payload, and the plan gains only a second columnar scan of the left
+    keys — never a second shuffle (the sentinels ride the window's
+    existing left_id partitioning).
     """
     import math
 
@@ -277,7 +288,21 @@ def nearest_join_sky(
         )
         cand = cand.unionByName(cap_cand)
 
-    w = Window.partitionBy("__lid").orderBy(F.col("__dist").asc(), F.col("__rid").asc())
+    if keep_unmatched:
+        sentinel = left.select(
+            F.col(left_id).alias("__lid"),
+            F.lit(None).cast(r.schema["__rid"].dataType).alias("__rid"),
+            F.lit(None).cast("double").alias("__dist"),
+            *[
+                F.lit(None).cast(right.schema[p].dataType).alias(p)
+                for p in (payload or [])
+            ],
+        )
+        cand = cand.unionByName(sentinel)
+
+    w = Window.partitionBy("__lid").orderBy(
+        F.col("__dist").asc_nulls_last(), F.col("__rid").asc_nulls_last()
+    )
     return (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

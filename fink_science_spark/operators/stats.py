@@ -145,22 +145,28 @@ def dft_power(arr: Column, k: int, n_fft: int) -> Column:
     vs = F.slice(arr, 1, n_fft)
     idx = F.sequence(F.lit(0), F.size(vs) - 1)
 
-    def fold(trig):
-        # guard: sequence(0, -1) would DESCEND for an empty slice
-        return F.when(
-            F.size(vs) > 0,
-            F.aggregate(
-                idx,
-                F.lit(0.0),
-                lambda acc, j: acc
+    # ONE fold per frequency: a (re, im) struct accumulator with the
+    # |X_k|² finish — naive re*re + im*im would inline the whole fold
+    # expression four times (re twice, im twice) and blow up codegen.
+    power = F.aggregate(
+        idx,
+        F.struct(F.lit(0.0).alias("re"), F.lit(0.0).alias("im")),
+        lambda acc, j: F.struct(
+            (
+                acc["re"]
                 + F.element_at(vs, (j + 1).cast("int"))
-                * trig((j * k).cast("double") * c),
-            ),
-        ).otherwise(F.lit(0.0))
-
-    re = fold(F.cos)
-    im = fold(F.sin)
-    return re * re + im * im
+                * F.cos((j * k).cast("double") * c)
+            ).alias("re"),
+            (
+                acc["im"]
+                + F.element_at(vs, (j + 1).cast("int"))
+                * F.sin((j * k).cast("double") * c)
+            ).alias("im"),
+        ),
+        lambda acc: acc["re"] * acc["re"] + acc["im"] * acc["im"],
+    )
+    # guard: sequence(0, -1) would DESCEND for an empty slice
+    return F.when(F.size(vs) > 0, power).otherwise(F.lit(0.0))
 
 
 def dft_power_sql(arr_expr: str, k: int, n_fft: int) -> str:

@@ -18,7 +18,6 @@ from fink_science_spark.operators.models import (
 )
 from fink_science_spark.operators.spatial import nearest_join_sky
 from fink_science_spark.operators.stats import (
-    dft_power,
     dft_power_sql,
     ks_two_sample,
     ks_two_sample_sql,
@@ -52,12 +51,12 @@ def q_crossmatch_mangrove(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first: the same grid-bucketed `nearest_join_sky` as the
     flagship crossmatch carries the catalog payload columns through the
-    arg-min; a LEFT join back to the alert side preserves the
-    every-row-gets-a-map contract; `create_map` builds the MapType value
-    and the output is flattened via getItem so any engine can verify it
-    (same policy as map_ops). The catalog side stays broadcast — the
-    payload adds bytes to the small side only, never a new shuffle.
-    """
+    arg-min, and `keep_unmatched=True` preserves the every-row-gets-a-map
+    contract via sentinel candidates in the SAME arg-min window — no join
+    back to the alert side, so the whole query is broadcast joins plus
+    the one window shuffle. `create_map` builds the MapType value and the
+    output is flattened via getItem so any engine can verify it (same
+    policy as map_ops)."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         _ra("c_custkey", *_CUST_RA).alias("ra"),
@@ -81,6 +80,7 @@ def q_crossmatch_mangrove(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dec",
         radius_deg=_MANGROVE_RADIUS,
         payload=["s_name", "s_nationkey"],
+        keep_unmatched=True,
     )
     payload = F.create_map(
         F.lit("galaxy_name"),
@@ -88,11 +88,7 @@ def q_crossmatch_mangrove(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("host_nation"),
         F.coalesce(F.col("s_nationkey").cast("string"), F.lit("None")),
     )
-    out = (
-        cust.select("c_custkey")
-        .join(nn.select("c_custkey", "s_name", "s_nationkey"), "c_custkey", "left")
-        .withColumn("__m", payload)
-    )
+    out = nn.withColumn("__m", payload)
     return out.select(
         "c_custkey",
         F.col("__m").getItem("galaxy_name").alias("galaxy_name"),
@@ -297,30 +293,55 @@ def q_power_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ztf/hostless_detection/powerspectrum.py:103-117, applied per stamp;
     here per history array, the 1-D analogue).
 
-    Spark-first: collect_history (one shuffle) then UNROLLED per-frequency
-    sequential folds — native HOFs, no Python, no scipy. Powers are
-    normalized by the squared absolute sum so the output is scale-free
-    O(1) and rounding-stable across engines' libm. Binning: low k∈{1,2},
-    mid k∈{3..5}, high k∈{6..8} band means, the bin-mean step of the
-    reference."""
-    from fink_science_spark.functions.arrays import collect_history
+    Spark-first: the DFT terms are CONDITIONAL SUM AGGREGATES over a
+    row_number window — sum(value·cos((j·k)·2π/N)) for j < N — so the
+    whole kernel is whole-stage-codegen'd JVM trig with no history array
+    ever materialized and ONE shuffle total (the groupBy reuses the
+    window's user_id partitioning). An earlier array-HOF formulation
+    (operators/stats.dft_power, kept for array-shaped inputs) ran ~3×
+    slower purely on interpreted-lambda overhead — HOF lambdas never
+    enter codegen. Accumulation order matches the oracle's sequential
+    list_sum because rows arrive sorted by (user, t) into a single
+    per-user partial aggregate. Powers are normalized by the squared
+    absolute sum so the output is scale-free O(1) and rounding-stable
+    across engines' libm. Binning: low k∈{1,2}, mid k∈{3..5}, high
+    k∈{6..8} band means, the bin-mean step of the reference."""
+    from pyspark.sql.window import Window
 
+    import math
+
+    c = 2.0 * math.pi / _N_FFT
     ev = _events_us(spark, sf_dir).withColumn(
         "t_days", F.col("ts_us") / F.lit(86400e6)
     )
-    h = collect_history(ev, key="user_id", order="t_days", values=["value"])
-    h = h.filter(F.size("cvalue") >= _PS_MIN_POINTS)
+    w = Window.partitionBy("user_id").orderBy("t_days", "value")
+    ev = ev.select(
+        "user_id", "value", (F.row_number().over(w) - 1).alias("__j")
+    )
+    in_fft = F.col("__j") < _N_FFT
+    angle = lambda k: (F.col("__j") * F.lit(k)).cast("double") * F.lit(c)  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n_obs")]
+    for k in range(1, 9):
+        aggs.append(
+            F.sum(F.when(in_fft, F.col("value") * F.cos(angle(k)))).alias(f"re{k}")
+        )
+        aggs.append(
+            F.sum(F.when(in_fft, F.col("value") * F.sin(angle(k)))).alias(f"im{k}")
+        )
+    aggs.append(F.sum(F.when(in_fft, F.abs("value"))).alias("sum_abs"))
+    g = ev.groupBy("user_id").agg(*aggs).filter(F.col("n_obs") >= _PS_MIN_POINTS)
 
-    vs = F.slice(F.col("cvalue"), 1, _N_FFT)
-    sum_abs = F.aggregate(vs, F.lit(0.0), lambda acc, x: acc + F.abs(x))
-    norm = sum_abs * sum_abs
-    p = {k: dft_power(F.col("cvalue"), k, _N_FFT) for k in range(1, 9)}
+    p = {
+        k: F.col(f"re{k}") * F.col(f"re{k}") + F.col(f"im{k}") * F.col(f"im{k}")
+        for k in range(1, 9)
+    }
+    norm = F.col("sum_abs") * F.col("sum_abs")
     low = (p[1] + p[2]) / F.lit(2.0)
     mid = (p[3] + p[4] + p[5]) / F.lit(3.0)
     high = (p[6] + p[7] + p[8]) / F.lit(3.0)
-    return h.select(
+    return g.select(
         "user_id",
-        F.size("cvalue").alias("n_obs"),
+        "n_obs",
         F.round(low / norm, 6).alias("p_low"),
         F.round(mid / norm, 6).alias("p_mid"),
         F.round(high / norm, 6).alias("p_high"),

@@ -287,3 +287,42 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_crossmatch_mangrove_broadcast_and_no_cartesian(spark, registry):
+    """The payload-map crossmatch must keep the catalog side broadcast
+    (payload columns ride the small side), never widen to a cartesian,
+    and honor the every-row contract through sentinel candidates in the
+    arg-min window — exactly one Exchange, no join back, no SMJ."""
+    plan = plan_of(registry["crossmatch_mangrove"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_anomaly_score_single_shuffle_one_python_stage(spark, registry):
+    """Both bands' sufficient statistics come from ONE scan + ONE groupBy
+    (no per-band self-join), and both forest scores evaluate in a single
+    Arrow Python stage (not one per band)."""
+    plan = plan_of(registry["anomaly_score"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython\b", plan)) == 1, plan
+
+
+def test_ks_source_drift_single_window_shuffle(spark, registry):
+    """Both ECDFs and both totals must come from ONE window partitioning
+    (a second Exchange on the same key is a regression), and the plan
+    stays fully native."""
+    plan = plan_of(registry["ks_source_drift"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_power_spectrum_native_single_shuffle(spark, registry):
+    """The DFT folds are native HOFs over the collected histories: one
+    groupBy Exchange, zero Python stages."""
+    plan = plan_of(registry["power_spectrum"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
