@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext5 import QUERIES_EXT5
     from fink_science_spark.queries_ext6 import QUERIES_EXT6
     from fink_science_spark.queries_ext7 import QUERIES_EXT7
+    from fink_science_spark.queries_ext8 import QUERIES_EXT8
 
     return {
         **QUERIES,
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT5,
         **QUERIES_EXT6,
         **QUERIES_EXT7,
+        **QUERIES_EXT8,
     }
 
 
@@ -55,6 +57,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext5 import ORACLES_EXT5
     from fink_science_spark.queries_ext6 import ORACLES_EXT6
     from fink_science_spark.queries_ext7 import ORACLES_EXT7
+    from fink_science_spark.queries_ext8 import ORACLES_EXT8
 
     return {
         **ORACLES,
@@ -65,4 +68,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT5,
         **ORACLES_EXT6,
         **ORACLES_EXT7,
+        **ORACLES_EXT8,
     }

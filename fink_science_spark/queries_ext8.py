@@ -1,0 +1,486 @@
+"""Query registry, wave 9: the remaining §2.8 classifier-module shapes —
+kilonova (PCA-projection features → forest, multi-condition veto mask),
+CATS (pad-to-fixed-length sequence → multi-class softmax array output),
+superluminous (sentinel −1 for vetoed rows), and the SSOFT spin-grid
+period scan as a native sufficient-statistics aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fink_science_spark.operators.models import (
+    forest_score_sql,
+    make_forest_score_udf,
+    mlp_score_sql,
+)
+from fink_science_spark.operators.period import (
+    period_scan_native,
+    period_scan_sql,
+)
+from fink_science_spark.queries import _events_us, _t
+
+# Days between the unix epoch and 2024-01-01 UTC: rebases event times so
+# trig arguments stay O(10²) (identical constant in both engines).
+_T0_DAYS = 1704067200.0 / 86400.0
+
+# --------------------------------------------------------------------------
+# period_scan: best-fit sinusoid period per user from a frozen grid
+# (SSOFT SHG1G2/SOCCA spin-scan shape, ztf/ssoft/processor.py:436-671)
+# --------------------------------------------------------------------------
+
+_PERIODS = [2.0, 3.0, 5.0, 7.0, 10.0, 14.0, 21.0, 28.0]
+
+
+def q_period_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid period search over per-user event histories: posexplode the
+    candidate grid (×8 per-row fan-out, no join), ONE map-combinable hash
+    aggregation of quantized sufficient statistics keyed (user, candidate),
+    Cramer 3×3 solve in columns, argmin-RSS window on the tiny candidate
+    table. The reference's per-object scipy minimize over spin candidates
+    becomes a single shuffle of int64 sums."""
+    ev = _events_us(spark, sf_dir).select(
+        "user_id",
+        (F.col("ts_us") / F.lit(86400e6) - F.lit(_T0_DAYS)).alias("t_days"),
+        (F.col("value") / F.lit(512.0)).alias("y"),
+    )
+    fit = period_scan_native(
+        ev, ["user_id"], "t_days", "y", _PERIODS, min_points=8
+    )
+    return fit.select(
+        "user_id",
+        "period",
+        "n",
+        F.round("amp", 6).alias("amp"),
+        F.round("level", 6).alias("level"),
+        F.round("rss", 6).alias("rss"),
+    )
+
+
+ORACLE_PERIOD_SCAN = f"""
+WITH best AS (
+{period_scan_sql(
+    "SELECT user_id, epoch_us(ts) / 86400e6 - " + repr(_T0_DAYS)
+    + " AS t_days, value / 512.0 AS y FROM events",
+    ["user_id"],
+    "t_days",
+    "y",
+    _PERIODS,
+    min_points=8,
+)}
+)
+SELECT user_id, period, n, round(amp, 6) AS amp,
+       round(level, 6) AS level, round(rss, 6) AS rss
+FROM best
+"""
+
+# --------------------------------------------------------------------------
+# kn_score: kilonova-shaped module — veto mask (history depth per band +
+# catalog-type whitelist) → per-band PCA-projection coefficients → frozen
+# forest → scatter back with 0.0 default
+# (ztf/kilonova/processor.py:37-186)
+# --------------------------------------------------------------------------
+
+# Frozen "principal components": dyadic rationals (k/1024) so every
+# product and the unrolled sums are exact IEEE arithmetic — required by
+# the forest's discontinuous thresholds (see operators/models.py).
+_KN_PC1 = [128 / 1024, 256 / 1024, 384 / 1024, 512 / 1024,
+           384 / 1024, 256 / 1024, 128 / 1024, 64 / 1024]
+_KN_PC2 = [-512 / 1024, -256 / 1024, 0.0, 256 / 1024,
+           512 / 1024, 256 / 1024, 0.0, -256 / 1024]
+_KN_K = 8
+# ×32 (exact) spreads coefficients across the forest's threshold range.
+_KN_GAIN = 32.0
+_KN_SEGMENTS = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+
+
+def _kn_coef_col(arr: str, pc: list[float]) -> F.Column:
+    """Unrolled projection Σ coalesce(arr[i], 0)/512 · pc[i] · GAIN —
+    identical term order to the SQL twin."""
+    acc = None
+    for i in range(_KN_K):
+        term = (
+            F.coalesce(F.try_element_at(F.col(arr), F.lit(i + 1)), F.lit(0.0))
+            / F.lit(512.0)
+            * F.lit(pc[i])
+        )
+        acc = term if acc is None else acc + term
+    return acc * F.lit(_KN_GAIN)
+
+
+def _kn_coef_sql(arr: str, pc: list[float]) -> str:
+    terms = " + ".join(
+        f"coalesce({arr}[{i + 1}], 0.0) / 512.0 * ({pc[i]!r})"
+        for i in range(_KN_K)
+    )
+    return f"(({terms}) * {_KN_GAIN!r})"
+
+
+def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kilonova-module lifecycle, Spark-first: the veto mask (≥2 points in
+    each band + broadcast catalog-type whitelist — the reference's
+    ndethist/jdstarthist/cdsxmatch cuts) is native SQL; the per-band
+    light curves are ONE groupBy into time-sorted arrays; the PCA
+    projection is an unrolled exact-IEEE dot product in columns; only the
+    forest evaluation runs in the Arrow kernel, and vetoed rows take the
+    0.0 default without ever reaching Python
+    (ztf/kilonova/processor.py:120-186: mask → extract_features_all_
+    lightcurves pcs projection → predict_kn_score → zeros scatter)."""
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    curves = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
+            ).alias("h")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("h.value").alias("vals"),
+            F.size("h").alias("npts"),
+        )
+    )
+    g = curves.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("vals").alias("g_vals"), F.col("npts").alias("n_g")
+    )
+    r = curves.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("vals").alias("r_vals"), F.col("npts").alias("n_r")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    both = (
+        g.join(r, "user_id", "full_outer")
+        .join(F.broadcast(cust), "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("n_g", F.lit(0)).alias("n_g"),
+            F.coalesce("n_r", F.lit(0)).alias("n_r"),
+            "g_vals",
+            "r_vals",
+            "c_mktsegment",
+        )
+    )
+    eligible = (
+        (F.col("n_g") >= 2)
+        & (F.col("n_r") >= 2)
+        & F.col("c_mktsegment").isin(*_KN_SEGMENTS)
+    )
+    feats = both.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        eligible.alias("__ok"),
+        _kn_coef_col("g_vals", _KN_PC1).alias("cg1"),
+        _kn_coef_col("g_vals", _KN_PC2).alias("cg2"),
+        _kn_coef_col("r_vals", _KN_PC1).alias("cr1"),
+        _kn_coef_col("r_vals", _KN_PC2).alias("cr2"),
+    )
+    score = make_forest_score_udf()
+    return feats.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        F.when(
+            F.col("__ok"),
+            F.round(score("cg1", "cg2", "cr1", "cr2"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("kn_score"),
+    )
+
+
+_KN_FOREST_SQL = forest_score_sql(
+    [_kn_coef_sql("g_vals", _KN_PC1), _kn_coef_sql("g_vals", _KN_PC2),
+     _kn_coef_sql("r_vals", _KN_PC1), _kn_coef_sql("r_vals", _KN_PC2)]
+)
+
+ORACLE_KN_SCORE = f"""
+WITH curves AS (
+  SELECT user_id, event_type,
+         list(value ORDER BY epoch_us(ts), value) AS vals,
+         count(*) AS npts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id, event_type
+),
+both_bands AS (
+  SELECT coalesce(g.user_id, r.user_id) AS user_id,
+         coalesce(g.npts, 0) AS n_g, coalesce(r.npts, 0) AS n_r,
+         g.vals AS g_vals, r.vals AS r_vals
+  FROM (SELECT * FROM curves WHERE event_type = 'click') g
+  FULL OUTER JOIN (SELECT * FROM curves WHERE event_type = 'purchase') r
+    ON g.user_id = r.user_id
+),
+with_seg AS (
+  SELECT b.*, c.c_mktsegment FROM both_bands b
+  LEFT JOIN customer c ON b.user_id = c.c_custkey
+)
+SELECT user_id, n_g, n_r,
+       CASE WHEN n_g >= 2 AND n_r >= 2
+                 AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+            THEN round({_KN_FOREST_SQL}, 6)
+            ELSE 0.0 END AS kn_score
+FROM with_seg
+"""
+
+# --------------------------------------------------------------------------
+# cats_broad_scores: CATS-shaped multi-class sequence classifier —
+# mask (<2 points → zero vector), pad-to-fixed-length with a −999
+# sentinel, frozen softmax head, Array<Double> output + argmax extraction
+# (rubin/cats/processor.py:41-169)
+# --------------------------------------------------------------------------
+
+_CATS_K = 8
+_CATS_PAD = -999.0
+_CATS_CLASSES = 5
+# Frozen softmax head: 5 classes × 4 features (+ bias), literal decimals.
+_CATS_W = [
+    [2.0, -1.0, 0.5, 0.0],
+    [-1.5, 2.5, 0.0, 1.0],
+    [0.5, 0.5, -2.0, 0.5],
+    [1.0, -0.5, 1.5, -1.0],
+    [-0.5, 0.0, 0.5, 2.0],
+]
+_CATS_B = [0.1, -0.1, 0.2, 0.0, -0.2]
+
+
+def q_cats_broad_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATS broad classification, Spark-first and UDF-free: the keras
+    pad_sequences step (rubin/cats/processor.py:141-160) is
+    slice + array_repeat concat to exactly K entries with the −999
+    sentinel; per-row min-max normalization (utilities.py:35 norm_column)
+    and the pooled features are array HOFs; the frozen 5-class softmax
+    head is column algebra, returned both as the Array<Double> the
+    reference emits and as the argmax the doctest extracts with
+    array_position(array_max) (processor.py:105-110). Rows with <2
+    points return the all-zero vector (the mask default at 116-121)."""
+    ev = _events_us(spark, sf_dir)
+    grouped = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
+            ).alias("h")
+        )
+        .select(
+            "user_id",
+            F.col("h.value").alias("vals"),
+            F.size("h").alias("n"),
+        )
+    )
+    head = F.slice(F.col("vals"), 1, _CATS_K)
+    n_real = F.least(F.col("n"), F.lit(_CATS_K))
+    padded = F.concat(
+        head,
+        F.array_repeat(F.lit(_CATS_PAD), F.lit(_CATS_K) - n_real),
+    )
+    d = grouped.select(
+        "user_id", "n", padded.alias("lc_padded"), n_real.alias("n_real")
+    )
+    real = F.slice(F.col("lc_padded"), 1, F.col("n_real"))
+    vmin, vmax = F.array_min(real), F.array_max(real)
+    rng = vmax - vmin
+    # norm_i = (v_i - vmin) / rng (0.0 on a flat curve), over real entries
+    norm = F.transform(
+        real,
+        lambda v: F.when(rng > 0, (v - vmin) / rng).otherwise(F.lit(0.0)),
+    )
+    f1 = F.aggregate(
+        norm, F.lit(0.0), lambda a, x: a + x
+    ) / F.col("n_real").cast("double")
+    f2 = F.col("n_real").cast("double") / F.lit(float(_CATS_K))
+    f3 = F.element_at(norm, 1)
+    f4 = F.element_at(norm, F.col("n_real"))
+    d = d.select(
+        "user_id", "n", "lc_padded",
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3"), f4.alias("f4"),
+    )
+    logits = []
+    for c in range(_CATS_CLASSES):
+        z = F.lit(_CATS_B[c])
+        for k, feat in enumerate(["f1", "f2", "f3", "f4"]):
+            z = z + F.col(feat) * F.lit(_CATS_W[c][k])
+        logits.append(F.exp(z))
+    denom = logits[0]
+    for e in logits[1:]:
+        denom = denom + e
+    probs = F.array(*[F.round(e / denom, 6) for e in logits])
+    zeros = F.array(*[F.lit(0.0)] * _CATS_CLASSES)
+    ok = F.col("n") >= 2
+    out = d.select(
+        "user_id",
+        "n",
+        "lc_padded",
+        F.when(ok, probs).otherwise(zeros).alias("probs"),
+    )
+    return out.withColumn(
+        "top_class",
+        F.when(
+            ok, F.array_position(F.col("probs"), F.array_max("probs")) - 1
+        ).otherwise(F.lit(-1)),
+    )
+
+
+def _cats_logit_sql(c: int) -> str:
+    terms = " + ".join(
+        f"f{k + 1} * ({_CATS_W[c][k]!r})" for k in range(4)
+    )
+    return f"exp(({_CATS_B[c]!r}) + {terms})"
+
+
+_CATS_EXPS = ", ".join(
+    f"{_cats_logit_sql(c)} AS e{c}" for c in range(_CATS_CLASSES)
+)
+_CATS_DENOM = " + ".join(f"e{c}" for c in range(_CATS_CLASSES))
+_CATS_PROBS = ", ".join(
+    f"round(e{c} / ({_CATS_DENOM}), 6)" for c in range(_CATS_CLASSES)
+)
+
+ORACLE_CATS_BROAD_SCORES = f"""
+WITH grouped AS (
+  SELECT user_id, list(value ORDER BY epoch_us(ts), value) AS vals,
+         count(*) AS n
+  FROM events GROUP BY user_id
+),
+padded AS (
+  SELECT user_id, n,
+         least(n, {_CATS_K}) AS n_real,
+         list_resize(vals[1:{_CATS_K}], {_CATS_K}, {_CATS_PAD!r}) AS lc_padded,
+         vals[1:least(n, {_CATS_K})] AS real_vals
+  FROM grouped
+),
+normed AS (
+  SELECT user_id, n, n_real, lc_padded,
+         list_min(real_vals) AS vmin, list_max(real_vals) AS vmax,
+         list_transform(real_vals,
+            v -> CASE WHEN list_max(real_vals) > list_min(real_vals)
+                      THEN (v - list_min(real_vals))
+                           / (list_max(real_vals) - list_min(real_vals))
+                      ELSE 0.0 END) AS nrm
+  FROM padded
+),
+feats AS (
+  SELECT user_id, n, lc_padded, n_real,
+         list_sum(nrm) / CAST(n_real AS DOUBLE) AS f1,
+         CAST(n_real AS DOUBLE) / {float(_CATS_K)!r} AS f2,
+         nrm[1] AS f3,
+         nrm[n_real] AS f4
+  FROM normed
+),
+scored AS (
+  SELECT user_id, n, lc_padded, {_CATS_EXPS} FROM feats
+)
+SELECT user_id, n, lc_padded,
+       CASE WHEN n >= 2 THEN [{_CATS_PROBS}]
+            ELSE [0.0, 0.0, 0.0, 0.0, 0.0] END AS probs,
+       CASE WHEN n >= 2 THEN list_position(
+                [{_CATS_PROBS}],
+                list_max([{_CATS_PROBS}])) - 1
+            ELSE -1 END AS top_class
+FROM scored
+"""
+
+# --------------------------------------------------------------------------
+# superluminous_sentinel: veto cascade with the −1 sentinel for rows that
+# are not eligible (not transient-like / too young / too few points),
+# frozen-MLP probability otherwise (ztf/superluminous/processor.py:34-268:
+# "Return -1 if not enough points … not a likely transient … less than
+# 30 days old")
+# --------------------------------------------------------------------------
+
+
+def q_superluminous_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sentinel-score module shape: every veto is a native aggregate
+    condition (error-rate flag standing in for the transient_features
+    boolean cascade, history span ≥ 25 d, ≥ 20 points), and only the
+    surviving rows are scored — vetoed rows emit the −1.0 sentinel the
+    downstream filters key on. One hash aggregation; the score itself is
+    the frozen-MLP column expression (continuous kernel, libm allowed)."""
+    ev = _events_us(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_err"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_buy"),
+        F.avg("value").alias("mean_value"),
+        (
+            (F.max("ts_us") - F.min("ts_us")) / F.lit(86400e6)
+        ).alias("age_days"),
+    )
+    eligible = (
+        (F.col("n_err") * 8 < F.col("n"))
+        & (F.col("age_days") >= 25.0)
+        & (F.col("n") >= 20)
+    )
+    f1 = F.col("mean_value") / F.lit(100.0)
+    f2 = F.log1p(F.col("n").cast("double"))
+    f3 = F.col("n_buy").cast("double") / F.col("n").cast("double")
+    f4 = F.col("age_days") / F.lit(30.0)
+    score_sql = mlp_score_sql(["f1", "f2", "f3", "f4"])
+    feats = per_user.select(
+        "user_id",
+        "n",
+        eligible.alias("__ok"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        f3.alias("f3"),
+        f4.alias("f4"),
+    )
+    return feats.select(
+        "user_id",
+        "n",
+        F.when(F.col("__ok"), F.round(F.expr(score_sql), 6))
+        .otherwise(F.lit(-1.0))
+        .alias("proba"),
+    )
+
+
+ORACLE_SUPERLUMINOUS = f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_buy,
+         avg(value) AS mean_value,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) / 86400e6 AS age_days
+  FROM events GROUP BY user_id
+),
+feats AS (
+  SELECT user_id, n,
+         (n_err * 8 < n AND age_days >= 25.0 AND n >= 20) AS ok,
+         mean_value / 100.0 AS f1,
+         ln(1 + CAST(n AS DOUBLE)) AS f2,
+         CAST(n_buy AS DOUBLE) / CAST(n AS DOUBLE) AS f3,
+         age_days / 30.0 AS f4
+  FROM per_user
+)
+SELECT user_id, n,
+       CASE WHEN ok THEN round({mlp_score_sql(["f1", "f2", "f3", "f4"])}, 6)
+            ELSE -1.0 END AS proba
+FROM feats
+"""
+
+# --------------------------------------------------------------------------
+
+QUERIES_EXT8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "period_scan": q_period_scan,
+    "kn_score": q_kn_score,
+    "cats_broad_scores": q_cats_broad_scores,
+    "superluminous_sentinel": q_superluminous_sentinel,
+}
+
+ORACLES_EXT8: dict[str, str] = {
+    "period_scan": ORACLE_PERIOD_SCAN,
+    "kn_score": ORACLE_KN_SCORE,
+    "cats_broad_scores": ORACLE_CATS_BROAD_SCORES,
+    "superluminous_sentinel": ORACLE_SUPERLUMINOUS,
+}
