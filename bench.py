@@ -89,6 +89,11 @@ HEADLINE = [
     "anomaly_score",
     "ks_source_drift",
     "power_spectrum",
+    # round 2, wave 9: classifier-module shapes + spin-grid scan
+    "period_scan",
+    "kn_score",
+    "cats_broad_scores",
+    "superluminous_sentinel",
 ]
 
 

@@ -470,12 +470,99 @@ FROM feats
 """
 
 # --------------------------------------------------------------------------
+# alert_replay: the pure-Python Spark DataSource (batch row-group
+# partitions + stats pruning; streaming row-offset replay) — the
+# Avro/Kafka-source architectural slot without JVM jars (SURVEY §2.1)
+# --------------------------------------------------------------------------
+
+
+def q_replay_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read through the custom Python data source with a pushed
+    predicate (pushFilters receives it; row groups are min/max-pruned and
+    Spark re-applies the filter exactly), aggregated per event_type. The
+    oracle reads the same parquet natively — source-equivalence is the
+    check."""
+    import os as _os
+
+    from fink_science_spark.sources.replay import register_replay_source
+
+    register_replay_source(spark)
+    # opt-in runtime conf gating pushFilters delivery to Python sources
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("alert_replay")
+        .option("path", _os.path.join(sf_dir, "events.parquet"))
+        .option("columns", "event_id,user_id,event_type,value")
+        .load()
+    )
+    return (
+        df.filter(F.col("value") > 100.0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("event_id").alias("min_event"),
+        )
+    )
+
+
+ORACLE_REPLAY_SCAN = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       min(event_id) AS min_event
+FROM events WHERE value > 100.0
+GROUP BY event_type
+"""
+
+
+def q_stream_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replay source as a REAL streaming source: deterministic
+    row-offset partitions, an aggregation over the replayed stream,
+    availableNow → memory sink. Replay-vs-batch equality is the oracle.
+    (Chunked multi-trigger replay is exercised in
+    tests/test_replay_source.py — the engine's availableNow handling for
+    Python sources is single-batch, so the gate query replays in one.)"""
+    import os as _os
+    import uuid as _uuid
+
+    from fink_science_spark.sources.replay import register_replay_source
+    from fink_science_spark.streaming.shell import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    register_replay_source(spark)
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.format("alert_replay")
+            .option("path", _os.path.join(sf_dir, "events.parquet"))
+            .option("columns", "event_id,user_id,event_type,value")
+            .option("rows_per_batch", "4000")
+            .load()
+        )
+        counts = stream.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        result = run_to_memory(
+            counts, f"replay_{_uuid.uuid4().hex[:8]}", spark
+        )
+    return result
+
+
+ORACLE_STREAM_REPLAY_COUNTS = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "period_scan": q_period_scan,
     "kn_score": q_kn_score,
     "cats_broad_scores": q_cats_broad_scores,
     "superluminous_sentinel": q_superluminous_sentinel,
+    "replay_scan": q_replay_scan,
+    "stream_replay_counts": q_stream_replay_counts,
 }
 
 ORACLES_EXT8: dict[str, str] = {
@@ -483,4 +570,6 @@ ORACLES_EXT8: dict[str, str] = {
     "kn_score": ORACLE_KN_SCORE,
     "cats_broad_scores": ORACLE_CATS_BROAD_SCORES,
     "superluminous_sentinel": ORACLE_SUPERLUMINOUS,
+    "replay_scan": ORACLE_REPLAY_SCAN,
+    "stream_replay_counts": ORACLE_STREAM_REPLAY_COUNTS,
 }
