@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext6 import QUERIES_EXT6
     from fink_science_spark.queries_ext7 import QUERIES_EXT7
     from fink_science_spark.queries_ext8 import QUERIES_EXT8
+    from fink_science_spark.queries_ext9 import QUERIES_EXT9
 
     return {
         **QUERIES,
@@ -45,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT6,
         **QUERIES_EXT7,
         **QUERIES_EXT8,
+        **QUERIES_EXT9,
     }
 
 
@@ -58,6 +60,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext6 import ORACLES_EXT6
     from fink_science_spark.queries_ext7 import ORACLES_EXT7
     from fink_science_spark.queries_ext8 import ORACLES_EXT8
+    from fink_science_spark.queries_ext9 import ORACLES_EXT9
 
     return {
         **ORACLES,
@@ -69,4 +72,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT6,
         **ORACLES_EXT7,
         **ORACLES_EXT8,
+        **ORACLES_EXT9,
     }

@@ -94,6 +94,11 @@ HEADLINE = [
     "kn_score",
     "cats_broad_scores",
     "superluminous_sentinel",
+    # round 2, wave 10: microlensing/orphan modules + equal-area pixel rollup
+    "mulens_score",
+    "orphan_score",
+    "sky_pixel_rollup",
+    "snn_ia_score",
 ]
 
 

@@ -260,3 +260,107 @@ def ft_score_sql(grams_expr: str) -> str:
         f"(CASE WHEN {n} > 0 THEN ({wsum}) / {n} ELSE 0.0 END))"
     )
     return f"1.0 / (1.0 + exp(-{logit}))"
+
+
+# --------------------------------------------------------------------------
+# Frozen unrolled RNN — the recurrent kernel family (SuperNNova torch RNN,
+# ztf/snn/processor.py:84-210; rubin/snn/processor.py:35-157). The
+# reference feeds a variable-length SNANA-formatted light curve through a
+# trained RNN; the engine shape is a FIXED-K unrolled recurrence over the
+# padded sequence (pad steps carry the hidden state through unchanged —
+# the packed-sequence semantics), which makes the forward pass pure
+# column algebra: no UDF, whole-stage codegen, and an exact SQL twin.
+#
+# h_t = atan(Wx·x_t + Wd·d_t + U·h_{t-1} + b)   (hidden size 2)
+# p   = sigmoid(V·h_K + c)
+#
+# The activation is atan — saturating like tanh, present in BOTH engines
+# (duckdb has no tanh), and crucially it references its argument ONCE:
+# writing tanh via exp would duplicate the recurrence subtree. Each step
+# is emitted as a NAMED projection (chained withColumn / chained CTEs),
+# not one nested expression: a nested unroll triples per step (the
+# hidden state is referenced three times), i.e. 3^K growth that breaks
+# whole-stage codegen by K=5; named steps stay linear, each hidden unit
+# is evaluated exactly once per row, and Catalyst keeps the projections
+# separate because collapsing would duplicate non-cheap expressions.
+# atan/sigmoid are continuous, so last-ulp libm differences between
+# engines stay bounded through the recurrence (|atan'| <= 1, |U| < 1
+# keeps the map contractive) and vanish under round(p, 6).
+# --------------------------------------------------------------------------
+
+RNN_WX = [0.9, -0.6]     # input weight per hidden unit (flux feature)
+RNN_WD = [0.3, 0.5]      # input weight per hidden unit (time-delta feature)
+RNN_U = [
+    [0.5, -0.25],        # recurrent weights, row = target unit
+    [0.25, 0.5],
+]
+RNN_B = [0.1, -0.1]
+RNN_V = [1.8, -1.4]      # readout
+RNN_C = 0.2
+
+
+def rnn_apply(df, steps, out_col: str):
+    """Run the frozen recurrence over ``steps`` = list of (x, d, is_pad)
+    Column triples in time order, appending one projection per step;
+    returns the DataFrame with ``out_col`` = sigmoid readout and the
+    intermediate ``__h*`` state columns dropped."""
+    from pyspark.sql import functions as F
+
+    prev = [F.lit(0.0), F.lit(0.0)]
+    names = []
+    for t, (x, d, is_pad) in enumerate(steps):
+        cols = []
+        for j in range(2):
+            z = (
+                x * F.lit(RNN_WX[j])
+                + d * F.lit(RNN_WD[j])
+                + prev[0] * F.lit(RNN_U[j][0])
+                + prev[1] * F.lit(RNN_U[j][1])
+                + F.lit(RNN_B[j])
+            )
+            cols.append(
+                F.when(is_pad, prev[j]).otherwise(F.atan(z)).alias(
+                    f"__h{t}_{j}"
+                )
+            )
+        df = df.select("*", *cols)
+        names.extend(f"__h{t}_{j}" for j in range(2))
+        prev = [F.col(f"__h{t}_0"), F.col(f"__h{t}_1")]
+    z_out = (
+        prev[0] * F.lit(RNN_V[0]) + prev[1] * F.lit(RNN_V[1]) + F.lit(RNN_C)
+    )
+    df = df.withColumn(
+        out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z_out))
+    )
+    return df.drop(*names)
+
+
+def rnn_sql_ctes(steps, source: str, prefix: str = "s"):
+    """SQL twin: chained CTEs, one per step, identical literals and
+    operation order. ``steps`` = (x_expr, d_expr, is_pad_expr) string
+    triples over ``source``'s columns. Returns (cte_sql, last_cte_name,
+    prob_expr)."""
+    prev = ["0.0", "0.0"]
+    ctes = []
+    cur = source
+    for t, (x, d, is_pad) in enumerate(steps):
+        exprs = []
+        for j in range(2):
+            z = (
+                f"({x}) * ({RNN_WX[j]!r}) + ({d}) * ({RNN_WD[j]!r})"
+                f" + ({prev[0]}) * ({RNN_U[j][0]!r})"
+                f" + ({prev[1]}) * ({RNN_U[j][1]!r}) + ({RNN_B[j]!r})"
+            )
+            exprs.append(
+                f"CASE WHEN {is_pad} THEN {prev[j]} ELSE atan({z}) END"
+                f" AS __h{t}_{j}"
+            )
+        name = f"{prefix}{t}"
+        ctes.append(f"{name} AS (SELECT *, {', '.join(exprs)} FROM {cur})")
+        prev = [f"__h{t}_0", f"__h{t}_1"]
+        cur = name
+    z_out = (
+        f"({prev[0]}) * ({RNN_V[0]!r}) + ({prev[1]}) * ({RNN_V[1]!r})"
+        f" + ({RNN_C!r})"
+    )
+    return ",\n".join(ctes), cur, f"(1.0 / (1.0 + exp(-({z_out}))))"

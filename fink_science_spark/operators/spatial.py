@@ -354,3 +354,67 @@ def range_count_join_1d(
         F.col("__lid").alias(left_id),
         F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equal-area hierarchical sky pixelization ("healpix-grade" bucketing).
+#
+# The reference handles spatial locality with manual dec-band pruning
+# (rubin/xmatch/processor.py:674-687) and, ecosystem-wide, HEALPix ids.
+# Proper HEALPix ang2pix is awkward as portable SQL; the property that
+# matters for a distributed engine is EQUAL AREA (uniform key occupancy
+# for isotropic skies -> no hot shuffle partitions at the poles, unlike
+# the plain lat-lon grid). The Lambert cylindrical equal-area grid has
+# exactly that property with two floors:
+#
+#     iy  = floor((sin(dec) + 1) / 2 * nside)          nside equal-AREA
+#           (clamped to nside-1 at dec=+90)            latitude rings
+#     ix  = floor(ra / 360 * 2*nside)  (clamped)       2*nside RA columns
+#     pix = iy * 2*nside + ix
+#
+# Every pixel covers the same solid angle 4*pi / (2*nside^2). The grid is
+# hierarchical by construction: the depth-(k-1) parent of a depth-k pixel
+# is (iy>>1, ix>>1) — a pure column expression, so a coarse rollup never
+# re-reads the points, it re-aggregates the fine aggregate (the
+# hypertable-rollup shape). Used as an alternative bucketing to the
+# (ra_block, dec_zone) grid of nearest_join_sky for aggregation queries.
+# --------------------------------------------------------------------------
+
+
+def equal_area_pixel(
+    ra: Column, dec: Column, nside: int
+) -> tuple[Column, Column, Column]:
+    """(ix, iy, pix) equal-area pixel coordinates for ra/dec in degrees."""
+    z = F.sin(F.radians(dec))
+    iy = F.least(
+        F.floor((z + F.lit(1.0)) / F.lit(2.0) * F.lit(float(nside))),
+        F.lit(nside - 1),
+    ).cast("long")
+    ix = F.least(
+        F.floor(ra / F.lit(360.0) * F.lit(2.0 * nside)),
+        F.lit(2 * nside - 1),
+    ).cast("long")
+    pix = iy * F.lit(2 * nside) + ix
+    return ix, iy, pix
+
+
+def equal_area_pixel_sql(ra: str, dec: str, nside: int) -> tuple[str, str, str]:
+    """SQL twins of :func:`equal_area_pixel` (identical literals/order)."""
+    iy = (
+        f"least(floor((sin(radians({dec})) + 1.0) / 2.0 * {float(nside)!r}), "
+        f"{nside - 1})"
+    )
+    ix = f"least(floor({ra} / 360.0 * {2.0 * nside!r}), {2 * nside - 1})"
+    pix = f"(({iy}) * {2 * nside} + ({ix}))"
+    return ix, iy, pix
+
+
+def parent_pixel(ix: Column, iy: Column, nside: int) -> Column:
+    """Depth-(k-1) parent pixel id of depth-k pixel coords (nside halves)."""
+    return F.floor(iy / F.lit(2)).cast("long") * F.lit(nside) + F.floor(
+        ix / F.lit(2)
+    ).cast("long")
+
+
+def parent_pixel_sql(ix: str, iy: str, nside: int) -> str:
+    return f"(floor(({iy}) / 2) * {nside} + floor(({ix}) / 2))"

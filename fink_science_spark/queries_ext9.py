@@ -1,0 +1,633 @@
+"""Query registry, wave 10: the last two §2.8 classifier-module shapes —
+microlensing (per-band DC-mag photometry → per-band forest → BOTH-bands-
+must-agree mean combine, ztf/microlensing/processor.py:39-190) and the
+orphan-GRB light-curve-morphology classifier (flux→mag, per-band rise /
+decay-third rates, first-to-peak duration, cross-band colour → frozen
+model, rubin/orphans/processor.py:29-102 + features_extraction.py) —
+plus the equal-area hierarchical sky-pixel rollup from the engineering
+roadmap ("healpix-grade bucketing": equal-occupancy spatial keys and a
+parent-pixel rollup that never re-reads the points).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fink_science_spark.functions.photometry import (
+    apparent_flux,
+    apparent_flux_sql,
+    dc_mag,
+    dc_mag_sql,
+)
+from fink_science_spark.operators.models import (
+    forest_score_sql,
+    make_forest_score_udf,
+    mlp_score_sql,
+    make_mlp_score_udf,
+)
+from fink_science_spark.operators.spatial import (
+    equal_area_pixel,
+    equal_area_pixel_sql,
+    parent_pixel,
+    parent_pixel_sql,
+)
+from fink_science_spark.queries import _events_us, _t
+
+# --------------------------------------------------------------------------
+# mulens_score: microlensing-module lifecycle.
+#
+# Reference semantics (ztf/microlensing/processor.py:126-190): mask =
+# ndethist < cap AND >= MIN_TOTAL valid points; per band (g, r): require
+# >= MIN_BAND points, convert difference photometry to DC magnitudes
+# (fink_utils dc_mag), featurize, PCA-project, RF-classify; the alert
+# scores the MEAN of the per-band ML probabilities only if BOTH bands
+# independently favour microlensing, else 0.0.
+#
+# Spark-first: the per-measurement DC-mag conversion is native column
+# algebra (functions/photometry); per-band statistics are ONE user-keyed
+# hash aggregation of conditional sums; the forest features are built
+# from INTEGER-quantized sufficient statistics (value has exactly 2
+# decimals -> round(value*100) is an exact int64; sums of ints are
+# order-independent, so the features are bit-identical in both engines —
+# the exact-IEEE contract tree thresholds require, see operators/models
+# forest notes). Only the frozen-forest Arrow kernel runs in Python, once
+# per band; vetoed rows take 0.0 without reaching it.
+# --------------------------------------------------------------------------
+
+_MU_NDET_CAP = 70     # ndethist < 100 analog, sized to the test tables
+_MU_MIN_TOTAL = 15    # >= 20-valid-points analog
+_MU_MIN_BAND = 8      # >= 10-per-band analog
+_MU_BANDS = ("click", "purchase")  # (g, r)
+
+# DC photometry synthesized deterministically from event columns:
+# difference magnitude from `value` (2-dec exact), constant reference
+# source, alternating subtraction sign from the integer key.
+_MU_MAGPSF = "12.0 + value / 64.0"
+_MU_SIGMAPSF = "0.01 + value / 32768.0"
+_MU_MAGNR = "13.5"
+_MU_SIGMAGNR = "0.02"
+_MU_ISPOS = "(event_id % 3) != 0"
+
+
+def _mu_band_feats(prefix: str) -> list[F.Column]:
+    """Forest features from exact integer sufficient statistics."""
+    n = F.col(f"n_{prefix}").cast("double")
+    mean_s = F.col(f"sum_{prefix}").cast("double") / n / F.lit(16384.0)
+    var_s = (
+        F.col(f"sum2_{prefix}").cast("double") / n
+        - (F.col(f"sum_{prefix}").cast("double") / n)
+        * (F.col(f"sum_{prefix}").cast("double") / n)
+    ) / F.lit(16384.0) / F.lit(16384.0)
+    amp_s = (
+        (F.col(f"max_{prefix}") - F.col(f"min_{prefix}")).cast("double")
+        / F.lit(32768.0)
+    )
+    return [n, mean_s, var_s, amp_s]
+
+
+def _mu_band_feats_sql(prefix: str) -> list[str]:
+    n = f"CAST(n_{prefix} AS DOUBLE)"
+    mean = f"(CAST(sum_{prefix} AS DOUBLE) / {n})"
+    return [
+        n,
+        f"({mean} / 16384.0)",
+        f"((CAST(sum2_{prefix} AS DOUBLE) / {n} - {mean} * {mean})"
+        f" / 16384.0 / 16384.0)",
+        f"(CAST(max_{prefix} - min_{prefix} AS DOUBLE) / 32768.0)",
+    ]
+
+
+def q_mulens_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    qv = F.round(F.col("value") * 100).cast("long")
+    magpsf = F.lit(12.0) + F.col("value") / F.lit(64.0)
+    sigmapsf = F.lit(0.01) + F.col("value") / F.lit(32768.0)
+    ispos = (F.col("event_id") % 3) != 0
+    dc_flux, dc_sigflux = apparent_flux(
+        magpsf, sigmapsf, F.lit(13.5), F.lit(0.02), ispos
+    )
+    m, _sig = dc_mag(dc_flux, dc_sigflux)
+    ev = ev.withColumn("qv", qv).withColumn("dcmag", m)
+
+    def band_aggs(band: str, prefix: str) -> list[F.Column]:
+        in_band = F.col("event_type") == band
+        return [
+            F.count(F.when(in_band, 1)).alias(f"n_{prefix}"),
+            F.sum(F.when(in_band, F.col("qv"))).alias(f"sum_{prefix}"),
+            F.sum(F.when(in_band, F.col("qv") * F.col("qv"))).alias(
+                f"sum2_{prefix}"
+            ),
+            F.min(F.when(in_band, F.col("qv"))).alias(f"min_{prefix}"),
+            F.max(F.when(in_band, F.col("qv"))).alias(f"max_{prefix}"),
+            F.avg(F.when(in_band, F.col("dcmag"))).alias(f"dcmag_{prefix}"),
+        ]
+
+    g = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("ndet"),
+            *band_aggs(_MU_BANDS[0], "g"),
+            *band_aggs(_MU_BANDS[1], "r"),
+        )
+    )
+    score = make_forest_score_udf()
+    prob_g = score(*_mu_band_feats("g"))
+    prob_r = score(*_mu_band_feats("r"))
+    ok = (
+        (F.col("ndet") < _MU_NDET_CAP)
+        & (F.col("n_g") + F.col("n_r") >= _MU_MIN_TOTAL)
+        & (F.col("n_g") >= _MU_MIN_BAND)
+        & (F.col("n_r") >= _MU_MIN_BAND)
+    )
+    both_ml = (prob_g >= 0.5) & (prob_r >= 0.5)
+    return g.select(
+        "user_id",
+        "ndet",
+        "n_g",
+        "n_r",
+        F.round("dcmag_g", 6).alias("dcmag_g"),
+        F.round("dcmag_r", 6).alias("dcmag_r"),
+        F.when(ok & both_ml, F.round((prob_g + prob_r) / 2, 6))
+        .otherwise(F.lit(0.0))
+        .alias("mulens_score"),
+    )
+
+
+def _oracle_mulens() -> str:
+    dc_flux, dc_sigflux = apparent_flux_sql(
+        _MU_MAGPSF, _MU_SIGMAPSF, _MU_MAGNR, _MU_SIGMAGNR, _MU_ISPOS
+    )
+    dcmag, _ = dc_mag_sql(dc_flux, dc_sigflux)
+    prob_g = forest_score_sql(_mu_band_feats_sql("g"))
+    prob_r = forest_score_sql(_mu_band_feats_sql("r"))
+
+    def band_aggs(band: str, prefix: str) -> str:
+        c = f"event_type = '{band}'"
+        return (
+            f"count(*) FILTER (WHERE {c}) AS n_{prefix}, "
+            f"sum(qv) FILTER (WHERE {c}) AS sum_{prefix}, "
+            f"sum(qv * qv) FILTER (WHERE {c}) AS sum2_{prefix}, "
+            f"min(qv) FILTER (WHERE {c}) AS min_{prefix}, "
+            f"max(qv) FILTER (WHERE {c}) AS max_{prefix}, "
+            f"avg(dcmag) FILTER (WHERE {c}) AS dcmag_{prefix}"
+        )
+
+    return f"""
+WITH phot AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS qv,
+         {dcmag} AS dcmag
+  FROM events
+),
+g AS (
+  SELECT user_id, count(*) AS ndet,
+         {band_aggs(_MU_BANDS[0], "g")},
+         {band_aggs(_MU_BANDS[1], "r")}
+  FROM phot GROUP BY user_id
+)
+SELECT user_id, ndet, n_g, n_r,
+       round(dcmag_g, 6) AS dcmag_g, round(dcmag_r, 6) AS dcmag_r,
+       CASE WHEN ndet < {_MU_NDET_CAP}
+                 AND n_g + n_r >= {_MU_MIN_TOTAL}
+                 AND n_g >= {_MU_MIN_BAND} AND n_r >= {_MU_MIN_BAND}
+                 AND ({prob_g}) >= 0.5 AND ({prob_r}) >= 0.5
+            THEN round((({prob_g}) + ({prob_r})) / 2, 6)
+            ELSE 0.0 END AS mulens_score
+FROM g
+"""
+
+
+ORACLE_MULENS_SCORE = _oracle_mulens()
+
+# --------------------------------------------------------------------------
+# orphan_score: orphan-GRB morphology classifier.
+#
+# Reference semantics (rubin/orphans/processor.py:29-102,
+# features_extraction.py:19-121): flux -> AB magnitude, veto < 5 valid
+# points; features = duration between first detection and the magnitude
+# peak, mean rise rate (negative mag rates), mean decay rate over the
+# first and last thirds of the decreasing segments (per band, dt > 0.1 d
+# pairs only), cross-band colour; a boosted-tree model emits the
+# probability, vetoed rows 0.0.
+#
+# Spark-first: magnitudes are QUANTIZED to 1/4096 once (exact doubles ->
+# diffs and per-band means are order-independent); consecutive-pair rates
+# come from ONE lag window per (user, band); the decreasing-segment
+# thirds are row_number/count over the same partitioning (no extra
+# shuffle); the duration-to-peak is an argmin window on (user). The
+# frozen model is the continuous MLP family (the reference's XGBoost slot
+# is the forest kernel proven in kn_score/model_score_forest; rates are
+# libm-derived so the continuous kernel is the numerically-honest choice
+# — see operators/models.py forest feature contract).
+# --------------------------------------------------------------------------
+
+_OR_MIN_PTS = 5
+_OR_DT_MIN = 0.02       # days; reference uses 0.1 d at survey cadence
+_OR_ZP = 31.4           # AB zero point for nJy fluxes (basic_functions)
+_OR_Q = 4096.0
+_OR_COLOR_BANDS = ("click", "purchase")
+
+
+def q_orphan_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir).filter(F.col("value") > 0)
+    qmag = (
+        F.round(
+            (F.lit(_OR_ZP) - F.lit(2.5) * F.log10(F.col("value")))
+            * F.lit(_OR_Q)
+        ).cast("long")
+        / F.lit(_OR_Q)
+    )
+    ev = ev.select(
+        "user_id", "event_type", "event_id", "ts_us", qmag.alias("mag")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    rated = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts_us",
+        "mag",
+        ((F.col("ts_us") - F.lag("ts_us").over(w)) / F.lit(86400e6)).alias(
+            "dt_days"
+        ),
+        (F.col("mag") - F.lag("mag").over(w)).alias("dmag"),
+    ).withColumn(
+        "rate",
+        F.when(
+            F.col("dt_days") > _OR_DT_MIN, F.col("dmag") / F.col("dt_days")
+        ),
+    )
+    # decreasing-segment thirds per (user, band) — same partitioning as w
+    wpos = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    pos = rated.filter(F.col("rate") > 0).select(
+        "user_id",
+        "event_type",
+        "rate",
+        F.row_number().over(wpos).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("user_id", "event_type"))
+        .alias("cnt"),
+    )
+    third = F.floor(F.col("cnt") / 3)
+    decay = pos.filter(F.col("cnt") >= 3).groupBy("user_id").agg(
+        F.avg(F.when(F.col("rn") <= third, F.col("rate"))).alias("d13"),
+        F.avg(F.when(F.col("rn") > F.col("cnt") - third, F.col("rate"))).alias(
+            "d33"
+        ),
+    )
+    # argmin-magnitude epoch per user (first occurrence on ties)
+    wpk = Window.partitionBy("user_id").orderBy("mag", "ts_us")
+    peaks = (
+        ev.select(
+            "user_id", "ts_us", F.row_number().over(wpk).alias("pk")
+        )
+        .filter(F.col("pk") == 1)
+        .select("user_id", F.col("ts_us").alias("t_peak"))
+    )
+    per_user = rated.groupBy("user_id").agg(
+        F.count("*").alias("n_valid"),
+        F.coalesce(
+            F.avg(F.when(F.col("rate") < 0, F.col("rate"))), F.lit(0.0)
+        ).alias("incr"),
+        F.min("ts_us").alias("t_first"),
+        F.avg(
+            F.when(F.col("event_type") == _OR_COLOR_BANDS[0], F.col("mag"))
+        ).alias("mag_a"),
+        F.avg(
+            F.when(F.col("event_type") == _OR_COLOR_BANDS[1], F.col("mag"))
+        ).alias("mag_b"),
+    )
+    feats = (
+        per_user.join(decay, "user_id", "left")
+        .join(peaks, "user_id", "left")
+        .select(
+            "user_id",
+            "n_valid",
+            "incr",
+            F.coalesce("d13", F.lit(0.0)).alias("d13"),
+            F.coalesce("d33", F.lit(0.0)).alias("d33"),
+            (
+                (F.col("t_peak") - F.col("t_first")) / F.lit(86400e6)
+            ).alias("dt_peak"),
+            F.coalesce(
+                F.col("mag_a") - F.col("mag_b"), F.lit(0.0)
+            ).alias("color"),
+        )
+    )
+    score = make_mlp_score_udf()
+    prob = score(
+        F.col("incr") * 2,
+        F.col("d33") * 2,
+        F.col("dt_peak") / 4,
+        F.col("color") * 4,
+    )
+    return feats.select(
+        "user_id",
+        "n_valid",
+        F.round("incr", 6).alias("incr"),
+        F.round("d13", 6).alias("d13"),
+        F.round("d33", 6).alias("d33"),
+        F.round("dt_peak", 6).alias("dt_peak"),
+        F.round("color", 6).alias("color"),
+        F.when(F.col("n_valid") >= _OR_MIN_PTS, F.round(prob, 6))
+        .otherwise(F.lit(0.0))
+        .alias("orphan_prob"),
+    )
+
+
+_OR_PROB_SQL = mlp_score_sql(
+    ["(incr * 2)", "(d33 * 2)", "(dt_peak / 4)", "(color * 4)"]
+)
+
+ORACLE_ORPHAN_SCORE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(({_OR_ZP!r} - 2.5 * log10(value)) * {_OR_Q!r}) AS BIGINT)
+           / {_OR_Q!r} AS mag
+  FROM events WHERE value > 0
+),
+rated AS (
+  SELECT user_id, event_type, event_id, ts_us, mag,
+         (ts_us - lag(ts_us) OVER w) / 86400e6 AS dt_days,
+         mag - lag(mag) OVER w AS dmag
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+),
+with_rate AS (
+  SELECT *, CASE WHEN dt_days > {_OR_DT_MIN!r} THEN dmag / dt_days END AS rate
+  FROM rated
+),
+pos AS (
+  SELECT user_id, event_type, rate,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts_us, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS cnt
+  FROM with_rate WHERE rate > 0
+),
+decay AS (
+  SELECT user_id,
+         avg(CASE WHEN rn <= floor(cnt / 3) THEN rate END) AS d13,
+         avg(CASE WHEN rn > cnt - floor(cnt / 3) THEN rate END) AS d33
+  FROM pos WHERE cnt >= 3 GROUP BY user_id
+),
+peaks AS (
+  SELECT user_id, ts_us AS t_peak FROM (
+    SELECT user_id, ts_us,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY mag, ts_us) AS pk
+    FROM ev
+  ) t WHERE pk = 1
+),
+per_user AS (
+  SELECT user_id, count(*) AS n_valid,
+         coalesce(avg(CASE WHEN rate < 0 THEN rate END), 0.0) AS incr,
+         min(ts_us) AS t_first,
+         avg(CASE WHEN event_type = '{_OR_COLOR_BANDS[0]}' THEN mag END)
+           AS mag_a,
+         avg(CASE WHEN event_type = '{_OR_COLOR_BANDS[1]}' THEN mag END)
+           AS mag_b
+  FROM with_rate GROUP BY user_id
+),
+feats AS (
+  SELECT u.user_id, n_valid, incr,
+         coalesce(d13, 0.0) AS d13, coalesce(d33, 0.0) AS d33,
+         (t_peak - t_first) / 86400e6 AS dt_peak,
+         coalesce(mag_a - mag_b, 0.0) AS color
+  FROM per_user u
+  LEFT JOIN decay USING (user_id)
+  LEFT JOIN peaks p ON u.user_id = p.user_id
+)
+SELECT user_id, n_valid,
+       round(incr, 6) AS incr, round(d13, 6) AS d13, round(d33, 6) AS d33,
+       round(dt_peak, 6) AS dt_peak, round(color, 6) AS color,
+       CASE WHEN n_valid >= {_OR_MIN_PTS}
+            THEN round({_OR_PROB_SQL}, 6) ELSE 0.0 END AS orphan_prob
+FROM feats
+"""
+
+# --------------------------------------------------------------------------
+# sky_pixel_rollup: equal-area hierarchical pixel aggregation.
+#
+# The "healpix-grade bucketing" roadmap item: an equal-area spatial key
+# (Lambert cylindrical grid, operators/spatial.equal_area_pixel) whose
+# occupancy is uniform for isotropic skies — the lat-lon grid's polar
+# hot/empty cells disappear, so the shuffle keys stay balanced at any
+# scale. The rollup is hierarchical: fine-pixel aggregates (ONE hash
+# aggregation over the points) re-aggregate by the parent pixel derived
+# arithmetically from the fine id (a window over the 128-row aggregate —
+# the points are never re-read). Coordinates are the deterministic LCG
+# sky of the crossmatch family, extended to the full sphere (poles
+# included).
+# --------------------------------------------------------------------------
+
+_PIX_NSIDE = 8
+_PIX_M = 233280
+_PIX_RA = (9301, 49297)
+_PIX_DEC = (7919, 104729)
+
+
+def q_sky_pixel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (
+            ((F.col("o_orderkey") * _PIX_RA[0] + _PIX_RA[1]) % _PIX_M)
+            * F.lit(360.0 / _PIX_M)
+        ).alias("ra"),
+        (
+            ((F.col("o_orderkey") * _PIX_DEC[0] + _PIX_DEC[1]) % _PIX_M)
+            * F.lit(180.0 / _PIX_M)
+            - F.lit(90.0)
+        ).alias("dec"),
+    )
+    ix, iy, pix = equal_area_pixel(F.col("ra"), F.col("dec"), _PIX_NSIDE)
+    pts = o.select(
+        "o_totalprice",
+        ix.alias("ix"),
+        iy.alias("iy"),
+        pix.alias("pix"),
+    )
+    fine = pts.groupBy("ix", "iy", "pix").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    parent = parent_pixel(F.col("ix"), F.col("iy"), _PIX_NSIDE).alias(
+        "parent_pix"
+    )
+    with_parent = fine.select("pix", "n", "avg_price", parent)
+    wp = Window.partitionBy("parent_pix")
+    return with_parent.select(
+        "pix",
+        "parent_pix",
+        "n",
+        "avg_price",
+        F.sum("n").over(wp).alias("parent_n"),
+    ).orderBy("pix")
+
+
+def _oracle_pixel() -> str:
+    ra = f"((o_orderkey * {_PIX_RA[0]} + {_PIX_RA[1]}) % {_PIX_M}) * (360.0 / {_PIX_M})"
+    dec = (
+        f"((o_orderkey * {_PIX_DEC[0]} + {_PIX_DEC[1]}) % {_PIX_M})"
+        f" * (180.0 / {_PIX_M}) - 90.0"
+    )
+    ix, iy, pix = equal_area_pixel_sql("ra", "dec", _PIX_NSIDE)
+    parent = parent_pixel_sql("ix", "iy", _PIX_NSIDE)
+    return f"""
+WITH sky AS (
+  SELECT o_totalprice, {ra} AS ra, {dec} AS dec FROM orders
+),
+pixed AS (
+  SELECT o_totalprice, CAST({ix} AS BIGINT) AS ix, CAST({iy} AS BIGINT) AS iy
+  FROM sky
+),
+fine AS (
+  SELECT ix, iy, iy * {2 * _PIX_NSIDE} + ix AS pix,
+         count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+  FROM pixed GROUP BY ix, iy
+)
+SELECT pix, CAST({parent} AS BIGINT) AS parent_pix, n, avg_price,
+       CAST(sum(n) OVER (PARTITION BY CAST({parent} AS BIGINT)) AS BIGINT)
+         AS parent_n
+FROM fine ORDER BY pix
+"""
+
+
+ORACLE_SKY_PIXEL_ROLLUP = _oracle_pixel()
+
+
+# --------------------------------------------------------------------------
+# snn_ia_score: SuperNNova-shaped recurrent classifier.
+#
+# Reference semantics (ztf/snn/processor.py:84-210): selection cuts
+# (history depth, age, catalog/roid vetoes) -> format the light curve as
+# SNANA calibrated fluxes (mag2fluxcal_snana) -> a trained torch RNN
+# consumes the variable-length sequence -> P(Ia), 0.0 for cut rows.
+#
+# Spark-first: the sequence is the CATS-style padded slice (K events,
+# time-sorted) and the RNN is a frozen FIXED-K recurrence emitted as one
+# NAMED projection per step (operators/models.rnn_apply; chained CTEs on
+# the oracle side) — pad steps carry the hidden state through unchanged,
+# which is exactly pack_padded_sequence semantics, and the per-step
+# projections keep the expression tree linear in K (a nested unroll
+# grows 3^K and breaks whole-stage codegen by K=5). Fully UDF-free:
+# the recurrent forward pass runs inside codegen.
+# --------------------------------------------------------------------------
+
+_SNN_K = 8
+_SNN_MIN_PTS = 3
+_SNN_MIN_AGE_DAYS = 0.5
+_SNN_FLUX_SCALE = 1.0e7
+_SNN_DT_SCALE = 10.0
+
+
+def q_snn_ia_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.functions.photometry import mag2fluxcal_snana
+    from fink_science_spark.operators.models import rnn_apply
+
+    ev = _events_us(spark, sf_dir)
+    grouped = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
+            ).alias("h")
+        )
+        .select(
+            "user_id",
+            F.col("h.ts_us").alias("ts_arr"),
+            F.col("h.value").alias("val_arr"),
+            F.size("h").alias("n"),
+        )
+    )
+    t1 = F.element_at("ts_arr", 1)
+    age_days = (F.element_at("ts_arr", F.col("n")) - t1) / F.lit(86400e6)
+    steps = []
+    for t in range(1, _SNN_K + 1):
+        mag = F.lit(10.0) + F.coalesce(
+            F.try_element_at("val_arr", F.lit(t)), F.lit(0.0)
+        ) / F.lit(32.0)
+        flux, _err = mag2fluxcal_snana(mag, F.lit(0.0))
+        x = flux / F.lit(_SNN_FLUX_SCALE)
+        d = (
+            (
+                F.coalesce(F.try_element_at("ts_arr", F.lit(t)), t1) - t1
+            )
+            / F.lit(86400e6)
+            / F.lit(_SNN_DT_SCALE)
+        )
+        is_pad = F.lit(t) > F.col("n")
+        steps.append((x, d, is_pad))
+    scored = rnn_apply(grouped, steps, "__rnn_p")
+    ok = (F.col("n") >= _SNN_MIN_PTS) & (age_days >= _SNN_MIN_AGE_DAYS)
+    return scored.select(
+        "user_id",
+        "n",
+        F.round(age_days, 6).alias("age_days"),
+        F.when(ok, F.round("__rnn_p", 6))
+        .otherwise(F.lit(0.0))
+        .alias("snn_ia"),
+    )
+
+
+def _oracle_snn() -> str:
+    from fink_science_spark.functions.photometry import mag2fluxcal_snana_sql
+    from fink_science_spark.operators.models import rnn_sql_ctes
+
+    steps = []
+    for t in range(1, _SNN_K + 1):
+        mag = f"(10.0 + coalesce(val_arr[{t}], 0.0) / 32.0)"
+        flux, _err = mag2fluxcal_snana_sql(mag, "0.0")
+        x = f"({flux} / {_SNN_FLUX_SCALE!r})"
+        d = (
+            f"((coalesce(ts_arr[{t}], ts_arr[1]) - ts_arr[1])"
+            f" / 86400e6 / {_SNN_DT_SCALE!r})"
+        )
+        is_pad = f"{t} > n"
+        steps.append((x, d, is_pad))
+    ctes, last, prob = rnn_sql_ctes(steps, "aged")
+    return f"""
+WITH grouped AS (
+  SELECT user_id,
+         list(epoch_us(ts) ORDER BY epoch_us(ts), value) AS ts_arr,
+         list(value ORDER BY epoch_us(ts), value) AS val_arr,
+         count(*) AS n
+  FROM events GROUP BY user_id
+),
+aged AS (
+  SELECT *, (ts_arr[CAST(n AS INTEGER)] - ts_arr[1]) / 86400e6 AS age_days
+  FROM grouped
+),
+{ctes}
+SELECT user_id, n, round(age_days, 6) AS age_days,
+       CASE WHEN n >= {_SNN_MIN_PTS} AND age_days >= {_SNN_MIN_AGE_DAYS!r}
+            THEN round({prob}, 6) ELSE 0.0 END AS snn_ia
+FROM {last}
+"""
+
+
+ORACLE_SNN_IA_SCORE = _oracle_snn()
+
+# --------------------------------------------------------------------------
+
+QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mulens_score": q_mulens_score,
+    "orphan_score": q_orphan_score,
+    "sky_pixel_rollup": q_sky_pixel_rollup,
+    "snn_ia_score": q_snn_ia_score,
+}
+
+ORACLES_EXT9: dict[str, str] = {
+    "mulens_score": ORACLE_MULENS_SCORE,
+    "orphan_score": ORACLE_ORPHAN_SCORE,
+    "sky_pixel_rollup": ORACLE_SKY_PIXEL_ROLLUP,
+    "snn_ia_score": ORACLE_SNN_IA_SCORE,
+}

@@ -659,3 +659,102 @@ def test_dft_power_matches_numpy_fft(spark):
     for k in range(1, 4):
         assert abs(rows[0][f"p{k}"] - ref[k]) < 1e-9
         assert rows[1][f"p{k}"] == 0.0
+
+
+def test_equal_area_pixel_uniform_occupancy_and_hierarchy(spark):
+    """The Lambert grid's defining invariants: (1) equal solid angle per
+    pixel — an isotropic point set lands ~uniformly across ALL pixels,
+    including the polar rows a lat-lon grid would starve; (2) the
+    arithmetic parent is consistent — all 4 children of a parent agree."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.operators.spatial import (
+        equal_area_pixel,
+        parent_pixel,
+    )
+
+    rng = random.Random(7)
+    pts = []
+    for _ in range(20000):
+        # isotropic: ra uniform, dec = asin(2u-1)
+        ra = rng.random() * 360.0
+        dec = math.degrees(math.asin(2 * rng.random() - 1))
+        pts.append((ra, dec))
+    df = spark.createDataFrame(pts, "ra double, dec double")
+    nside = 4
+    ix, iy, pix = equal_area_pixel(F.col("ra"), F.col("dec"), nside)
+    d = df.select(
+        ix.alias("ix"), iy.alias("iy"), pix.alias("pix"),
+        parent_pixel(ix, iy, nside).alias("parent"),
+    )
+    counts = {r["pix"]: r["n"] for r in d.groupBy("pix").count()
+              .withColumnRenamed("count", "n").collect()}
+    npix = 2 * nside * nside
+    assert set(counts) == set(range(npix))  # every pixel hit, poles included
+    exp = 20000 / npix
+    for pixid, n in counts.items():
+        assert 0.5 * exp < n < 1.6 * exp, (pixid, n)
+    # hierarchy: each parent has exactly 4 distinct children, ids in range
+    fam = d.select("pix", "parent").distinct().groupBy("parent").count().collect()
+    for r in fam:
+        assert r["count"] == 4
+        assert 0 <= r["parent"] < npix // 4
+
+
+def test_rnn_pad_steps_hold_state(spark):
+    """Packed-sequence semantics: appending pad steps must not change the
+    score — the hidden state passes through unchanged."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.operators.models import rnn_apply
+
+    df = spark.createDataFrame([(1.0, 0.5, 2.0, 0.7)], "x1 double, d1 double, x2 double, d2 double")
+    short = rnn_apply(
+        df,
+        [(F.col("x1"), F.col("d1"), F.lit(False)),
+         (F.col("x2"), F.col("d2"), F.lit(False))],
+        "p",
+    ).select("p").collect()[0]["p"]
+    padded = rnn_apply(
+        df,
+        [(F.col("x1"), F.col("d1"), F.lit(False)),
+         (F.col("x2"), F.col("d2"), F.lit(False)),
+         (F.lit(0.0), F.lit(0.0), F.lit(True)),
+         (F.lit(0.0), F.lit(0.0), F.lit(True))],
+        "p",
+    ).select("p").collect()[0]["p"]
+    assert short == padded
+
+
+def test_rnn_matches_numpy_reference(spark):
+    """The column recurrence equals a plain numpy loop with the same
+    frozen weights (guards against silent weight/order drift)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.operators.models import (
+        RNN_B, RNN_C, RNN_U, RNN_V, RNN_WD, RNN_WX, rnn_apply,
+    )
+
+    seq = [(0.8, 0.1), (0.2, 0.4), (-0.5, 0.9)]
+    h = [0.0, 0.0]
+    for x, d in seq:
+        h = [
+            math.atan(
+                x * RNN_WX[j] + d * RNN_WD[j]
+                + h[0] * RNN_U[j][0] + h[1] * RNN_U[j][1] + RNN_B[j]
+            )
+            for j in range(2)
+        ]
+    expect = 1.0 / (1.0 + math.exp(-(h[0] * RNN_V[0] + h[1] * RNN_V[1] + RNN_C)))
+    df = spark.createDataFrame([(1,)], "k int")
+    got = rnn_apply(
+        df,
+        [(F.lit(x), F.lit(d), F.lit(False)) for x, d in seq],
+        "p",
+    ).collect()[0]["p"]
+    assert abs(got - expect) < 1e-12

@@ -326,3 +326,38 @@ def test_power_spectrum_native_single_shuffle(spark, registry):
     plan = plan_of(registry["power_spectrum"](spark, SF))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_mulens_single_shuffle_one_python_stage(spark, registry):
+    """Both bands' DC photometry and sufficient statistics come from ONE
+    scan + ONE user-keyed groupBy (conditional aggregates, no per-band
+    self-join), and both per-band forest kernels evaluate in a single
+    Arrow Python stage."""
+    plan = plan_of(registry["mulens_score"](spark, SF))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython\b", plan)) == 1, plan
+
+
+def test_sky_pixel_rollup_never_joins(spark, registry):
+    """The parent rollup is derived arithmetically from the fine pixel
+    aggregate: no join anywhere, no Python, and the points are aggregated
+    exactly once (every later Exchange moves only the 128-row aggregate)."""
+    plan = plan_of(registry["sky_pixel_rollup"](spark, SF))
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) <= 2, plan
+
+
+def test_snn_rnn_native_no_python_no_codegen_failure(spark, registry):
+    """The recurrent forward pass is chained named projections: fully
+    native (no Python stage), ONE groupBy Exchange, and small enough per
+    projection that whole-stage codegen compiles (the nested-unroll form
+    regressed exactly here)."""
+    plan = plan_of(registry["snn_ia_score"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    # the per-step projections must survive as separate nodes: if
+    # CollapseProject ever merges them, the recurrence re-nests into a
+    # 3^K expression (the codegen-breaking regression this test pins)
+    assert len(re.findall(r"\(\d+\) Project\b", plan)) >= 8, plan
