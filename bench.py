@@ -99,6 +99,7 @@ HEADLINE = [
     "orphan_score",
     "sky_pixel_rollup",
     "snn_ia_score",
+    "ann_rerank",
 ]
 
 

@@ -617,12 +617,149 @@ FROM {last}
 ORACLE_SNN_IA_SCORE = _oracle_snn()
 
 # --------------------------------------------------------------------------
+# ann_rerank: two-stage retrieval (retrieve -> rerank) — the standard
+# similarity-search shape a curation pipeline runs at scale: a cheap
+# recall stage (blocked brute-force/LSH cosine top-k) followed by a
+# cross-feature model over the tiny candidate set. Beyond the reference
+# (its crossmatch is single-stage); first-class per the build brief's
+# similarity-search mandate.
+#
+# Scale shape: stage 1 is the proven mapInPandas block kernel (corpus
+# never shuffles, local top-k merge). Stage 2 BROADCASTS the candidate
+# list (|queries| x k rows) back against the embedding table for
+# metadata — the corpus is streamed, never collected — and the frozen
+# rerank MLP evaluates NATIVELY (the mlp_score_sql expression compiles
+# under whole-stage codegen via F.expr; no Python in stage 2). All
+# rerank features are rounded/exact, so both engines rank identical
+# inputs.
+# --------------------------------------------------------------------------
+
+_RR_K1 = 10   # recall-stage candidates per query
+_RR_K2 = 3    # final reranked neighbors
+
+
+def _rr_feats(prefix: str = "") -> list[str]:
+    """Rerank features as SQL exprs over the joined candidate row (shared
+    verbatim between the Spark plan and the DuckDB oracle)."""
+    return [
+        "cos",
+        "(CASE WHEN q_label = c_label THEN 1.0 ELSE 0.0 END)",
+        f"(rank / {float(_RR_K1)!r})",
+        "(least(q_norm, c_norm) / greatest(q_norm, c_norm))",
+    ]
+
+
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.operators.models import mlp_score_sql
+    from fink_science_spark.operators.similarity import cosine_topk_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cand = cosine_topk_blocked(
+        corpus, queries, "cid", "cv", "qid", "qv", k=_RR_K1
+    )
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    meta = emb.select("vec_id", "label", norm.alias("norm"))
+    joined = (
+        meta.join(
+            F.broadcast(cand), meta.vec_id == cand.qid, "inner"
+        )
+        .select(
+            "qid", "cid", "rank", "cos",
+            F.col("label").alias("q_label"), F.col("norm").alias("q_norm"),
+        )
+        .join(F.broadcast(meta), F.col("cid") == meta.vec_id, "inner")
+        .select(
+            "qid", "cid", "rank", "cos", "q_label", "q_norm",
+            F.col("label").alias("c_label"), F.col("norm").alias("c_norm"),
+        )
+    )
+    rerank = F.expr(mlp_score_sql(_rr_feats()))
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("rr").desc(), F.col("cid").asc()
+    )
+    return (
+        joined.withColumn("rr", rerank)
+        .withColumn("rr_rank", F.row_number().over(w2))
+        .filter(F.col("rr_rank") <= _RR_K2)
+        .select(
+            "qid", "cid", "rr_rank", "cos",
+            F.round("rr", 6).alias("rerank_score"),
+        )
+    )
+
+
+def _oracle_ann_rerank() -> str:
+    from fink_science_spark.operators.models import mlp_score_sql
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+meta AS (
+  SELECT vec_id, label,
+         round(sqrt(list_inner_product(v, v)), 6) AS norm
+  FROM e
+),
+q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.qid, c.vec_id cid,
+         list_inner_product(q.qv, c.v) /
+         sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.v, c.v))
+             AS cosr
+  FROM q JOIN e c ON c.vec_id != q.qid
+),
+cand AS (
+  SELECT qid, cid, rank, round(cosr, 6) AS cos FROM (
+    SELECT qid, cid, cosr,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosr DESC, cid ASC) AS rank
+    FROM scored
+  ) r WHERE rank <= {_RR_K1}
+),
+joined AS (
+  SELECT cand.qid, cand.cid, cand.rank, cand.cos,
+         mq.label AS q_label, mq.norm AS q_norm,
+         mc.label AS c_label, mc.norm AS c_norm
+  FROM cand
+  JOIN meta mq ON cand.qid = mq.vec_id
+  JOIN meta mc ON cand.cid = mc.vec_id
+),
+rr AS (
+  SELECT *, {mlp_score_sql(_rr_feats())} AS rr_score FROM joined
+)
+SELECT qid, cid, rr_rank, cos, round(rr_score, 6) AS rerank_score
+FROM (
+  SELECT qid, cid, cos, rr_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rr_score DESC, cid ASC) AS rr_rank
+  FROM rr
+) z WHERE rr_rank <= {_RR_K2}
+"""
+
+
+ORACLE_ANN_RERANK = _oracle_ann_rerank()
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
     "orphan_score": q_orphan_score,
     "sky_pixel_rollup": q_sky_pixel_rollup,
     "snn_ia_score": q_snn_ia_score,
+    "ann_rerank": q_ann_rerank,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -630,4 +767,5 @@ ORACLES_EXT9: dict[str, str] = {
     "orphan_score": ORACLE_ORPHAN_SCORE,
     "sky_pixel_rollup": ORACLE_SKY_PIXEL_ROLLUP,
     "snn_ia_score": ORACLE_SNN_IA_SCORE,
+    "ann_rerank": ORACLE_ANN_RERANK,
 }

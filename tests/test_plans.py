@@ -361,3 +361,15 @@ def test_snn_rnn_native_no_python_no_codegen_failure(spark, registry):
     # CollapseProject ever merges them, the recurrence re-nests into a
     # 3^K expression (the codegen-breaking regression this test pins)
     assert len(re.findall(r"\(\d+\) Project\b", plan)) >= 8, plan
+
+
+def test_ann_rerank_broadcasts_candidates_native_stage2(spark, registry):
+    """Two-stage retrieval: stage 1 is the one mapInPandas block kernel;
+    stage 2 must join the corpus via BROADCAST (candidate side tiny) and
+    score the rerank MLP natively — exactly one Python stage overall,
+    no SortMergeJoin."""
+    plan = plan_of(registry["ann_rerank"](spark, SF))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
