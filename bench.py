@@ -100,6 +100,7 @@ HEADLINE = [
     "sky_pixel_rollup",
     "snn_ia_score",
     "ann_rerank",
+    "host_pagerank",
 ]
 
 

@@ -214,15 +214,20 @@ ORACLE_MULENS_SCORE = _oracle_mulens()
 # pairs only), cross-band colour; a boosted-tree model emits the
 # probability, vetoed rows 0.0.
 #
-# Spark-first: magnitudes are QUANTIZED to 1/4096 once (exact doubles ->
-# diffs and per-band means are order-independent); consecutive-pair rates
-# come from ONE lag window per (user, band); the decreasing-segment
-# thirds are row_number/count over the same partitioning (no extra
-# shuffle); the duration-to-peak is an argmin window on (user). The
-# frozen model is the continuous MLP family (the reference's XGBoost slot
-# is the forest kernel proven in kn_score/model_score_forest; rates are
-# libm-derived so the continuous kernel is the numerically-honest choice
-# — see operators/models.py forest feature contract).
+# Spark-first, SINGLE-PASS: magnitudes are QUANTIZED to 1/4096 once
+# (exact doubles -> diffs and per-band means are order-independent);
+# consecutive-pair rates, the positive-rate rank (cumulative conditional
+# count — equals row_number over the filtered subset), and the per-band
+# positive count all come from ONE (user, band) window partitioning; the
+# decay-third means become conditional aggregates and the duration-to-
+# peak argmin becomes min(struct(mag, ts)) in the SAME final user-keyed
+# aggregation. ONE scan, TWO shuffles, no joins (the first cut of this
+# query ran 3 scans + 5 exchanges through two window branches and two
+# join-backs — bench-visible at 2.7 s/sf0.1). The frozen model is the
+# continuous MLP family (the reference's XGBoost slot is the forest
+# kernel proven in kn_score/model_score_forest; rates are libm-derived
+# so the continuous kernel is the numerically-honest choice — see
+# operators/models.py forest feature contract).
 # --------------------------------------------------------------------------
 
 _OR_MIN_PTS = 5
@@ -263,41 +268,42 @@ def q_orphan_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dt_days") > _OR_DT_MIN, F.col("dmag") / F.col("dt_days")
         ),
     )
-    # decreasing-segment thirds per (user, band) — same partitioning as w
-    wpos = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts_us", "event_id"
+    # positive-rate rank + per-band positive count on the SAME
+    # partitioning as the lag window — no extra shuffle
+    is_pos = F.when(F.col("rate") > 0, 1)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wband = Window.partitionBy("user_id", "event_type")
+    aug = rated.select(
+        "*",
+        F.sum(is_pos).over(wcum).alias("rn_pos"),
+        F.sum(is_pos).over(wband).alias("cnt_pos"),
     )
-    pos = rated.filter(F.col("rate") > 0).select(
-        "user_id",
-        "event_type",
-        "rate",
-        F.row_number().over(wpos).alias("rn"),
-        F.count("*")
-        .over(Window.partitionBy("user_id", "event_type"))
-        .alias("cnt"),
+    third = F.floor(F.col("cnt_pos") / 3)
+    in_13 = (
+        (F.col("rate") > 0)
+        & (F.col("cnt_pos") >= 3)
+        & (F.col("rn_pos") <= third)
     )
-    third = F.floor(F.col("cnt") / 3)
-    decay = pos.filter(F.col("cnt") >= 3).groupBy("user_id").agg(
-        F.avg(F.when(F.col("rn") <= third, F.col("rate"))).alias("d13"),
-        F.avg(F.when(F.col("rn") > F.col("cnt") - third, F.col("rate"))).alias(
-            "d33"
-        ),
+    in_33 = (
+        (F.col("rate") > 0)
+        & (F.col("cnt_pos") >= 3)
+        & (F.col("rn_pos") > F.col("cnt_pos") - third)
     )
-    # argmin-magnitude epoch per user (first occurrence on ties)
-    wpk = Window.partitionBy("user_id").orderBy("mag", "ts_us")
-    peaks = (
-        ev.select(
-            "user_id", "ts_us", F.row_number().over(wpk).alias("pk")
-        )
-        .filter(F.col("pk") == 1)
-        .select("user_id", F.col("ts_us").alias("t_peak"))
-    )
-    per_user = rated.groupBy("user_id").agg(
+    per_user = aug.groupBy("user_id").agg(
         F.count("*").alias("n_valid"),
         F.coalesce(
             F.avg(F.when(F.col("rate") < 0, F.col("rate"))), F.lit(0.0)
         ).alias("incr"),
+        F.coalesce(F.avg(F.when(in_13, F.col("rate"))), F.lit(0.0)).alias(
+            "d13"
+        ),
+        F.coalesce(F.avg(F.when(in_33, F.col("rate"))), F.lit(0.0)).alias(
+            "d33"
+        ),
         F.min("ts_us").alias("t_first"),
+        F.min(F.struct(F.col("mag"), F.col("ts_us")))["ts_us"].alias(
+            "t_peak"
+        ),
         F.avg(
             F.when(F.col("event_type") == _OR_COLOR_BANDS[0], F.col("mag"))
         ).alias("mag_a"),
@@ -305,22 +311,18 @@ def q_orphan_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == _OR_COLOR_BANDS[1], F.col("mag"))
         ).alias("mag_b"),
     )
-    feats = (
-        per_user.join(decay, "user_id", "left")
-        .join(peaks, "user_id", "left")
-        .select(
-            "user_id",
-            "n_valid",
-            "incr",
-            F.coalesce("d13", F.lit(0.0)).alias("d13"),
-            F.coalesce("d33", F.lit(0.0)).alias("d33"),
-            (
-                (F.col("t_peak") - F.col("t_first")) / F.lit(86400e6)
-            ).alias("dt_peak"),
-            F.coalesce(
-                F.col("mag_a") - F.col("mag_b"), F.lit(0.0)
-            ).alias("color"),
-        )
+    feats = per_user.select(
+        "user_id",
+        "n_valid",
+        "incr",
+        "d13",
+        "d33",
+        ((F.col("t_peak") - F.col("t_first")) / F.lit(86400e6)).alias(
+            "dt_peak"
+        ),
+        F.coalesce(F.col("mag_a") - F.col("mag_b"), F.lit(0.0)).alias(
+            "color"
+        ),
     )
     score = make_mlp_score_udf()
     prob = score(
@@ -365,45 +367,37 @@ with_rate AS (
   SELECT *, CASE WHEN dt_days > {_OR_DT_MIN!r} THEN dmag / dt_days END AS rate
   FROM rated
 ),
-pos AS (
-  SELECT user_id, event_type, rate,
-         row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY ts_us, event_id) AS rn,
-         count(*) OVER (PARTITION BY user_id, event_type) AS cnt
-  FROM with_rate WHERE rate > 0
-),
-decay AS (
-  SELECT user_id,
-         avg(CASE WHEN rn <= floor(cnt / 3) THEN rate END) AS d13,
-         avg(CASE WHEN rn > cnt - floor(cnt / 3) THEN rate END) AS d33
-  FROM pos WHERE cnt >= 3 GROUP BY user_id
-),
-peaks AS (
-  SELECT user_id, ts_us AS t_peak FROM (
-    SELECT user_id, ts_us,
-           row_number() OVER (PARTITION BY user_id
-                              ORDER BY mag, ts_us) AS pk
-    FROM ev
-  ) t WHERE pk = 1
+aug AS (
+  SELECT *,
+         sum(CASE WHEN rate > 0 THEN 1 END)
+           OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS rn_pos,
+         sum(CASE WHEN rate > 0 THEN 1 END)
+           OVER (PARTITION BY user_id, event_type) AS cnt_pos
+  FROM with_rate
 ),
 per_user AS (
   SELECT user_id, count(*) AS n_valid,
          coalesce(avg(CASE WHEN rate < 0 THEN rate END), 0.0) AS incr,
+         coalesce(avg(CASE WHEN rate > 0 AND cnt_pos >= 3
+                            AND rn_pos <= floor(cnt_pos / 3)
+                       THEN rate END), 0.0) AS d13,
+         coalesce(avg(CASE WHEN rate > 0 AND cnt_pos >= 3
+                            AND rn_pos > cnt_pos - floor(cnt_pos / 3)
+                       THEN rate END), 0.0) AS d33,
          min(ts_us) AS t_first,
+         min(struct_pack(m := mag, t := ts_us)).t AS t_peak,
          avg(CASE WHEN event_type = '{_OR_COLOR_BANDS[0]}' THEN mag END)
            AS mag_a,
          avg(CASE WHEN event_type = '{_OR_COLOR_BANDS[1]}' THEN mag END)
            AS mag_b
-  FROM with_rate GROUP BY user_id
+  FROM aug GROUP BY user_id
 ),
 feats AS (
-  SELECT u.user_id, n_valid, incr,
-         coalesce(d13, 0.0) AS d13, coalesce(d33, 0.0) AS d33,
+  SELECT user_id, n_valid, incr, d13, d33,
          (t_peak - t_first) / 86400e6 AS dt_peak,
          coalesce(mag_a - mag_b, 0.0) AS color
-  FROM per_user u
-  LEFT JOIN decay USING (user_id)
-  LEFT JOIN peaks p ON u.user_id = p.user_id
+  FROM per_user
 )
 SELECT user_id, n_valid,
        round(incr, 6) AS incr, round(d13, 6) AS d13, round(d33, 6) AS d33,
@@ -753,6 +747,119 @@ FROM (
 ORACLE_ANN_RERANK = _oracle_ann_rerank()
 
 # --------------------------------------------------------------------------
+# host_pagerank: host-authority ranking for corpus curation — the
+# CommonCrawl-style centrality signal (harmonic/PageRank over the host
+# link graph) used to weight or filter crawled sources. Beyond the
+# reference; first-class per the build brief's curation mandate.
+#
+# Scale shape: the 100 TB side is the DOCUMENT table, which is reduced
+# to a host-level weighted edge list by ONE hash aggregation (hosts <<
+# docs — the web's host graph fits comfortably in an aggregate). The
+# power iteration then runs entirely on the aggregated graph: K damped
+# rounds unrolled as join + re-aggregate on the small edge table (at
+# production host counts: broadcast the rank vector, iterate to
+# convergence with localCheckpoint like operators/graph). Edges are
+# LCG-derived from doc ids (the deterministic-synthesis pattern of the
+# crossmatch sky) so both engines build the identical graph.
+# --------------------------------------------------------------------------
+
+_PR_N = 64          # host-node count
+_PR_ROUNDS = 3      # unrolled damped iterations
+_PR_DAMP = 0.85
+_PR_EDGE_A = 7919   # LCG link derivation
+_PR_EDGE_B = 11
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _PR_N).alias("src"),
+        ((F.col("doc_id") * _PR_EDGE_A + _PR_EDGE_B) % _PR_N).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    # materialize the host-scale edge list ONCE (localCheckpoint truncates
+    # lineage — without it every unrolled iteration re-scans the document
+    # table, the operators/graph.py lesson)
+    edges = (
+        docs.groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    e = edges.join(outdeg, "src").select(
+        "src", "dst", (F.col("w") / F.col("deg")).alias("p")
+    )
+    nodes = spark.range(_PR_N).select(F.col("id").alias("node"))
+    base = (1.0 - _PR_DAMP) / _PR_N
+    rank = nodes.select("node", F.lit(1.0 / _PR_N).alias("r"))
+    # the checkpointed edge list has no catalog stats → pin the broadcast
+    # explicitly (rank vector and edges are host-scale, always the small
+    # side against any doc-derived relation)
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            rank.join(F.broadcast(e), rank.node == e.src, "inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("inflow"))
+        )
+        rank = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(_PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("r"),
+        )
+    return rank.join(
+        F.broadcast(outdeg), rank.node == outdeg.src, "left"
+    ).select(
+        "node",
+        F.coalesce("deg", F.lit(0)).alias("out_weight"),
+        F.round("r", 6).alias("rank"),
+    )
+
+
+def _oracle_pagerank() -> str:
+    base = (1.0 - _PR_DAMP) / _PR_N
+    rounds = []
+    prev = "r0"
+    for k in range(1, _PR_ROUNDS + 1):
+        rounds.append(f"""
+r{k} AS (
+  SELECT n.node,
+         {base!r} + {_PR_DAMP!r} * coalesce(c.inflow, 0.0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(rk.r * e.p) AS inflow
+    FROM {prev} rk JOIN e ON rk.node = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.dst
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH raw AS (
+  SELECT doc_id % {_PR_N} AS src,
+         (doc_id * {_PR_EDGE_A} + {_PR_EDGE_B}) % {_PR_N} AS dst
+  FROM documents
+),
+edges AS (
+  SELECT src, dst, count(*) AS w FROM raw WHERE src != dst GROUP BY src, dst
+),
+outdeg AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src),
+e AS (
+  SELECT edges.src, dst, w / CAST(deg AS DOUBLE) AS p
+  FROM edges JOIN outdeg ON edges.src = outdeg.src
+),
+nodes AS (SELECT unnest(generate_series(0, {_PR_N - 1})) AS node),
+r0 AS (SELECT node, 1.0 / {_PR_N} AS r FROM nodes),{",".join(rounds)}
+SELECT n.node, CAST(coalesce(d.deg, 0) AS BIGINT) AS out_weight,
+       round(rk.r, 6) AS rank
+FROM nodes n
+LEFT JOIN outdeg d ON n.node = d.src
+JOIN {prev} rk ON n.node = rk.node
+"""
+
+
+ORACLE_HOST_PAGERANK = _oracle_pagerank()
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -760,6 +867,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sky_pixel_rollup": q_sky_pixel_rollup,
     "snn_ia_score": q_snn_ia_score,
     "ann_rerank": q_ann_rerank,
+    "host_pagerank": q_host_pagerank,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -768,4 +876,5 @@ ORACLES_EXT9: dict[str, str] = {
     "sky_pixel_rollup": ORACLE_SKY_PIXEL_ROLLUP,
     "snn_ia_score": ORACLE_SNN_IA_SCORE,
     "ann_rerank": ORACLE_ANN_RERANK,
+    "host_pagerank": ORACLE_HOST_PAGERANK,
 }

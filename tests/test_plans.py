@@ -373,3 +373,26 @@ def test_ann_rerank_broadcasts_candidates_native_stage2(spark, registry):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_orphan_score_single_pass(spark, registry):
+    """All rate/decay-third/peak/colour features come from ONE scan and
+    exactly two shuffles — the (user, band) window partitioning (shared
+    by all three window specs) and the user-keyed aggregation. The
+    original two-branch + join-back form tripled the scan."""
+    plan = plan_of(registry["orphan_score"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert not re.findall(r"\(\d+\) \w*Join", plan), plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2, plan
+
+
+def test_host_pagerank_iterates_on_aggregated_graph(spark, registry):
+    """The document table is scanned ONCE (reduced to the host edge list
+    before any iteration); every power-iteration join is broadcast (the
+    rank vector and edge table are host-scale, not doc-scale)."""
+    plan = plan_of(registry["host_pagerank"](spark, SF))
+    # the document table is consumed by the checkpointed edge build, so
+    # the iteration plan contains NO parquet scan at all
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
