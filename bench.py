@@ -101,6 +101,7 @@ HEADLINE = [
     "snn_ia_score",
     "ann_rerank",
     "host_pagerank",
+    "sky_pixel_multires",
 ]
 
 

@@ -381,30 +381,36 @@ def range_count_join_1d(
 # --------------------------------------------------------------------------
 
 
+def _clamped_floor(x: Column, cap: int) -> Column:
+    """floor(x) clamped to cap — via CASE, not least(): least/greatest
+    SKIP nulls in both Spark and DuckDB, so a NULL coordinate would
+    silently land in the clamp pixel instead of staying NULL (caught by
+    tests/test_empty_inputs.py::test_equal_area_pixel_null_safe)."""
+    f = F.floor(x)
+    return F.when(f > cap, F.lit(cap)).otherwise(f).cast("long")
+
+
 def equal_area_pixel(
     ra: Column, dec: Column, nside: int
 ) -> tuple[Column, Column, Column]:
-    """(ix, iy, pix) equal-area pixel coordinates for ra/dec in degrees."""
+    """(ix, iy, pix) equal-area pixel coordinates for ra/dec in degrees.
+    NULL coordinates yield NULL pixels (never a default cell)."""
     z = F.sin(F.radians(dec))
-    iy = F.least(
-        F.floor((z + F.lit(1.0)) / F.lit(2.0) * F.lit(float(nside))),
-        F.lit(nside - 1),
-    ).cast("long")
-    ix = F.least(
-        F.floor(ra / F.lit(360.0) * F.lit(2.0 * nside)),
-        F.lit(2 * nside - 1),
-    ).cast("long")
+    iy = _clamped_floor(
+        (z + F.lit(1.0)) / F.lit(2.0) * F.lit(float(nside)), nside - 1
+    )
+    ix = _clamped_floor(ra / F.lit(360.0) * F.lit(2.0 * nside), 2 * nside - 1)
     pix = iy * F.lit(2 * nside) + ix
     return ix, iy, pix
 
 
 def equal_area_pixel_sql(ra: str, dec: str, nside: int) -> tuple[str, str, str]:
-    """SQL twins of :func:`equal_area_pixel` (identical literals/order)."""
-    iy = (
-        f"least(floor((sin(radians({dec})) + 1.0) / 2.0 * {float(nside)!r}), "
-        f"{nside - 1})"
-    )
-    ix = f"least(floor({ra} / 360.0 * {2.0 * nside!r}), {2 * nside - 1})"
+    """SQL twins of :func:`equal_area_pixel` (identical literals/order;
+    CASE clamp for the same null-propagation reason as the Column form)."""
+    fy = f"floor((sin(radians({dec})) + 1.0) / 2.0 * {float(nside)!r})"
+    iy = f"(CASE WHEN {fy} > {nside - 1} THEN {nside - 1} ELSE {fy} END)"
+    fx = f"floor({ra} / 360.0 * {2.0 * nside!r})"
+    ix = f"(CASE WHEN {fx} > {2 * nside - 1} THEN {2 * nside - 1} ELSE {fx} END)"
     pix = f"(({iy}) * {2 * nside} + ({ix}))"
     return ix, iy, pix
 

@@ -860,6 +860,69 @@ JOIN {prev} rk ON n.node = rk.node
 ORACLE_HOST_PAGERANK = _oracle_pagerank()
 
 # --------------------------------------------------------------------------
+# sky_pixel_multires: multi-resolution rollup in ONE pass — GROUPING SETS
+# over three pixel depths (nside 8/4/2) derived arithmetically from the
+# same coordinates, so the points are scanned once and Spark expands the
+# grouping sets map-side (the hypertable/OLAP-cube shape; complements
+# sky_pixel_rollup's two-level window form and rollup_counts' linear
+# hierarchy).
+# --------------------------------------------------------------------------
+
+_MR_NSIDES = (8, 4, 2)
+
+
+def q_sky_pixel_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        (
+            ((F.col("o_orderkey") * _PIX_RA[0] + _PIX_RA[1]) % _PIX_M)
+            * F.lit(360.0 / _PIX_M)
+        ).alias("ra"),
+        (
+            ((F.col("o_orderkey") * _PIX_DEC[0] + _PIX_DEC[1]) % _PIX_M)
+            * F.lit(180.0 / _PIX_M)
+            - F.lit(90.0)
+        ).alias("dec"),
+    )
+    cols = []
+    for ns in _MR_NSIDES:
+        _ix, _iy, pix = equal_area_pixel(F.col("ra"), F.col("dec"), ns)
+        cols.append(pix.alias(f"pix{ns}"))
+    pts = o.select("o_totalprice", *cols)
+    names = [f"pix{ns}" for ns in _MR_NSIDES]
+    return pts.groupingSets(
+        [[F.col(n)] for n in names], *[F.col(n) for n in names]
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+def _oracle_multires() -> str:
+    ra = f"((o_orderkey * {_PIX_RA[0]} + {_PIX_RA[1]}) % {_PIX_M}) * (360.0 / {_PIX_M})"
+    dec = (
+        f"((o_orderkey * {_PIX_DEC[0]} + {_PIX_DEC[1]}) % {_PIX_M})"
+        f" * (180.0 / {_PIX_M}) - 90.0"
+    )
+    cols = []
+    for ns in _MR_NSIDES:
+        _ix, _iy, pix = equal_area_pixel_sql("ra", "dec", ns)
+        cols.append(f"CAST({pix} AS BIGINT) AS pix{ns}")
+    sets = ", ".join(f"(pix{ns})" for ns in _MR_NSIDES)
+    names = ", ".join(f"pix{ns}" for ns in _MR_NSIDES)
+    return f"""
+WITH sky AS (
+  SELECT o_totalprice, {ra} AS ra, {dec} AS dec FROM orders
+),
+pts AS (SELECT o_totalprice, {", ".join(cols)} FROM sky)
+SELECT {names}, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+FROM pts GROUP BY GROUPING SETS ({sets})
+"""
+
+
+ORACLE_SKY_PIXEL_MULTIRES = _oracle_multires()
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -868,6 +931,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snn_ia_score": q_snn_ia_score,
     "ann_rerank": q_ann_rerank,
     "host_pagerank": q_host_pagerank,
+    "sky_pixel_multires": q_sky_pixel_multires,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -877,4 +941,5 @@ ORACLES_EXT9: dict[str, str] = {
     "snn_ia_score": ORACLE_SNN_IA_SCORE,
     "ann_rerank": ORACLE_ANN_RERANK,
     "host_pagerank": ORACLE_HOST_PAGERANK,
+    "sky_pixel_multires": ORACLE_SKY_PIXEL_MULTIRES,
 }

@@ -90,3 +90,31 @@ def test_trapezoid_single_point(spark):
     df = spark.createDataFrame([([1.0], [2.0])], "t array<double>, v array<double>")
     (got,) = df.select(trapezoid_integral("t", "v").alias("x")).collect()[0]
     assert got == 0.0
+
+
+def test_rnn_apply_empty(spark):
+    from fink_science_spark.operators.models import rnn_apply
+
+    df = spark.createDataFrame([], "x double, d double")
+    out = rnn_apply(
+        df, [(F.col("x"), F.col("d"), F.lit(False))], "p"
+    )
+    assert out.count() == 0
+    assert "p" in out.columns and "__h0_0" not in out.columns
+
+
+def test_equal_area_pixel_null_safe(spark):
+    """NULL coordinates must produce NULL pixels, not crash or fold to a
+    default cell (a dropped-GPS row must not pollute pixel statistics)."""
+    from fink_science_spark.operators.spatial import equal_area_pixel
+
+    df = spark.createDataFrame(
+        [(None, None), (10.0, -90.0), (359.999, 90.0)],
+        "ra double, dec double",
+    )
+    ix, iy, pix = equal_area_pixel(F.col("ra"), F.col("dec"), 8)
+    rows = df.select(pix.alias("pix")).collect()
+    assert rows[0]["pix"] is None
+    assert rows[1]["pix"] is not None and rows[2]["pix"] is not None
+    # boundary clamp: dec=+90 / ra→360 stay inside the grid
+    assert 0 <= rows[1]["pix"] < 128 and 0 <= rows[2]["pix"] < 128

@@ -396,3 +396,13 @@ def test_host_pagerank_iterates_on_aggregated_graph(spark, registry):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sky_pixel_multires_one_scan_expand(spark, registry):
+    """All three resolutions come from ONE scan via the grouping-sets
+    Expand operator and one aggregation exchange — never one scan per
+    depth."""
+    plan = plan_of(registry["sky_pixel_multires"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Expand", plan)) >= 1, plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
