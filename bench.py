@@ -102,6 +102,8 @@ HEADLINE = [
     "ann_rerank",
     "host_pagerank",
     "sky_pixel_multires",
+    "zorder_cells",
+    "incremental_agg",
 ]
 
 

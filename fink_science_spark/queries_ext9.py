@@ -1,12 +1,17 @@
-"""Query registry, wave 10: the last two §2.8 classifier-module shapes —
-microlensing (per-band DC-mag photometry → per-band forest → BOTH-bands-
-must-agree mean combine, ztf/microlensing/processor.py:39-190) and the
-orphan-GRB light-curve-morphology classifier (flux→mag, per-band rise /
-decay-third rates, first-to-peak duration, cross-band colour → frozen
-model, rubin/orphans/processor.py:29-102 + features_extraction.py) —
-plus the equal-area hierarchical sky-pixel rollup from the engineering
-roadmap ("healpix-grade bucketing": equal-occupancy spatial keys and a
-parent-pixel rollup that never re-reads the points).
+"""Query registry, wave 10.
+
+The last §2.8 classifier-module shapes: microlensing (per-band DC-mag →
+per-band forest → both-bands-must-agree mean, ztf/microlensing/
+processor.py:39-190), orphan-GRB morphology (rubin/orphans/
+processor.py:29-102, single-pass window features), SuperNNova recurrent
+(ztf/snn/processor.py:84-210, frozen unrolled RNN as chained named
+projections).
+
+Plus the scale/curation wave: equal-area hierarchical sky pixelization
+(rollup + grouping-sets multi-resolution cube), two-stage retrieval
+(ANN recall → native cross-feature rerank), host-authority PageRank on
+the aggregated link graph, Z-order/Morton layout keys, and incremental
+aggregate maintenance via mergeable partial states.
 """
 
 from __future__ import annotations
@@ -923,6 +928,137 @@ FROM pts GROUP BY GROUPING SETS ({sets})
 ORACLE_SKY_PIXEL_MULTIRES = _oracle_multires()
 
 # --------------------------------------------------------------------------
+# zorder_cells: Morton-key computation for multi-column data layout —
+# the write-side lever that makes BOTH of two filter columns prunable at
+# the parquet row-group level (Delta/Iceberg OPTIMIZE ZORDER, expressed
+# as a plain sort key; functions/zorder.py). The key algebra is oracle-
+# checked here; the physical layout payoff (row-group bounding boxes
+# shrink in both dimensions) is asserted from parquet footer statistics
+# in tests/test_operators_unit.py::test_zorder_layout_clusters_row_groups.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_CELL = 4096  # 2^12 keys per coarse cell -> 64x64-key boxes
+
+
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.functions.zorder import morton_key
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 256).alias("u"),
+        (F.col("n_chars") % 256).alias("v"),
+    )
+    key = morton_key(F.col("u"), F.col("v"), _Z_BITS)
+    return (
+        d.select(key.alias("zkey"))
+        .groupBy(F.floor(F.col("zkey") / _Z_CELL).cast("long").alias("cell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zkey").alias("min_key"),
+            F.max("zkey").alias("max_key"),
+        )
+    )
+
+
+def _oracle_zorder() -> str:
+    from fink_science_spark.functions.zorder import morton_key_sql
+
+    key = morton_key_sql("doc_id % 256", "n_chars % 256", _Z_BITS)
+    return f"""
+WITH keyed AS (SELECT {key} AS zkey FROM documents)
+SELECT CAST(floor(zkey / {_Z_CELL}) AS BIGINT) AS cell,
+       count(*) AS n, min(zkey) AS min_key, max(zkey) AS max_key
+FROM keyed GROUP BY cell
+"""
+
+
+ORACLE_ZORDER_CELLS = _oracle_zorder()
+
+# --------------------------------------------------------------------------
+# incremental_agg: incremental aggregate maintenance via mergeable
+# partial states — the 100 TB refresh pattern: a stored rollup is never
+# recomputed from scratch; the new batch contributes PARTIAL states
+# (count/sum/sumsq/min/max — all commutative monoids) that merge with
+# the stored ones, and finalization happens on the merged state. The
+# oracle recomputes the rollup from the FULL table directly, proving
+# merge-equivalence. Sums run in the integer-quantized domain (value has
+# 2 exact decimals) so the equivalence is bit-exact, not approximate —
+# the same trick that makes the mulens forest features portable.
+# Complements dedup_incremental (the dedup-index instance of the same
+# incremental pattern).
+# --------------------------------------------------------------------------
+
+_INC_SPLIT_MOD = 10  # event_id % 10 == 9 -> the "new batch" (~10%)
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("qv"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("qv").alias("s1"),
+            F.sum(F.col("qv") * F.col("qv")).alias("s2"),
+            F.min("qv").alias("mn"),
+            F.max("qv").alias("mx"),
+        )
+
+    stored = partials(ev.filter(F.col("event_id") % _INC_SPLIT_MOD != 9))
+    batch = partials(ev.filter(F.col("event_id") % _INC_SPLIT_MOD == 9))
+    merged = (
+        stored.unionByName(batch)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n") / F.lit(100.0)
+    var = (
+        F.col("s2").cast("double") / F.col("n")
+        - (F.col("s1").cast("double") / F.col("n"))
+        * (F.col("s1").cast("double") / F.col("n"))
+    ) / F.lit(10000.0)
+    return merged.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_value"),
+        ((F.col("mx") - F.col("mn")).cast("double") / F.lit(100.0)).alias(
+            "amplitude"
+        ),
+    )
+
+
+ORACLE_INCREMENTAL_AGG = """
+WITH q AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS qv
+  FROM events
+),
+full_agg AS (
+  SELECT user_id, event_type, count(*) AS n,
+         sum(qv) AS s1, sum(qv * qv) AS s2, min(qv) AS mn, max(qv) AS mx
+  FROM q GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n,
+       round(CAST(s1 AS DOUBLE) / n / 100.0, 6) AS mean_value,
+       round(sqrt(greatest((CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                  / 10000.0, 0.0)), 6) AS std_value,
+       CAST(mx - mn AS DOUBLE) / 100.0 AS amplitude
+FROM full_agg
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -932,6 +1068,8 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_rerank": q_ann_rerank,
     "host_pagerank": q_host_pagerank,
     "sky_pixel_multires": q_sky_pixel_multires,
+    "zorder_cells": q_zorder_cells,
+    "incremental_agg": q_incremental_agg,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -942,4 +1080,6 @@ ORACLES_EXT9: dict[str, str] = {
     "ann_rerank": ORACLE_ANN_RERANK,
     "host_pagerank": ORACLE_HOST_PAGERANK,
     "sky_pixel_multires": ORACLE_SKY_PIXEL_MULTIRES,
+    "zorder_cells": ORACLE_ZORDER_CELLS,
+    "incremental_agg": ORACLE_INCREMENTAL_AGG,
 }

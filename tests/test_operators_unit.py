@@ -758,3 +758,59 @@ def test_rnn_matches_numpy_reference(spark):
         "p",
     ).collect()[0]["p"]
     assert abs(got - expect) < 1e-12
+
+
+def test_zorder_layout_clusters_row_groups(spark, tmp_path):
+    """The point of the Morton key: after repartitionByRange +
+    sortWithinPartitions on zkey, every output file's (u, v) bounding box
+    is small in BOTH dimensions — so parquet min/max stats prune filters
+    on EITHER column. A single-column sort leaves the other dimension
+    unclustered (span ~ full range). Asserted from parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.functions.zorder import morton_key
+
+    d = spark.range(4096).select(
+        (F.col("id") % 64).alias("u"),
+        (F.floor(F.col("id") / 64) * 17 % 64).alias("v"),
+    )
+    d = d.withColumn("zkey", morton_key(F.col("u"), F.col("v"), 6))
+
+    def spans(path):
+        out = []
+        for f in glob.glob(str(path) + "/*.parquet"):
+            md = pq.read_metadata(f)
+            schema_names = md.schema.to_arrow_schema().names
+            iu, iv = schema_names.index("u"), schema_names.index("v")
+            for rg in range(md.num_row_groups):
+                su = md.row_group(rg).column(iu).statistics
+                sv = md.row_group(rg).column(iv).statistics
+                out.append(
+                    (su.max - su.min, sv.max - sv.min)
+                )
+        return out
+
+    za = tmp_path / "zorder"
+    d.repartitionByRange(16, "zkey").sortWithinPartitions("zkey").write.parquet(
+        str(za)
+    )
+    ua = tmp_path / "usort"
+    d.repartitionByRange(16, "u").sortWithinPartitions("u").write.parquet(
+        str(ua)
+    )
+    z_spans = spans(za)
+    u_spans = spans(ua)
+    z_u = sum(s[0] for s in z_spans) / len(z_spans)
+    z_v = sum(s[1] for s in z_spans) / len(z_spans)
+    s_u = sum(s[0] for s in u_spans) / len(u_spans)
+    s_v = sum(s[1] for s in u_spans) / len(u_spans)
+    # z-order: BOTH dims clustered well below the full 0..63 range
+    assert z_u < 32 and z_v < 32, (z_u, z_v)
+    # single-column sort: its own dim tight, the other ~full range
+    assert s_u < 16, s_u
+    assert s_v > 48, s_v
+    # and the z-order layout beats the single sort on the sum of spans
+    assert z_u + z_v < s_u + s_v, (z_u, z_v, s_u, s_v)
