@@ -104,6 +104,7 @@ HEADLINE = [
     "sky_pixel_multires",
     "zorder_cells",
     "incremental_agg",
+    "bpe_train",
 ]
 
 

@@ -1059,6 +1059,134 @@ FROM full_agg
 """
 
 # --------------------------------------------------------------------------
+# bpe_train: distributed BPE merge training — the tokenizer-construction
+# step of a training-data pipeline (count adjacent symbol pairs over the
+# corpus, merge the most frequent, repeat). Iterative like CC / Lloyd /
+# PageRank, but the per-round reduction is a corpus-wide pair count and
+# the per-round "model" is ONE row (the argmax merge), which stays in
+# the DAG as a broadcast cross-join — no driver round-trips.
+#
+# The merge APPLY step is exact BPE greedy (leftmost, non-overlapping)
+# via plain string replace on a boundary-safe encoding: tokens joined
+# with DOUBLE spaces and single sentinel spaces at the ends, so the
+# pattern " A  B " always consumes one boundary space from each side
+# and a triple "T T T" merges exactly once — the classic " a b a b "
+# overlap bug cannot occur. Sequences are re-canonicalized (split on
+# space runs, re-join) each round.
+#
+# At 100 TB each round is one map (pair explode) + one hash agg + a
+# 1-row broadcast: shuffle payload is (pair, count), never documents.
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+_BPE_PREFIX = 64  # chars of each doc considered (bounds the explode)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.regexp_replace(
+            F.lower(F.substring("text", 1, _BPE_PREFIX)), "[^a-z]", ""
+        ).alias("s")
+    ).filter(F.length("s") >= 2)
+    seq = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.split(
+                F.trim(F.regexp_replace(F.col("s"), "(.)", "$1 ")), " +"
+            ),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    cur = docs.select(seq.alias("seq"))
+
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        toks = F.split(F.trim(F.col("seq")), " +")
+        pair = F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        counts = (
+            cur.select(F.explode(pair).alias("pair"))
+            .filter(F.col("pair").isNotNull())
+            .groupBy("pair")
+            .agg(F.count("*").alias("freq"))
+        )
+        best = (
+            counts.orderBy(F.col("freq").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.lit(rnd).alias("round"), "pair", "freq"
+            )
+        )
+        merges.append(best)
+        pat = F.concat(
+            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        rep = F.concat(
+            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+            F.lit(" "),
+        )
+        applied = cur.crossJoin(
+            F.broadcast(best.select("pair"))
+        ).select(F.replace(F.col("seq"), pat, rep).alias("seq"))
+        # re-canonicalize to the double-space form for the next round
+        cur = applied.select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.trim(F.col("seq")), " +"), "  "),
+                F.lit(" "),
+            ).alias("seq")
+        )
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+ORACLE_BPE_TRAIN = r"""
+WITH norm AS (
+  SELECT regexp_replace(lower(substring(text, 1, 64)), '[^a-z]', '', 'g') AS s
+  FROM documents
+),
+r0 AS (
+  SELECT ' ' || array_to_string(
+           regexp_split_to_array(
+             trim(regexp_replace(s, '(.)', '\1 ', 'g')), ' +'), '  ') || ' '
+         AS seq
+  FROM norm WHERE len(s) >= 2
+),
+""" + ",\n".join(
+    f"""p{k} AS (
+  SELECT t[i] || ' ' || t[i+1] AS pair FROM
+    (SELECT regexp_split_to_array(trim(seq), ' +') AS t FROM r{k - 1}) x,
+    (SELECT unnest(generate_series(1, {_BPE_PREFIX})) AS i) g
+  WHERE i < len(t)
+),
+m{k} AS (
+  SELECT {k} AS round, pair, count(*) AS freq FROM p{k}
+  GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 1
+),
+r{k} AS (
+  SELECT ' ' || array_to_string(regexp_split_to_array(trim(
+           replace(seq,
+                   ' ' || replace((SELECT pair FROM m{k}), ' ', '  ') || ' ',
+                   ' ' || replace((SELECT pair FROM m{k}), ' ', '') || ' ')
+         ), ' +'), '  ') || ' ' AS seq
+  FROM r{k - 1}
+)"""
+    for k in range(1, _BPE_ROUNDS + 1)
+) + f"""
+SELECT CAST(round AS INT) AS round, pair, freq FROM (
+  {" UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, _BPE_ROUNDS + 1))}
+) z
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1070,6 +1198,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sky_pixel_multires": q_sky_pixel_multires,
     "zorder_cells": q_zorder_cells,
     "incremental_agg": q_incremental_agg,
+    "bpe_train": q_bpe_train,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1082,4 +1211,5 @@ ORACLES_EXT9: dict[str, str] = {
     "sky_pixel_multires": ORACLE_SKY_PIXEL_MULTIRES,
     "zorder_cells": ORACLE_ZORDER_CELLS,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
+    "bpe_train": ORACLE_BPE_TRAIN,
 }

@@ -814,3 +814,31 @@ def test_zorder_layout_clusters_row_groups(spark, tmp_path):
     assert s_v > 48, s_v
     # and the z-order layout beats the single sort on the sum of spans
     assert z_u + z_v < s_u + s_v, (z_u, z_v, s_u, s_v)
+
+
+def test_bpe_apply_overlap_safe(spark):
+    """The double-space encoding makes string replace exact BPE greedy:
+    'aaa' with merge (a,a) becomes [aa, a] — the middle symbol is
+    consumed once, never shared by two overlapping matches (the classic
+    ' a b a b ' bug)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("ab",)], "s string")
+    seq = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.split(F.trim(F.regexp_replace(F.col("s"), "(.)", "$1 ")), " +"),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    applied = df.select(
+        "s",
+        F.split(
+            F.trim(F.replace(seq, F.lit(" a  a "), F.lit(" aa "))), " +"
+        ).alias("toks"),
+    )
+    got = {r["s"]: list(r["toks"]) for r in applied.collect()}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["ab"] == ["a", "b"]
