@@ -105,6 +105,7 @@ HEADLINE = [
     "zorder_cells",
     "incremental_agg",
     "bpe_train",
+    "evolved_scan",
 ]
 
 

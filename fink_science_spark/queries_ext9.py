@@ -1187,6 +1187,62 @@ SELECT CAST(round AS INT) AS round, pair, freq FROM (
 """
 
 # --------------------------------------------------------------------------
+# evolved_scan: schema-evolution reads — the lakehouse reality that a
+# 100 TB table is written over years by pipeline versions with different
+# schemas. Two partition generations are written with DIFFERENT columns
+# (v2 adds a `channel` column); `mergeSchema` reconciles them at read
+# time, old rows surface NULL for the new column, and the aggregation
+# treats generations uniformly. Oracle: the same union-with-null-fill in
+# SQL. (Spark-side file writes happen under _scratch; the oracle only
+# needs the logical content, derived from the same source table.)
+# --------------------------------------------------------------------------
+
+
+def q_evolved_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from fink_science_spark.queries_ext2 import _SCRATCH
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = _os.path.join(_SCRATCH, f"evolved_{tag}")
+    ev = _events_us(spark, sf_dir)
+    v1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("event_id") % 4).cast("int").alias("channel"),
+    )
+    v1.write.mode("overwrite").parquet(_os.path.join(base, "gen=1"))
+    v2.write.mode("overwrite").parquet(_os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    return (
+        merged.groupBy(F.coalesce("channel", F.lit(-1)).alias("channel"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_EVOLVED_SCAN = """
+WITH v1 AS (
+  SELECT event_id, user_id, value, CAST(NULL AS INT) AS channel
+  FROM events WHERE event_id % 2 = 0
+),
+v2 AS (
+  SELECT event_id, user_id, value, CAST(event_id % 4 AS INT) AS channel
+  FROM events WHERE event_id % 2 = 1
+),
+merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT coalesce(channel, -1) AS channel, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM merged GROUP BY coalesce(channel, -1)
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1199,6 +1255,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_cells": q_zorder_cells,
     "incremental_agg": q_incremental_agg,
     "bpe_train": q_bpe_train,
+    "evolved_scan": q_evolved_scan,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1212,4 +1269,5 @@ ORACLES_EXT9: dict[str, str] = {
     "zorder_cells": ORACLE_ZORDER_CELLS,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
     "bpe_train": ORACLE_BPE_TRAIN,
+    "evolved_scan": ORACLE_EVOLVED_SCAN,
 }
