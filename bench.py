@@ -106,6 +106,7 @@ HEADLINE = [
     "incremental_agg",
     "bpe_train",
     "evolved_scan",
+    "stream_mv_maintenance",
 ]
 
 

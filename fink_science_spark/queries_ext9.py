@@ -1243,6 +1243,99 @@ FROM merged GROUP BY coalesce(channel, -1)
 """
 
 # --------------------------------------------------------------------------
+# stream_mv_maintenance: streaming materialized-view maintenance — the
+# warehouse pattern incremental_agg proves in batch, run as a REAL
+# multi-batch stream: each micro-batch appends its PARTIAL aggregate
+# states (count/sum/min/max monoids) to a log-structured state
+# directory (append-only: never read-modify-overwrite the path you are
+# streaming state into — the classic self-overwrite deadlock), and a
+# final compaction merges the delta log into the finalized view. The
+# oracle is the batch aggregate over the full table: the maintained
+# view must be indistinguishable from recomputation.
+# --------------------------------------------------------------------------
+
+
+def q_stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from fink_science_spark.queries_ext2 import _SCRATCH
+    from fink_science_spark.streaming.shell import scoped_shuffle_partitions
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    src_path = _os.path.join(_SCRATCH, f"mv_src_{tag}")
+    state_path = _os.path.join(_SCRATCH, f"mv_state_{tag}")
+    _shutil.rmtree(src_path, ignore_errors=True)
+    _shutil.rmtree(state_path, ignore_errors=True)
+
+    ev = _events_us(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("qv"),
+    )
+    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
+    ev.repartition(4).write.parquet(src_path)
+    schema = spark.read.parquet(src_path).schema
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("qv").alias("s1"),
+            F.min("qv").alias("mn"),
+            F.max("qv").alias("mx"),
+        )
+        partial.write.mode("append").parquet(state_path)
+
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src_path)
+        )
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # compaction: merge the delta log into the finalized view
+    state = spark.read.parquet(state_path)
+    return (
+        state.groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "n",
+            F.round(
+                F.col("s1").cast("double") / F.col("n") / F.lit(100.0), 6
+            ).alias("mean_value"),
+            ((F.col("mx") - F.col("mn")).cast("double") / F.lit(100.0)).alias(
+                "amplitude"
+            ),
+        )
+    )
+
+
+ORACLE_STREAM_MV_MAINTENANCE = """
+WITH q AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS qv
+  FROM events
+)
+SELECT user_id, event_type, count(*) AS n,
+       round(CAST(sum(qv) AS DOUBLE) / count(*) / 100.0, 6) AS mean_value,
+       CAST(max(qv) - min(qv) AS DOUBLE) / 100.0 AS amplitude
+FROM q GROUP BY user_id, event_type
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1256,6 +1349,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg": q_incremental_agg,
     "bpe_train": q_bpe_train,
     "evolved_scan": q_evolved_scan,
+    "stream_mv_maintenance": q_stream_mv_maintenance,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1270,4 +1364,5 @@ ORACLES_EXT9: dict[str, str] = {
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
     "bpe_train": ORACLE_BPE_TRAIN,
     "evolved_scan": ORACLE_EVOLVED_SCAN,
+    "stream_mv_maintenance": ORACLE_STREAM_MV_MAINTENANCE,
 }
