@@ -107,6 +107,7 @@ HEADLINE = [
     "bpe_train",
     "evolved_scan",
     "stream_mv_maintenance",
+    "trimmed_mean",
 ]
 
 

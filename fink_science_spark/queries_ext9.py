@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1336,6 +1338,65 @@ FROM q GROUP BY user_id, event_type
 """
 
 # --------------------------------------------------------------------------
+# trimmed_mean: the GROUPED_AGG pandas UDF surface — the one PySpark
+# Python-execution API the registry had not yet exercised (scalar
+# pandas_udf, applyInPandas, mapInPandas, applyInPandasWithState are all
+# covered elsewhere). A custom aggregate the built-ins cannot express:
+# the 10%-trimmed mean (drop the floor(n/10) smallest and largest, mean
+# the rest — the robust location estimate ad_features-style statistics
+# use). Grouped-agg UDFs receive the whole group as an Arrow batch,
+# which is exactly the right contract for order statistics; ties among
+# equal values cannot affect the trimmed SUM, so the kernel needs no
+# tie-break to match the window-based SQL oracle.
+# --------------------------------------------------------------------------
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouped-agg UDFs cannot mix with JVM aggregates in one agg() —
+    # INVALID_PANDAS_UDF_PLACEMENT — so every output here is a pandas
+    # aggregate (still ONE shuffle, one Arrow stage)
+    @F.pandas_udf("double")
+    def trim_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        x = np.sort(v.to_numpy(dtype=np.float64))
+        k = len(x) // 10
+        kept = x[k : len(x) - k] if len(x) > 2 * k else x
+        return float(kept.mean())
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    @F.pandas_udf("double")
+    def mean_all(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(v.to_numpy(dtype=np.float64).mean())
+
+    ev = _events_us(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        n_rows(F.col("value")).alias("n"),
+        F.round(trim_mean(F.col("value")), 6).alias("trimmed_mean"),
+        F.round(mean_all(F.col("value")), 6).alias("plain_mean"),
+    )
+
+
+ORACLE_TRIMMED_MEAN = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, max(n) AS n,
+       round(avg(value) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10),
+             6) AS trimmed_mean,
+       round(avg(value), 6) AS plain_mean
+FROM ranked GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1350,6 +1411,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "evolved_scan": q_evolved_scan,
     "stream_mv_maintenance": q_stream_mv_maintenance,
+    "trimmed_mean": q_trimmed_mean,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1365,4 +1427,5 @@ ORACLES_EXT9: dict[str, str] = {
     "bpe_train": ORACLE_BPE_TRAIN,
     "evolved_scan": ORACLE_EVOLVED_SCAN,
     "stream_mv_maintenance": ORACLE_STREAM_MV_MAINTENANCE,
+    "trimmed_mean": ORACLE_TRIMMED_MEAN,
 }
