@@ -108,6 +108,7 @@ HEADLINE = [
     "evolved_scan",
     "stream_mv_maintenance",
     "trimmed_mean",
+    "udtf_sessions",
 ]
 
 

@@ -1397,6 +1397,89 @@ FROM ranked GROUP BY event_type
 """
 
 # --------------------------------------------------------------------------
+# udtf_sessions: the Python UDTF surface (Spark 3.5+/4 table functions)
+# with a PARTITION BY ... ORDER BY TABLE argument — the per-partition
+# imperative escape hatch for operators that stream ordered rows and
+# emit a different-shaped table (here: gap-based sessionization; the
+# declarative twin is session_window / the islands SQL the oracle
+# uses). Partition-aware UDTFs receive each partition's rows in order
+# into one class instance (eval per row, terminate at partition end), so
+# state is O(1) per user and the shuffle key is the partition column.
+# Session boundaries depend only on time gaps, so equal-timestamp
+# ordering ties cannot move them.
+# --------------------------------------------------------------------------
+
+_SESS_GAP_US = 86400 * 1000000  # 1 day
+
+
+def q_udtf_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, session_id int, n int, "
+        "start_us bigint, end_us bigint"
+    )
+    class SessionSplit:
+        def __init__(self):
+            self.user = None
+            self.sid = 0
+            self.n = 0
+            self.start = None
+            self.last = None
+
+        def eval(self, row):
+            user_id, ts_us = row.user_id, row.ts_us
+            if self.user is None:
+                self.user = user_id
+                self.sid = 1
+                self.n = 1
+                self.start = ts_us
+            elif ts_us - self.last > _SESS_GAP_US:
+                yield (self.user, self.sid, self.n, self.start, self.last)
+                self.sid += 1
+                self.n = 1
+                self.start = ts_us
+            else:
+                self.n += 1
+            self.last = ts_us
+
+        def terminate(self):
+            if self.user is not None:
+                yield (self.user, self.sid, self.n, self.start, self.last)
+
+    spark.udtf.register("session_split", SessionSplit)
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us")
+    ev.createOrReplaceTempView("__udtf_sessions_in")
+    return spark.sql(
+        """
+        SELECT * FROM session_split(
+          TABLE(SELECT user_id, ts_us FROM __udtf_sessions_in)
+          PARTITION BY user_id ORDER BY ts_us)
+        """
+    )
+
+
+ORACLE_UDTF_SESSIONS = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+d AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+g AS (
+  SELECT user_id, ts_us,
+         1 + sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(count(*) AS INT) AS n,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM g GROUP BY user_id, session_id
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1412,6 +1495,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evolved_scan": q_evolved_scan,
     "stream_mv_maintenance": q_stream_mv_maintenance,
     "trimmed_mean": q_trimmed_mean,
+    "udtf_sessions": q_udtf_sessions,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1428,4 +1512,5 @@ ORACLES_EXT9: dict[str, str] = {
     "evolved_scan": ORACLE_EVOLVED_SCAN,
     "stream_mv_maintenance": ORACLE_STREAM_MV_MAINTENANCE,
     "trimmed_mean": ORACLE_TRIMMED_MEAN,
+    "udtf_sessions": ORACLE_UDTF_SESSIONS,
 }
