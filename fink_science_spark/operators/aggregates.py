@@ -462,18 +462,35 @@ def trailing_window_mean(
     val: str,
     window_seconds: int,
     round_to: int = 4,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Per-row trailing mean of ``val`` over the last ``window_seconds``
     (inclusive) within each key group, ordered by event time — the
     trailing-fluence pattern. Uses a RANGE frame on epoch seconds: one
-    shuffle on the keys, then a streaming frame scan per partition."""
+    shuffle on the keys, then a streaming frame scan per partition.
+
+    ``quantize``: when ``val`` has exactly that many decimals, the mean
+    is computed as an EXACT integer window sum divided by the count —
+    bit-identical across engines regardless of frame summation order.
+    Without it, a float avg whose value lands on a round() HALF-UP
+    boundary can flip the last rounded digit between engines (surfaced
+    at sf0.1: 56.5687 vs 56.5688)."""
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__epoch"))
         .rangeBetween(-window_seconds, 0)
     )
-    return (
-        df.withColumn("__epoch", F.col(ts).cast("long"))
-        .withColumn("trail_mean", F.round(F.avg(val).over(w), round_to))
-        .drop("__epoch")
+    out = df.withColumn("__epoch", F.col(ts).cast("long"))
+    if quantize is not None:
+        scale = float(10 ** quantize)
+        q = F.round(F.col(val) * scale).cast("long")
+        mean = (
+            F.sum(q).over(w).cast("double")
+            / F.count(q).over(w)
+            / F.lit(scale)
+        )
+    else:
+        mean = F.avg(val).over(w)
+    return out.withColumn("trail_mean", F.round(mean, round_to)).drop(
+        "__epoch"
     )

@@ -50,8 +50,11 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / +0.0 and representational noise
-        return round(v, 9)
+        # collapse representational noise AND -0.0/+0.0: round() preserves
+        # the zero sign, and the row-sort key stringifies cells, so a -0.0
+        # on one side misaligns the sorted row pairing even though
+        # -0.0 == 0.0 (surfaced by photometry_conversion at sf0.1)
+        return round(v, 9) + 0.0
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     try:

@@ -591,7 +591,7 @@ def q_trailing_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_us(spark, sf_dir).filter(F.col("event_type") == "purchase")
     with_trail = trailing_window_mean(
         ev, ["user_id"], ts="ts_us", val="value", window_seconds=7 * DAY_US,
-        round_to=4,
+        round_to=4, quantize=2,
     )
     # NB: ts_us is already epoch-µs (bigint), so cast("long") in the
     # operator is an identity — the window frame is ±µs exactly.
@@ -601,14 +601,16 @@ def q_trailing_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TRAILING_MEAN = """
-WITH p AS (SELECT user_id, epoch_us(ts) AS t, value FROM events
+WITH p AS (SELECT user_id, epoch_us(ts) AS t,
+                  CAST(round(value * 100) AS BIGINT) AS qv FROM events
            WHERE event_type = 'purchase')
 SELECT user_id, max(trail) AS max_trail_mean_7d FROM (
   SELECT user_id,
-         round(avg(value) OVER (PARTITION BY user_id ORDER BY t
-                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW), 4)
+         round(CAST(sum(qv) OVER w AS DOUBLE) / count(qv) OVER w / 100.0, 4)
              AS trail
   FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
 ) GROUP BY user_id
 """
 

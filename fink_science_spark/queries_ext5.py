@@ -511,14 +511,18 @@ def q_photometry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ispos"),
     )
     dmag, dsig = dc_mag(dcf, dcs)
+    # + 0.0 normalizes negative zero: a near-zero dc_flux rounds to -0.0
+    # in one engine and +0.0 in the other (equal by ==, but distinct as
+    # sort/hash strings in a value-comparison harness) — surfaced at sf0.1
+    z = F.lit(0.0)
     return ev.select(
         "event_id",
-        F.round(flux, 6).alias("fluxcal"),
-        F.round(ferr, 6).alias("fluxcal_err"),
-        F.round(dcf, 6).alias("dc_flux"),
-        F.round(dcs, 6).alias("dc_sigflux"),
-        F.round(dmag, 6).alias("dc_mag"),
-        F.round(dsig, 6).alias("dc_sigmag"),
+        (F.round(flux, 6) + z).alias("fluxcal"),
+        (F.round(ferr, 6) + z).alias("fluxcal_err"),
+        (F.round(dcf, 6) + z).alias("dc_flux"),
+        (F.round(dcs, 6) + z).alias("dc_sigflux"),
+        (F.round(dmag, 6) + z).alias("dc_mag"),
+        (F.round(dsig, 6) + z).alias("dc_sigmag"),
     )
 
 
@@ -553,12 +557,12 @@ conv AS (
   FROM src
 )
 SELECT event_id,
-       round(fluxcal_raw, 6) AS fluxcal,
-       round(fluxcal_err_raw, 6) AS fluxcal_err,
-       round(dc_flux_raw, 6) AS dc_flux,
-       round(dc_sigflux_raw, 6) AS dc_sigflux,
-       round({dmag}, 6) AS dc_mag,
-       round({dsig}, 6) AS dc_sigmag
+       round(fluxcal_raw, 6) + 0.0 AS fluxcal,
+       round(fluxcal_err_raw, 6) + 0.0 AS fluxcal_err,
+       round(dc_flux_raw, 6) + 0.0 AS dc_flux,
+       round(dc_sigflux_raw, 6) + 0.0 AS dc_sigflux,
+       round({dmag}, 6) + 0.0 AS dc_mag,
+       round({dsig}, 6) + 0.0 AS dc_sigmag
 FROM conv
 """
 

@@ -10,8 +10,11 @@ projections).
 Plus the scale/curation wave: equal-area hierarchical sky pixelization
 (rollup + grouping-sets multi-resolution cube), two-stage retrieval
 (ANN recall → native cross-feature rerank), host-authority PageRank on
-the aggregated link graph, Z-order/Morton layout keys, and incremental
-aggregate maintenance via mergeable partial states.
+the aggregated link graph, Z-order/Morton layout keys, incremental
+aggregate maintenance via mergeable partial states, distributed BPE
+merge training, schema-evolution reads, streaming materialized-view
+maintenance, and the remaining Python execution surfaces (grouped-agg
+pandas UDF, partition-aware UDTF).
 """
 
 from __future__ import annotations
@@ -1355,14 +1358,19 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped-agg UDFs cannot mix with JVM aggregates in one agg() —
     # INVALID_PANDAS_UDF_PLACEMENT — so every output here is a pandas
     # aggregate (still ONE shuffle, one Arrow stage)
+    # means run in the integer-quantized domain (2-decimal values), so
+    # the sums are exact and order-independent — the float-sum rounding-
+    # boundary class the sf0.1 parity run surfaced in trailing_mean
     @F.pandas_udf("double")
     def trim_mean(v: pd.Series) -> float:
         import numpy as np
 
-        x = np.sort(v.to_numpy(dtype=np.float64))
-        k = len(x) // 10
-        kept = x[k : len(x) - k] if len(x) > 2 * k else x
-        return float(kept.mean())
+        q = np.sort(
+            np.round(v.to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        )
+        k = len(q) // 10
+        kept = q[k : len(q) - k] if len(q) > 2 * k else q
+        return float(kept.sum()) / len(kept) / 100.0
 
     @F.pandas_udf("long")
     def n_rows(v: pd.Series) -> int:
@@ -1372,7 +1380,8 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mean_all(v: pd.Series) -> float:
         import numpy as np
 
-        return float(v.to_numpy(dtype=np.float64).mean())
+        q = np.round(v.to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        return float(q.sum()) / len(q) / 100.0
 
     ev = _events_us(spark, sf_dir)
     return ev.groupBy("event_type").agg(
@@ -1384,15 +1393,17 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TRIMMED_MEAN = """
 WITH ranked AS (
-  SELECT event_type, value,
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS qv,
          row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
 )
 SELECT event_type, max(n) AS n,
-       round(avg(value) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10),
-             6) AS trimmed_mean,
-       round(avg(value), 6) AS plain_mean
+       round(CAST(sum(qv) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
+                  AS DOUBLE)
+             / count(*) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
+             / 100.0, 6) AS trimmed_mean,
+       round(CAST(sum(qv) AS DOUBLE) / count(*) / 100.0, 6) AS plain_mean
 FROM ranked GROUP BY event_type
 """
 
