@@ -109,6 +109,8 @@ HEADLINE = [
     "stream_mv_maintenance",
     "trimmed_mean",
     "udtf_sessions",
+    "variant_stats",
+    "recursive_reach",
 ]
 
 

@@ -1491,6 +1491,88 @@ FROM g GROUP BY user_id, session_id
 """
 
 # --------------------------------------------------------------------------
+# variant_stats: the Spark 4 VARIANT path for open-schema columns —
+# parse_json into the binary semi-structured encoding, typed
+# variant_get extraction, then plain relational aggregation. The modern
+# lakehouse answer to "the props column has no fixed schema" (the
+# events_json_stats query covers the classic get_json_object string
+# path; this is the typed-encoding successor). Oracle: DuckDB JSON
+# extraction — same values, different encodings.
+# --------------------------------------------------------------------------
+
+
+def q_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_STATS = """
+SELECT event_type, count(*) AS n,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+# --------------------------------------------------------------------------
+# recursive_reach: recursive CTE (Spark 4 WITH RECURSIVE) — BFS distance
+# from host 0 over the corpus-derived link graph of host_pagerank. The
+# edge map (47·s + 11 mod 64) is a permutation, so every node has
+# exactly one out-edge: the recursion is a bounded linear walk (≤ MAX
+# hops × 64 rows), terminated by the hop guard — the pure-SQL
+# counterpart of the operator-level iterative family (connected
+# components / Lloyd / power iteration).
+# --------------------------------------------------------------------------
+
+_RR_MAX_HOPS = 10
+
+
+def q_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _PR_N).alias("src"),
+        ((F.col("doc_id") * _PR_EDGE_A + _PR_EDGE_B) % _PR_N).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    docs.createOrReplaceTempView("__reach_edges")
+    return spark.sql(f"""
+        WITH RECURSIVE walk(node, dist) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, w.dist + 1
+          FROM walk w JOIN __reach_edges e ON e.src = w.node
+          WHERE w.dist < {_RR_MAX_HOPS}
+        )
+        SELECT node, min(dist) AS hops FROM walk GROUP BY node
+    """)
+
+
+ORACLE_RECURSIVE_REACH = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT doc_id % {_PR_N} AS src,
+         (doc_id * {_PR_EDGE_A} + {_PR_EDGE_B}) % {_PR_N} AS dst
+  FROM documents
+  WHERE doc_id % {_PR_N} != (doc_id * {_PR_EDGE_A} + {_PR_EDGE_B}) % {_PR_N}
+),
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {_RR_MAX_HOPS}
+)
+SELECT node, min(dist) AS hops FROM walk GROUP BY node
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1507,6 +1589,8 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_mv_maintenance": q_stream_mv_maintenance,
     "trimmed_mean": q_trimmed_mean,
     "udtf_sessions": q_udtf_sessions,
+    "variant_stats": q_variant_stats,
+    "recursive_reach": q_recursive_reach,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1524,4 +1608,6 @@ ORACLES_EXT9: dict[str, str] = {
     "stream_mv_maintenance": ORACLE_STREAM_MV_MAINTENANCE,
     "trimmed_mean": ORACLE_TRIMMED_MEAN,
     "udtf_sessions": ORACLE_UDTF_SESSIONS,
+    "variant_stats": ORACLE_VARIANT_STATS,
+    "recursive_reach": ORACLE_RECURSIVE_REACH,
 }
