@@ -111,6 +111,7 @@ HEADLINE = [
     "udtf_sessions",
     "variant_stats",
     "recursive_reach",
+    "arrow_byte_profile",
 ]
 
 

@@ -1573,6 +1573,57 @@ SELECT node, min(dist) AS hops FROM walk GROUP BY node
 """
 
 # --------------------------------------------------------------------------
+# arrow_byte_profile: the mapInArrow surface — RecordBatch-level Python
+# with NO pandas materialization (pyarrow.compute kernels straight on
+# the Arrow buffers; the zero-copy path for byte-level work where even
+# a pandas Series per column is waste). Per-doc UTF-8 byte vs character
+# lengths — the multibyte gap a tokenizer-budget planner needs — then a
+# plain per-source rollup. Oracle: DuckDB strlen (bytes) vs length
+# (characters).
+# --------------------------------------------------------------------------
+
+
+def q_arrow_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def profile(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("source"),
+                    pc.cast(pc.binary_length(batch.column("text")), pa.int64()),
+                    pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                ],
+                names=["doc_id", "source", "n_bytes", "n_chars"],
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    prof = d.mapInArrow(
+        profile, schema="doc_id long, source string, n_bytes long, n_chars long"
+    )
+    return prof.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum((F.col("n_bytes") > F.col("n_chars")).cast("long")).alias(
+            "n_multibyte_docs"
+        ),
+    )
+
+
+ORACLE_ARROW_BYTE_PROFILE = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN strlen(text) > length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_multibyte_docs
+FROM documents GROUP BY source
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1591,6 +1642,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_sessions": q_udtf_sessions,
     "variant_stats": q_variant_stats,
     "recursive_reach": q_recursive_reach,
+    "arrow_byte_profile": q_arrow_byte_profile,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1610,4 +1662,5 @@ ORACLES_EXT9: dict[str, str] = {
     "udtf_sessions": ORACLE_UDTF_SESSIONS,
     "variant_stats": ORACLE_VARIANT_STATS,
     "recursive_reach": ORACLE_RECURSIVE_REACH,
+    "arrow_byte_profile": ORACLE_ARROW_BYTE_PROFILE,
 }
