@@ -183,3 +183,84 @@ def test_redact_pii_matches_duckdb(spark, text):
     ).fetchone()
     con.close()
     assert (row["red"], row["ce"], row["ci"], row["cp"]) == exp, text
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=359.999999),
+            st.floats(min_value=-90.0, max_value=90.0),
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+@_settings
+def test_equal_area_pixel_matches_duckdb_and_parent_containment(spark, pts):
+    """The pixel id and its SQL twin agree bit-for-bit on arbitrary
+    coordinates (poles and RA wrap included), and the arithmetic parent
+    always equals the pixel computed directly at the coarser depth —
+    the hierarchy invariant the rollup queries rely on."""
+    from fink_science_spark.operators.spatial import (
+        equal_area_pixel,
+        equal_area_pixel_sql,
+        parent_pixel,
+    )
+
+    nside = 8
+    df = spark.createDataFrame(pts, "ra double, dec double")
+    ix, iy, pix = equal_area_pixel(F.col("ra"), F.col("dec"), nside)
+    cix, ciy, cpix = equal_area_pixel(F.col("ra"), F.col("dec"), nside // 2)
+    rows = df.select(
+        "ra",
+        "dec",
+        pix.alias("pix"),
+        parent_pixel(ix, iy, nside).alias("parent"),
+        cpix.alias("coarse"),
+    ).collect()
+    con = duckdb.connect()
+    for r in rows:
+        _, _, pix_sql = equal_area_pixel_sql(
+            repr(r["ra"]), repr(r["dec"]), nside
+        )
+        (expected,) = con.execute(
+            f"SELECT CAST({pix_sql} AS BIGINT)"
+        ).fetchone()
+        assert r["pix"] == expected, (r["ra"], r["dec"])
+        assert r["parent"] == r["coarse"], (r["ra"], r["dec"])
+    con.close()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+@_settings
+def test_morton_key_bijective_and_matches_duckdb(spark, pairs):
+    """The Morton interleave is a bijection on (0..2^b-1)² (decoding the
+    even/odd bits recovers the inputs) and agrees bit-for-bit with its
+    SQL twin."""
+    from fink_science_spark.functions.zorder import morton_key, morton_key_sql
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select(
+        "a", "b", morton_key(F.col("a"), F.col("b"), 8).alias("z")
+    ).collect()
+    con = duckdb.connect()
+    for r in rows:
+        sql = morton_key_sql(str(r["a"]), str(r["b"]), 8)
+        (expected,) = con.execute(f"SELECT {sql}").fetchone()
+        assert r["z"] == expected, (r["a"], r["b"])
+        # decode: even bits -> a, odd bits -> b
+        a = b = 0
+        for i in range(8):
+            a |= ((r["z"] >> (2 * i)) & 1) << i
+            b |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (a, b) == (r["a"], r["b"])
+    con.close()
