@@ -112,6 +112,7 @@ HEADLINE = [
     "variant_stats",
     "recursive_reach",
     "arrow_byte_profile",
+    "temporal_dim_join",
 ]
 
 

@@ -1624,6 +1624,81 @@ FROM documents GROUP BY source
 """
 
 # --------------------------------------------------------------------------
+# temporal_dim_join: point-in-time (temporal) dimension lookup — every
+# click event joined to the SCD2 dimension version valid AT its event
+# time (equi user key + ts in [valid_from, valid_to) residual range
+# predicate). The consumption side of q_scd2_history's build: together
+# they are the full warehouse dimension-history lifecycle.
+#
+# Scale shape: the range condition rides on an EQUI hash join (user_id)
+# as a residual filter — never a range-only join. Versions-per-key is
+# small by construction (changes, not events), so the per-key probe is
+# a short scan; clicks before a user's first version fall out (inner).
+# --------------------------------------------------------------------------
+
+
+def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.queries_ext6 import q_scd2_history
+
+    dim = q_scd2_history(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        "attr",
+        "valid_from_us",
+        F.coalesce("valid_to_us", F.lit(2**62)).alias("valid_to_us"),
+    )
+    clicks = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts_us")
+    )
+    joined = clicks.join(
+        dim,
+        (clicks.user_id == dim.d_user)
+        & (clicks.ts_us >= dim.valid_from_us)
+        & (clicks.ts_us < dim.valid_to_us),
+        "inner",
+    )
+    return joined.groupBy("attr").agg(
+        F.count("*").alias("n_clicks"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_TEMPORAL_DIM_JOIN = """
+WITH feed AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         cast(floor(value / 100) AS BIGINT) AS attr
+  FROM events WHERE event_type = 'purchase'
+),
+ch AS (
+  SELECT *,
+         lag(attr) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_attr
+  FROM feed
+),
+v AS (
+  SELECT user_id, event_id, attr, ts_us AS valid_from_us
+  FROM ch WHERE prev_attr IS NULL OR attr != prev_attr
+),
+dim AS (
+  SELECT user_id AS d_user, attr, valid_from_us,
+         coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+                    ORDER BY valid_from_us, event_id),
+                  4611686018427387904) AS valid_to_us
+  FROM v
+),
+clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT attr, count(*) AS n_clicks, count(DISTINCT user_id) AS n_users
+FROM clicks c JOIN dim d
+  ON c.user_id = d.d_user
+ AND c.ts_us >= d.valid_from_us AND c.ts_us < d.valid_to_us
+GROUP BY attr
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1643,6 +1718,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_stats": q_variant_stats,
     "recursive_reach": q_recursive_reach,
     "arrow_byte_profile": q_arrow_byte_profile,
+    "temporal_dim_join": q_temporal_dim_join,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1663,4 +1739,5 @@ ORACLES_EXT9: dict[str, str] = {
     "variant_stats": ORACLE_VARIANT_STATS,
     "recursive_reach": ORACLE_RECURSIVE_REACH,
     "arrow_byte_profile": ORACLE_ARROW_BYTE_PROFILE,
+    "temporal_dim_join": ORACLE_TEMPORAL_DIM_JOIN,
 }
