@@ -113,6 +113,7 @@ HEADLINE = [
     "recursive_reach",
     "arrow_byte_profile",
     "temporal_dim_join",
+    "cube_counts",
 ]
 
 

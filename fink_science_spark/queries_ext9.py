@@ -1699,6 +1699,39 @@ GROUP BY attr
 """
 
 # --------------------------------------------------------------------------
+# cube_counts: the CUBE aggregation (all 2^k grouping-set combinations +
+# grouping_id provenance) — completes the OLAP trio with rollup_counts
+# (linear hierarchy) and sky_pixel_multires (explicit grouping sets).
+# Same engine shape: ONE scan, map-side Expand, one exchange.
+# --------------------------------------------------------------------------
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
+
+
+ORACLE_CUBE_COUNTS = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1719,6 +1752,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recursive_reach": q_recursive_reach,
     "arrow_byte_profile": q_arrow_byte_profile,
     "temporal_dim_join": q_temporal_dim_join,
+    "cube_counts": q_cube_counts,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1740,4 +1774,5 @@ ORACLES_EXT9: dict[str, str] = {
     "recursive_reach": ORACLE_RECURSIVE_REACH,
     "arrow_byte_profile": ORACLE_ARROW_BYTE_PROFILE,
     "temporal_dim_join": ORACLE_TEMPORAL_DIM_JOIN,
+    "cube_counts": ORACLE_CUBE_COUNTS,
 }
