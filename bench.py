@@ -114,6 +114,7 @@ HEADLINE = [
     "arrow_byte_profile",
     "temporal_dim_join",
     "cube_counts",
+    "unpivot_metrics",
 ]
 
 

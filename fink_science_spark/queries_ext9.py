@@ -1732,6 +1732,44 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 # --------------------------------------------------------------------------
+# unpivot_metrics: wide -> long melt (DataFrame.unpivot / SQL UNPIVOT) —
+# the inverse of pivot_counts, turning lineitem's four numeric measures
+# into (metric, value) rows for uniform per-metric statistics. The melt
+# is a map-side Expand (rows x k, no shuffle until the aggregate).
+# --------------------------------------------------------------------------
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+        F.round(F.sum("value"), 2).alias("sum_v"),
+    )
+
+
+ORACLE_UNPIVOT_METRICS = """
+SELECT metric, count(*) AS n,
+       round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
+       round(sum(value), 2) AS sum_v
+FROM (
+  UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+           FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME metric VALUE value
+) GROUP BY metric
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1753,6 +1791,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "arrow_byte_profile": q_arrow_byte_profile,
     "temporal_dim_join": q_temporal_dim_join,
     "cube_counts": q_cube_counts,
+    "unpivot_metrics": q_unpivot_metrics,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1775,4 +1814,5 @@ ORACLES_EXT9: dict[str, str] = {
     "arrow_byte_profile": ORACLE_ARROW_BYTE_PROFILE,
     "temporal_dim_join": ORACLE_TEMPORAL_DIM_JOIN,
     "cube_counts": ORACLE_CUBE_COUNTS,
+    "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
 }
