@@ -842,3 +842,23 @@ def test_bpe_apply_overlap_safe(spark):
     assert got["aaa"] == ["aa", "a"]
     assert got["aaaa"] == ["aa", "aa"]
     assert got["ab"] == ["a", "b"]
+
+
+def test_observation_metrics_match_direct_agg(spark):
+    """df.observe (CollectMetrics) — free pipeline observability: the
+    observed aggregates must equal a direct aggregation, without running
+    the query twice."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    obs = Observation("stats")
+    observed = df.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k")
+    )
+    direct = df.agg(F.count(F.lit(1)), F.sum("k")).collect()[0]
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n"] == direct[0] and got["sum_k"] == direct[1], got

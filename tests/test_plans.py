@@ -406,3 +406,23 @@ def test_sky_pixel_multires_one_scan_expand(spark, registry):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Expand", plan)) >= 1, plan
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
+
+
+def test_cube_and_unpivot_are_map_side_expand(spark, registry):
+    """CUBE and UNPIVOT both reshape map-side via the Expand operator:
+    one scan, one aggregation exchange, nothing quadratic."""
+    for name in ("cube_counts", "unpivot_metrics"):
+        plan = plan_of(registry[name](spark, SF))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (name, plan)
+        assert len(re.findall(r"\(\d+\) Expand", plan)) >= 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+
+
+def test_temporal_dim_join_equi_with_residual_range(spark, registry):
+    """The validity-range predicate must ride a hash join on the equi
+    user key — a range-only join (BroadcastNestedLoopJoin/cartesian)
+    would be quadratic in users x versions."""
+    plan = plan_of(registry["temporal_dim_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
