@@ -469,3 +469,79 @@ def test_drop_duplicates_within_watermark_across_batches(spark, multi_file_event
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == exp
+
+
+def test_append_finalization_across_batches(spark):
+    """Append-mode finalization semantics across micro-batches, pinned
+    empirically: only windows whose END is at or below the final
+    watermark are emitted; windows still open at availableNow
+    termination (the last day on-time, and anything newer) never reach
+    the sink. Notably, a far-LATE row arriving in batch 2 for a window
+    that never had state is ACCEPTED and finalizes immediately (Spark's
+    late-data dropping operates through state eviction, so it only
+    affects windows whose state existed and was evicted) — a real
+    engine nuance this test documents rather than assumes away."""
+    import time as _time
+
+    path = os.path.join(SCRATCH, f"late_drop_{uuid.uuid4().hex[:8]}")
+    os.makedirs(path, exist_ok=True)
+    on_time = pd.DataFrame(
+        {
+            "ts_event": pd.to_datetime(
+                [f"2024-01-{d:02d}" for d in range(10, 20)]
+            ),
+            "k": ["x"] * 10,
+        }
+    )
+    batch2 = pd.DataFrame(
+        {
+            # one row far below the watermark, one fresh row
+            "ts_event": pd.to_datetime(["2024-01-02", "2024-01-20"]),
+            "k": ["x", "x"],
+        }
+    )
+    f1, f2 = os.path.join(path, "a.parquet"), os.path.join(path, "b.parquet")
+    # µs timestamps: the module fixture turns on nanosAsLong, which would
+    # surface pandas' default ns column as BIGINT
+    on_time.to_parquet(f1, coerce_timestamps="us")
+    batch2.to_parquet(f2, coerce_timestamps="us")
+    now = _time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    from fink_science_spark.streaming.shell import scoped_shuffle_partitions
+
+    schema = spark.read.parquet(path).schema
+    with scoped_shuffle_partitions(spark, 4):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(path)
+        )
+        agg = (
+            stream.withColumn(
+                "ts_event", F.col("ts_event").cast("timestamp")
+            )
+            .withWatermark("ts_event", "1 day")
+            .groupBy(F.window("ts_event", "1 day").alias("w"), "k")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "k", "n")
+        )
+        name = f"late_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sink = spark.table(name).toPandas()
+    starts = {s[:10] for s in sink["ws"].astype(str)}
+    # finalized: every on-time window with end <= final watermark (Jan 19)
+    assert {f"2024-01-{d:02d}" for d in range(10, 19)} <= starts, starts
+    # the late row finalizes immediately (state never existed -> accepted)
+    assert "2024-01-02" in starts, starts
+    # open windows at termination are never emitted
+    assert "2024-01-19" not in starts and "2024-01-20" not in starts, starts
