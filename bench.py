@@ -115,6 +115,7 @@ HEADLINE = [
     "temporal_dim_join",
     "cube_counts",
     "unpivot_metrics",
+    "bpe_encode_stats",
 ]
 
 

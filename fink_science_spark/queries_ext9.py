@@ -1087,11 +1087,14 @@ _BPE_ROUNDS = 3
 _BPE_PREFIX = 64  # chars of each doc considered (bounds the explode)
 
 
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_prepare(spark: SparkSession, sf_dir: str, extra: list) -> DataFrame:
+    """Normalized char-level sequences in the double-space canonical form,
+    carrying ``extra`` passthrough columns."""
     docs = _t(spark, sf_dir, "documents").select(
+        *extra,
         F.regexp_replace(
             F.lower(F.substring("text", 1, _BPE_PREFIX)), "[^a-z]", ""
-        ).alias("s")
+        ).alias("s"),
     ).filter(F.length("s") >= 2)
     seq = F.concat(
         F.lit(" "),
@@ -1103,8 +1106,13 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(" "),
     )
-    cur = docs.select(seq.alias("seq"))
+    return docs.select(*extra, seq.alias("seq"))
 
+
+def _bpe_rounds(cur: DataFrame, extra: list):
+    """Run the merge-training rounds; returns (final sequences DF with
+    ``extra`` columns intact, list of 1-row merge DFs (round, pair,
+    freq))."""
     merges = []
     for rnd in range(1, _BPE_ROUNDS + 1):
         toks = F.split(F.trim(F.col("seq")), " +")
@@ -1122,9 +1130,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = (
             counts.orderBy(F.col("freq").desc(), F.col("pair").asc())
             .limit(1)
-            .select(
-                F.lit(rnd).alias("round"), "pair", "freq"
-            )
+            .select(F.lit(rnd).alias("round"), "pair", "freq")
         )
         merges.append(best)
         pat = F.concat(
@@ -1137,16 +1143,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         applied = cur.crossJoin(
             F.broadcast(best.select("pair"))
-        ).select(F.replace(F.col("seq"), pat, rep).alias("seq"))
+        ).select(*extra, F.replace(F.col("seq"), pat, rep).alias("seq"))
         # re-canonicalize to the double-space form for the next round
         cur = applied.select(
+            *extra,
             F.concat(
                 F.lit(" "),
                 F.array_join(F.split(F.trim(F.col("seq")), " +"), "  "),
                 F.lit(" "),
-            ).alias("seq")
+            ).alias("seq"),
         )
+    return cur, merges
 
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = _bpe_prepare(spark, sf_dir, [])
+    _final, merges = _bpe_rounds(cur, [])
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -1770,6 +1782,82 @@ FROM (
 """
 
 # --------------------------------------------------------------------------
+# bpe_encode_stats: the trained-tokenizer artifact applied corpus-wide —
+# after the bpe_train merges, every document is ENCODED and the
+# per-source compression is measured (tokens per char before vs after;
+# the metric a tokenizer-budget planner actually consumes). Same shared
+# round machinery as bpe_train, with the source column carried through
+# the merge applications.
+# --------------------------------------------------------------------------
+
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = _bpe_prepare(spark, sf_dir, [F.col("source")])
+    final, _merges = _bpe_rounds(cur, [F.col("source")])
+    n_tokens = F.size(F.split(F.trim(F.col("seq")), " +"))
+    # chars = token characters only (spaces are encoding artifacts)
+    n_chars = F.length(F.regexp_replace(F.col("seq"), " ", ""))
+    enc = final.select("source", n_tokens.alias("n_tok"), n_chars.alias("n_ch"))
+    return enc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_ch").alias("total_chars"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.sum("n_ch").cast("double"), 6
+        ).alias("tokens_per_char"),
+    )
+
+
+def _oracle_bpe_encode() -> str:
+    rounds = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""p{k} AS (
+  SELECT t[i] || ' ' || t[i+1] AS pair FROM
+    (SELECT regexp_split_to_array(trim(seq), ' +') AS t FROM r{k - 1}) x,
+    (SELECT unnest(generate_series(1, {_BPE_PREFIX})) AS i) g
+  WHERE i < len(t)
+),
+m{k} AS (
+  SELECT pair FROM p{k}
+  GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1
+),
+r{k} AS (
+  SELECT source, ' ' || array_to_string(regexp_split_to_array(trim(
+           replace(seq,
+                   ' ' || replace((SELECT pair FROM m{k}), ' ', '  ') || ' ',
+                   ' ' || replace((SELECT pair FROM m{k}), ' ', '') || ' ')
+         ), ' +'), '  ') || ' ' AS seq
+  FROM r{k - 1}
+)""")
+    return r"""
+WITH norm AS (
+  SELECT source,
+         regexp_replace(lower(substring(text, 1, 64)), '[^a-z]', '', 'g') AS s
+  FROM documents
+),
+r0 AS (
+  SELECT source,
+         ' ' || array_to_string(
+           regexp_split_to_array(
+             trim(regexp_replace(s, '(.)', '\1 ', 'g')), ' +'), '  ') || ' '
+         AS seq
+  FROM norm WHERE len(s) >= 2
+),
+""" + ",\n".join(rounds) + f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(seq), ' +'))) AS BIGINT)
+         AS total_tokens,
+       CAST(sum(len(replace(seq, ' ', ''))) AS BIGINT) AS total_chars,
+       round(CAST(sum(len(regexp_split_to_array(trim(seq), ' +')))
+                  AS DOUBLE)
+             / sum(len(replace(seq, ' ', ''))), 6) AS tokens_per_char
+FROM r{_BPE_ROUNDS} GROUP BY source
+"""
+
+
+ORACLE_BPE_ENCODE_STATS = _oracle_bpe_encode()
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1792,6 +1880,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_dim_join": q_temporal_dim_join,
     "cube_counts": q_cube_counts,
     "unpivot_metrics": q_unpivot_metrics,
+    "bpe_encode_stats": q_bpe_encode_stats,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1815,4 +1904,5 @@ ORACLES_EXT9: dict[str, str] = {
     "temporal_dim_join": ORACLE_TEMPORAL_DIM_JOIN,
     "cube_counts": ORACLE_CUBE_COUNTS,
     "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
+    "bpe_encode_stats": ORACLE_BPE_ENCODE_STATS,
 }
