@@ -116,6 +116,7 @@ HEADLINE = [
     "cube_counts",
     "unpivot_metrics",
     "bpe_encode_stats",
+    "knn_graph_stats",
 ]
 
 

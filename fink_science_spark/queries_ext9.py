@@ -1858,6 +1858,76 @@ FROM r{_BPE_ROUNDS} GROUP BY source
 ORACLE_BPE_ENCODE_STATS = _oracle_bpe_encode()
 
 # --------------------------------------------------------------------------
+# knn_graph_stats: similarity-graph construction + degree profile — the
+# corpus-structure diagnostic (clustering feed, UMAP-style viz input,
+# duplicate-blob detector) built on the SAME bucketed pair generator as
+# embedding near-dup (no all-pairs join ever): LSH-bucket candidates ->
+# exact-cosine refine -> symmetric degree count per vector, with
+# degree-0 vectors kept via a left anti-style union (isolated nodes are
+# the interesting ones in curation). Output: degree histogram.
+# --------------------------------------------------------------------------
+
+_KG_THRESHOLD = 0.2
+
+
+def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.operators.similarity import (
+        cosine_pairs_bucketed,
+        lsh_bucket_udf,
+    )
+    from fink_science_spark.queries_ext2 import _COS_BITS, _EMB_DIM
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = lsh_bucket_udf(_EMB_DIM, _COS_BITS)
+    pairs = cosine_pairs_bucketed(
+        emb, "vec_id", "v",
+        bucket_col=bucket(F.col("v")),
+        threshold=_KG_THRESHOLD,
+    )
+    ends = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("degree"))
+    all_deg = (
+        emb.select("vec_id")
+        .join(deg, emb.vec_id == deg.node, "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+    return all_deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def _oracle_knn_graph() -> str:
+    from fink_science_spark.queries_ext2 import _lsh_bucket_sql
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+  FROM b a JOIN b bb
+    ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  WHERE list_inner_product(a.v, bb.v) /
+        sqrt(list_inner_product(a.v, a.v) * list_inner_product(bb.v, bb.v))
+        >= {_KG_THRESHOLD}
+),
+ends AS (
+  SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs
+),
+deg AS (SELECT node, count(*) AS degree FROM ends GROUP BY node),
+all_deg AS (
+  SELECT coalesce(d.degree, 0) AS degree
+  FROM e LEFT JOIN deg d ON e.vec_id = d.node
+)
+SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+FROM all_deg GROUP BY degree
+"""
+
+
+ORACLE_KNN_GRAPH_STATS = _oracle_knn_graph()
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1881,6 +1951,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_counts": q_cube_counts,
     "unpivot_metrics": q_unpivot_metrics,
     "bpe_encode_stats": q_bpe_encode_stats,
+    "knn_graph_stats": q_knn_graph_stats,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1905,4 +1976,5 @@ ORACLES_EXT9: dict[str, str] = {
     "cube_counts": ORACLE_CUBE_COUNTS,
     "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
     "bpe_encode_stats": ORACLE_BPE_ENCODE_STATS,
+    "knn_graph_stats": ORACLE_KNN_GRAPH_STATS,
 }
