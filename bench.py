@@ -117,6 +117,7 @@ HEADLINE = [
     "unpivot_metrics",
     "bpe_encode_stats",
     "knn_graph_stats",
+    "eval_split",
 ]
 
 

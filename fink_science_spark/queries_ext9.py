@@ -1928,6 +1928,70 @@ FROM all_deg GROUP BY degree
 ORACLE_KNN_GRAPH_STATS = _oracle_knn_graph()
 
 # --------------------------------------------------------------------------
+# eval_split: deterministic stratified train/val/test assignment — the
+# split step every training pipeline runs before anything else. The
+# split is a pure function of the document id (md5 uniform -> fraction
+# thresholds): re-runs, different clusters, and the oracle all assign
+# identically, and a document can never leak across splits. Stratification
+# is free: the uniform draw is independent of `source`, so per-source
+# fractions concentrate to the targets; the query reports realized
+# per-(source, split) shares for drift monitoring.
+# --------------------------------------------------------------------------
+
+_SPLIT_TRAIN = 0.8
+_SPLIT_VAL = 0.9  # (train, val]; rest = test
+
+
+def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.queries_ext6 import _U_DENOM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = hash64(F.col("doc_id").cast("string"), seed="split") / F.lit(_U_DENOM)
+    split = (
+        F.when(u < _SPLIT_TRAIN, "train")
+        .when(u < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    assigned = docs.select("source", split.alias("split"))
+    wsrc = Window.partitionBy("source")
+    per = assigned.groupBy("source", "split").agg(F.count("*").alias("n"))
+    return per.select(
+        "source",
+        "split",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wsrc), 4
+        ).alias("share"),
+    )
+
+
+def _oracle_eval_split() -> str:
+    from fink_science_spark.functions.hashing import hash64_sql
+    from fink_science_spark.queries_ext6 import _U_DENOM
+
+    u = f"({hash64_sql('doc_id::VARCHAR', seed='split')} / {_U_DENOM!r})"
+    return f"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN {u} < {_SPLIT_TRAIN!r} THEN 'train'
+              WHEN {u} < {_SPLIT_VAL!r} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per AS (
+  SELECT source, split, count(*) AS n FROM assigned GROUP BY source, split
+)
+SELECT source, split, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source), 4)
+         AS share
+FROM per
+"""
+
+
+ORACLE_EVAL_SPLIT = _oracle_eval_split()
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mulens_score": q_mulens_score,
@@ -1952,6 +2016,7 @@ QUERIES_EXT9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_metrics": q_unpivot_metrics,
     "bpe_encode_stats": q_bpe_encode_stats,
     "knn_graph_stats": q_knn_graph_stats,
+    "eval_split": q_eval_split,
 }
 
 ORACLES_EXT9: dict[str, str] = {
@@ -1977,4 +2042,5 @@ ORACLES_EXT9: dict[str, str] = {
     "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
     "bpe_encode_stats": ORACLE_BPE_ENCODE_STATS,
     "knn_graph_stats": ORACLE_KNN_GRAPH_STATS,
+    "eval_split": ORACLE_EVAL_SPLIT,
 }
