@@ -152,7 +152,7 @@ def period_scan_sql(
     and value expressions."""
     ks = ", ".join(keys)
     grid = ", ".join(
-        f"({i}, {float(p)!r})" for i, p in enumerate(periods)
+        f"({i}, {float(p)!r}::DOUBLE)" for i, p in enumerate(periods)
     )
     qx, qy = repr(_QX), repr(_QY)
     sxx, sxy, syy2 = repr(_QX * _QX), repr(_QX * _QY), repr(_QY * _QY)

@@ -113,8 +113,8 @@ __stepped AS (
   FROM __base
 )
 SELECT {group},
-       any_value(__na) AS n_a,
-       any_value(__nb) AS n_b,
+       any_value(__na)::BIGINT AS n_a,
+       any_value(__nb)::BIGINT AS n_b,
        max(abs(__ca / __na - __cb / __nb)) AS {out}
 FROM __stepped
 WHERE __na > 0 AND __nb > 0

@@ -526,8 +526,8 @@ ORACLE_BLOB_FEATURES = """
 SELECT doc_id,
        16 AS byte_len,
        ('0x' || substr(md5(text), 1, 2))::INT AS first_byte,
-       list_sum([('0x' || substr(md5(text), 2*i - 1, 2))::INT
-                 for i in generate_series(1, 16)]) % 997 AS checksum
+       (list_sum([('0x' || substr(md5(text), 2*i - 1, 2))::INT
+                  for i in generate_series(1, 16)]) % 997)::BIGINT AS checksum
 FROM documents
 """
 
@@ -589,7 +589,7 @@ WITH f AS (
   FROM documents, (SELECT unnest(generate_series(0, 7)) AS i)
   WHERE strlen(text) - (i * 64) > 0
 )
-SELECT doc_id, count(*) AS n_frames, sum(flen) AS sampled_bytes
+SELECT doc_id, count(*) AS n_frames, sum(flen)::BIGINT AS sampled_bytes
 FROM f GROUP BY doc_id
 """
 

@@ -305,7 +305,10 @@ def _mix_weight_sql() -> str:
     whens = " ".join(
         f"WHEN source = '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
     )
-    return f"CASE {whens} ELSE {_MIX_TAIL} END"
+    # the ::DOUBLE matters: DuckDB types the bare decimal literals as
+    # DECIMAL(3,2), which the driver's type-sensitive value hash treats
+    # as a different value from Spark's double
+    return f"(CASE {whens} ELSE {_MIX_TAIL} END)::DOUBLE"
 
 
 _U_DENOM = float(1 << 60)  # hash64 is uniform on [0, 2^60)
@@ -686,7 +689,7 @@ WITH u AS (
 h AS (
   SELECT regexp_extract(url, '{_HOST_RE}', 1) AS host, n_chars FROM u
 )
-SELECT host, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT host, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
        round(avg(n_chars), 4) AS avg_chars
 FROM h
 WHERE host NOT IN ({", ".join(f"'{b}'" for b in _BLOCKED_HOSTS)})
@@ -739,7 +742,7 @@ WITH tok AS (
   FROM documents
 ),
 d AS (
-  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+  SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
          round(quantile_cont(len(toks), 0.5), 4) AS p50_tokens,
          round(quantile_cont(len(toks), 0.9), 4) AS p90_tokens
   FROM tok GROUP BY source
@@ -876,8 +879,10 @@ WITH f AS (
 SELECT doc_id,
        n AS n_samples,
        len(frames) AS n_frames,
-       CASE WHEN n > 0 THEN list_sum(frames) ELSE 0 END AS total_energy,
-       CASE WHEN n > 0 THEN list_max(frames) ELSE 0 END AS max_frame_energy
+       (CASE WHEN n > 0 THEN list_sum(frames) ELSE 0 END)::BIGINT
+           AS total_energy,
+       (CASE WHEN n > 0 THEN list_max(frames) ELSE 0 END)::BIGINT
+           AS max_frame_energy
 FROM f
 """
 

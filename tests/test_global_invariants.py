@@ -53,7 +53,33 @@ def test_no_cartesian_no_row_udf_anywhere(spark):
 
 
 def test_every_query_documented_in_coverage():
+    from pathlib import Path
+
     registry = _registry()
-    text = open("/root/repo/COVERAGE.md").read()
+    text = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
     missing = [n for n in sorted(registry) if f"`{n}`" not in text]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_no_exotic_types_in_any_oracle_result():
+    """The driver's value-hash is type-sensitive: a DuckDB HUGEINT
+    (int128, from sum(INT)) or DECIMAL column hashes differently from the
+    Spark side's int64/double even when every value is equal — exactly the
+    failure mode behind the round-1/2 `blob_features` / `frame_samples`
+    reds. Sweep every oracle's result schema and ban the exotic types so
+    the class can't reappear."""
+    import __spark_entry__ as entrymod
+    from fink_science_spark.oracle import duckdb_connection
+
+    con = duckdb_connection(SF)
+    offenders = []
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            s = str(typ)
+            if "HUGEINT" in s or "DECIMAL" in s:
+                offenders.append((name, col, s))
+    assert not offenders, (
+        "oracle columns with driver-hash-unsafe types (cast to ::BIGINT "
+        f"or ::DOUBLE in the oracle SQL): {offenders}"
+    )
