@@ -83,6 +83,140 @@ def service_xmatch(
     )
 
 
+def http_post_transport(
+    url: str,
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    *,
+    radius_arcsec: float = 1.0,
+    catalog: str = "simbad",
+    name_col: str = "main_type",
+    max_batch: int = 10_000,
+    max_retries: int = 3,
+    retry_delay: float = 0.5,
+    timeout: float = 10.0,
+    post: Callable | None = None,
+) -> Transport:
+    """Real HTTP transport for :func:`service_xmatch` — the CDS sync-xmatch
+    wire protocol (reference: ztf/xmatch/processor.py:136-156): positions
+    go up as a ``cat1`` CSV upload with the xmatch form fields, candidate
+    matches come back as CSV ``(objectId, angDist, <name_col>)``. Retry
+    semantics follow ``_post_request_with_retry``
+    (ztf/blazar_extreme_state/utils.py:209-250): up to ``max_retries``
+    attempts, ``retry_delay`` sleep between them; connection errors and
+    timeouts count as failed attempts rather than aborting the batch.
+
+    A chunk that still fails after retries emits ``"Fail <status>"``
+    sentinel rows at +inf distance (reference: the ``Fail {status_code}``
+    fill at processor.py:152-153) — +inf so a real match from any other
+    chunk always wins the downstream arg-min, preserving the reference's
+    tri-state contract (match / Unknown / Fail) in the joined frame.
+    NaN names in a 200 response become "Unknown" (processor.py:178-180).
+
+    ``max_batch`` bounds each request's row count — the RPC fan-out bound
+    that keeps a 100 TB scan from assembling one giant POST body; at scale
+    the request count is rows/max_batch per task, independent of total
+    data size. ``post`` is injectable for tests and defaults to
+    ``requests.post`` resolved lazily on the executor."""
+
+    def transport(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import time
+
+        if post is None:
+            import requests
+
+            do_post = requests.post
+            exc_types: tuple = (
+                requests.exceptions.RequestException,
+                ConnectionError,
+                TimeoutError,
+                OSError,
+            )
+        else:
+            do_post = post
+            exc_types = (ConnectionError, TimeoutError, OSError)
+
+        id_col = pdf.columns[0]
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "match_name": pd.Series(dtype="string"),
+                "dist": pd.Series(dtype="float64"),
+            }
+        )
+        frames = []
+        for lo in range(0, len(pdf), max_batch):
+            chunk = pdf.iloc[lo : lo + max_batch]
+            body = "ra_in,dec_in,objectId\n" + "".join(
+                f"{ra},{dec},{oid}\n"
+                for ra, dec, oid in zip(
+                    chunk[ra_col], chunk[dec_col], chunk[id_col]
+                )
+            )
+            resp, status = None, "conn"
+            for attempt in range(max_retries):
+                try:
+                    r = do_post(
+                        url,
+                        data={
+                            "request": "xmatch",
+                            "distMaxArcsec": radius_arcsec,
+                            "selection": "all",
+                            "RESPONSEFORMAT": "csv",
+                            "cat2": catalog,
+                            "cols2": name_col,
+                            "colRA1": "ra_in",
+                            "colDec1": "dec_in",
+                        },
+                        files={"cat1": body},
+                        timeout=timeout,
+                    )
+                except exc_types:
+                    r = None
+                if r is not None and r.status_code == 200:
+                    resp = r
+                    break
+                status = "conn" if r is None else str(r.status_code)
+                if attempt + 1 < max_retries:
+                    time.sleep(retry_delay)
+            if resp is None:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: chunk[id_col].to_numpy(dtype="int64"),
+                            "match_name": f"Fail {status}",
+                            "dist": float("inf"),
+                        }
+                    )
+                )
+                continue
+            try:
+                got = pd.read_csv(io.BytesIO(resp.content))
+            except ValueError:  # EmptyDataError — no candidates at all
+                continue
+            if len(got) == 0 or "objectId" not in got.columns:
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: got["objectId"].astype("int64"),
+                        "match_name": got[name_col]
+                        .astype("string")
+                        .fillna("Unknown"),
+                        "dist": got["angDist"].astype("float64"),
+                    }
+                )
+            )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True).astype(
+            {id_col: "int64", "match_name": "string", "dist": "float64"}
+        )
+
+    return transport
+
+
 def local_table_resolver(
     table_loader: Callable[[], pd.DataFrame],
     registry_key: str,
