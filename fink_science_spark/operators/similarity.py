@@ -477,6 +477,7 @@ def cosine_pairs_bucketed(
     vec_col: str,
     bucket_col,
     threshold: float,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All same-bucket pairs with cosine ≥ threshold, via ONE shuffle:
     groupBy bucket → per-bucket numpy pairwise matmul inside applyInPandas.
@@ -484,7 +485,17 @@ def cosine_pairs_bucketed(
     evaluates the bucket expression on both sides and scores pair-by-pair;
     the grouped matmul scores a whole bucket at once). Bucket sizes are
     bounded by the LSH bit count at 100 TB — each group is one small
-    dense block."""
+    dense block.
+
+    ``max_bucket`` is the skew guard (the embedding-space analogue of
+    n-gram dedup's ``max_doc_freq`` stop-shingle cap): a bucket with more
+    than ``max_bucket`` members — near-duplicate mass collapsing into one
+    hyperplane cell, or adversarial skew — would cost O(bucket²) in both
+    the matmul and the pair output. Such buckets contribute NO pairs (the
+    whole bucket is dropped, logged with its size on the executor), so one
+    hot cell can't blow up a 100 TB run; callers needing those pairs
+    should re-bucket with more bits instead. None (default) keeps the
+    exact all-same-bucket-pairs semantics."""
     import numpy as np
     import pandas as pd
 
@@ -496,6 +507,15 @@ def cosine_pairs_bucketed(
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        if max_bucket is not None and n > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine_pairs_bucketed: dropping bucket %s with %d > %d "
+                "members (skew cap)",
+                pdf["__b"].iloc[0], n, max_bucket,
+            )
+            n = 0
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosr": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosr": "float64"}

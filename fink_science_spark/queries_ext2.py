@@ -339,6 +339,54 @@ WHERE list_inner_product(a.v, bb.v) /
 """
 
 
+_COS_MAX_BUCKET = 12
+
+
+def q_dedup_embedding_cosine_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB-default variant of `dedup_embedding_cosine`: buckets
+    larger than ``max_bucket`` contribute no pairs (skew guard — the
+    embedding analogue of n-gram dedup's max_doc_freq stop-shingle cap),
+    so one hot LSH cell can't go O(n²). At sf0.01 the cap of 12 drops the
+    handful of 13-18-member cells, so this exercises the drop path for
+    real, not vacuously."""
+    from fink_science_spark.operators.similarity import (
+        cosine_pairs_bucketed,
+        lsh_bucket_udf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = lsh_bucket_udf(_EMB_DIM, _COS_BITS)
+    pairs = cosine_pairs_bucketed(
+        emb, "vec_id", "v",
+        bucket_col=bucket(F.col("v")),
+        threshold=_COS_THRESHOLD,
+        max_bucket=_COS_MAX_BUCKET,
+    )
+    return pairs.select("id_a", "id_b", F.round("cosr", 6).alias("cos"))
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE_CAPPED = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e),
+sz AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+keep AS (SELECT b.* FROM b JOIN sz USING (bucket)
+         WHERE sz.n <= {_COS_MAX_BUCKET})
+SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+       round(list_inner_product(a.v, bb.v) /
+             sqrt(list_inner_product(a.v, a.v) *
+                  list_inner_product(bb.v, bb.v)), 6) AS cos
+FROM keep a JOIN keep bb
+  ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE list_inner_product(a.v, bb.v) /
+      sqrt(list_inner_product(a.v, a.v) * list_inner_product(bb.v, bb.v))
+      >= {_COS_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # Streaming (M6): sliding windows + stateful per-key aggregation
 # --------------------------------------------------------------------------
@@ -562,6 +610,7 @@ QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_struct_decode": q_json_struct_decode,
     "scalar_kitchen_sink": q_scalar_kitchen_sink,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_capped": q_dedup_embedding_cosine_capped,
     "alert_enrichment": q_alert_enrichment,
     "stream_sliding_counts": q_stream_sliding_counts,
     "stream_stateful_user_stats": q_stream_stateful_user_stats,
@@ -576,6 +625,7 @@ ORACLES_EXT2: dict[str, str] = {
     "json_struct_decode": ORACLE_JSON_STRUCT_DECODE,
     "scalar_kitchen_sink": ORACLE_SCALAR_KITCHEN_SINK,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "dedup_embedding_cosine_capped": ORACLE_DEDUP_EMBEDDING_COSINE_CAPPED,
     "alert_enrichment": ORACLE_ALERT_ENRICHMENT,
     "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,
     "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL_USER_STATS,

@@ -862,3 +862,29 @@ def test_observation_metrics_match_direct_agg(spark):
     observed.write.format("noop").mode("overwrite").save()
     got = obs.get
     assert got["n"] == direct[0] and got["sum_k"] == direct[1], got
+
+
+def test_cosine_pairs_bucket_cap_drops_hot_bucket(spark):
+    """Skew guard: a bucket above max_bucket contributes no pairs (one hot
+    LSH cell can't go O(n²)); buckets at/below the cap are untouched."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.operators.similarity import cosine_pairs_bucketed
+
+    # bucket 1: 30 near-identical vectors (hot cell); bucket 2: 3 vectors
+    rows = [(i, [1.0, 0.0, float(i) * 1e-4], 1) for i in range(30)]
+    rows += [(100 + i, [0.0, 1.0, float(i) * 1e-4], 2) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, v array<double>, b long")
+
+    def run(cap):
+        out = cosine_pairs_bucketed(
+            df, "id", "v", bucket_col=F.col("b"), threshold=0.99,
+            max_bucket=cap,
+        )
+        return {(r["id_a"], r["id_b"]) for r in out.collect()}
+
+    uncapped = run(None)
+    capped = run(10)
+    assert len(uncapped) == 30 * 29 // 2 + 3  # C(30,2) hot + C(3,2) cold
+    assert capped == {(100, 101), (100, 102), (101, 102)}
+    assert capped < uncapped
