@@ -115,10 +115,8 @@ def nearest_join_sky(
     right_ra: str,
     right_dec: str,
     radius_deg: float,
-    dec_cap: float = 60.0,
     broadcast_right: bool = True,
     payload: list[str] | None = None,
-    polar_cells: bool = True,
     keep_unmatched: bool = False,
 ) -> DataFrame:
     """The flagship 2-D sky crossmatch: for each left row, the nearest
@@ -146,27 +144,24 @@ def nearest_join_sky(
     wrapped ΔRA ≤ 2·asin(sin(radius/2)/cos δ) (from the haversine lower
     bound sin(d/2) ≥ cos δ·sin(ΔRA/2); the asin form matters at wide
     radii where ΔRA > radius/cos δ). δ is bounded by the right row's
-    zone extent + radius (a matching left row sits within one zone) and
-    by dec_cap (beyond it the cap cells own the pair). Both sides
-    derive n_ra from the zone id alone, so the (ra_block, dec_zone) key
-    stays a plain equi-join key; occupancy is ~uniform for uniform sky
-    density instead of decaying by cos(dec).
+    zone extent + radius (a matching left row sits within one zone).
+    Both sides derive n_ra from the zone id alone, so the (ra_block,
+    dec_zone) key stays a plain equi-join key; occupancy is ~uniform for
+    uniform sky density instead of decaying by cos(dec).
 
-    Polar caps: the zoned grid guarantees capture for pairs with both
-    |dec| ≤ dec_cap. Any pair within ``radius_deg`` that has one side
-    beyond dec_cap necessarily has BOTH sides at |dec| > dec_cap −
-    radius, so two dedicated per-hemisphere cap cells (membership:
-    |dec| > dec_cap − radius, keyed by hemisphere) joined all-pairs +
-    haversine-refined cover exactly the pairs the grid can miss — the
-    all-sky completeness the reference gets from its KD-tree (astropy
-    handles poles natively, ztf/xmatch/utils.py:32-82). Cap candidates
-    UNION with grid candidates before the arg-min; duplicate candidates
-    are harmless (row_number picks one). At realistic crossmatch radii
-    (arcseconds) the cap cells hold a ~cos(dec_cap)·radius sliver of
-    each catalog — broadcast-sized at any corpus scale; ``dec_cap`` is
-    purely a performance knob, not a correctness bound.
-    ``polar_cells=False`` restores the grid-only plan for
-    known-equatorial domains.
+    The bound is applied UNCLAMPED, so the grid alone is all-sky
+    complete — the completeness the reference gets from its KD-tree
+    (astropy handles poles natively, ztf/xmatch/utils.py:32-82): as the
+    zone's worst-case δ approaches the pole the margin saturates at
+    180° → n_ra = 2 (the ±1 block explode then covers the whole ring),
+    and past it (cos δ_eff ≤ 0) the ring collapses to n_ra = 1 — the
+    polar ring becomes a single all-pairs cell exactly the height of one
+    dec zone, which is the minimal region where no RA prune is sound.
+    (Earlier revisions clamped the bound at a dec_cap and unioned in
+    per-hemisphere cap cells; the cap membership |dec| > dec_cap −
+    radius made the all-pairs region ~radius/2 of the sphere at wide
+    radii — strictly more work than the unclamped polar rings, for the
+    same answer. Property tests at ±89°–90° pin the equivalence.)
 
     Returns (left_id, right_id, dist_deg, *payload) — matched rows only.
 
@@ -194,7 +189,10 @@ def nearest_join_sky(
         d_lo = F.lit(-90.0) + z.cast("double") * F.lit(radius_deg)
         d_hi = d_lo + F.lit(radius_deg)
         d_max = F.greatest(F.abs(d_lo), F.abs(d_hi))
-        d_eff = F.least(d_max + F.lit(radius_deg), F.lit(float(dec_cap)))
+        # unclamped: cos(d_eff) → 0⁺ gives margin 180° (n=2, ring fully
+        # covered by the ±1 explode); cos(d_eff) ≤ 0 lands on the
+        # negative-margin path below → n=1 (whole polar ring, one cell)
+        d_eff = d_max + F.lit(radius_deg)
         margin = F.degrees(
             2.0
             * F.asin(
@@ -255,38 +253,6 @@ def nearest_join_sky(
         .filter(F.col("__dist") <= radius_deg)
         .select("__lid", "__rid", "__dist", *pay)
     )
-
-    if polar_cells:
-        # dedicated per-hemisphere cap cells: every pair the grid's RA
-        # width can't guarantee lands entirely inside one cell
-        cap_lo = dec_cap - radius_deg
-        cell = lambda c: F.when(c > cap_lo, F.lit(1)).when(  # noqa: E731
-            c < -cap_lo, F.lit(-1)
-        )
-        l_cap = left.select(
-            F.col(left_id).alias("__lid"),
-            F.col(left_ra).cast("double").alias("__lra"),
-            F.col(left_dec).cast("double").alias("__ldec"),
-        ).withColumn("__cell", cell(F.col("__ldec"))).filter(
-            F.col("__cell").isNotNull()
-        )
-        r_cap = right.select(
-            F.col(right_id).alias("__rid"),
-            F.col(right_ra).cast("double").alias("__rra"),
-            F.col(right_dec).cast("double").alias("__rdec"),
-            *pay,
-        ).withColumn("__cell", cell(F.col("__rdec"))).filter(
-            F.col("__cell").isNotNull()
-        )
-        if broadcast_right:
-            r_cap = F.broadcast(r_cap)
-        cap_cand = (
-            l_cap.join(r_cap, "__cell")
-            .withColumn("__dist", dist)
-            .filter(F.col("__dist") <= radius_deg)
-            .select("__lid", "__rid", "__dist", *pay)
-        )
-        cand = cand.unionByName(cap_cand)
 
     if keep_unmatched:
         sentinel = left.select(
