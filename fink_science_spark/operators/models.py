@@ -49,27 +49,81 @@ MLP_W2 = [1.5, -2.0, 0.8]
 MLP_B2 = -0.25
 
 
-def _load_model():
+# --------------------------------------------------------------------------
+# Checkpoint seam: the weights above are the builtin artifact; a real
+# training run drops a JSON file in their place. The path is resolved on
+# the DRIVER (env SPARK_GRAFT_MODEL_CHECKPOINT or an explicit factory
+# argument) and captured in the UDF closure, so it ships to executors in
+# the serialized task — on a cluster the path must be shared storage.
+# Each executor process loads the file once via ExecutorRegistry (keyed by
+# path, so builtin and checkpointed kernels coexist), exactly the
+# reference's load-once module-global pattern (rubin/cats/processor.py:
+# 34-38, ztf/snn/processor.py:84-210) without the import-time global.
+# --------------------------------------------------------------------------
+
+
+def checkpoint_path() -> str | None:
+    """Driver-side resolution of the model artifact path (None = builtin
+    frozen literals)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_MODEL_CHECKPOINT") or None
+
+
+def save_checkpoint(path: str) -> None:
+    """Serialize the current weights as the on-disk artifact format: one
+    JSON object holding the MLP matrices and the forest node tree (tuples
+    become JSON arrays; the loader restores them)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "mlp": {"W1": MLP_W1, "b1": MLP_B1, "W2": MLP_W2, "b2": MLP_B2},
+                "forest": FOREST,
+            },
+            f,
+        )
+
+
+def _read_checkpoint(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def _load_model(path: str | None = None):
     """Executor-side model materialization (the slot a real
-    joblib/torch/ONNX load occupies — rubin/cats/processor.py:34-38)."""
+    joblib/torch/ONNX load occupies — rubin/cats/processor.py:34-38).
+    With ``path``, weights come from the JSON artifact instead of the
+    module literals — nothing downstream changes."""
     import numpy as np
 
+    if path is not None:
+        m = _read_checkpoint(path)["mlp"]
+        w1, b1, w2, b2 = m["W1"], m["b1"], m["W2"], m["b2"]
+    else:
+        w1, b1, w2, b2 = MLP_W1, MLP_B1, MLP_W2, MLP_B2
     return {
-        "W1": np.asarray(MLP_W1, dtype=np.float64),
-        "b1": np.asarray(MLP_B1, dtype=np.float64),
-        "W2": np.asarray(MLP_W2, dtype=np.float64),
-        "b2": float(MLP_B2),
+        "W1": np.asarray(w1, dtype=np.float64),
+        "b1": np.asarray(b1, dtype=np.float64),
+        "W2": np.asarray(w2, dtype=np.float64),
+        "b2": float(b2),
     }
 
 
-def mlp_forward(xs):
+def mlp_forward(xs, model_path: str | None = None):
     """Vectorized forward pass over a list of 1-D feature arrays (one per
     feature, each of length n_rows). Accumulates the linear terms
     feature-by-feature, left to right, matching the SQL oracle's operation
     order exactly (BLAS dot may reorder the sum and flip the last ulp)."""
     import numpy as np
 
-    model = ExecutorRegistry.get("frozen_mlp_v1", _load_model)
+    model = ExecutorRegistry.get(
+        f"frozen_mlp_v1:{model_path or 'builtin'}",
+        lambda: _load_model(model_path),
+    )
     n = len(xs[0])
     z_out = np.full(n, model["b2"], dtype=np.float64)
     for j in range(len(model["b1"])):
@@ -82,10 +136,14 @@ def mlp_forward(xs):
     return 1.0 / (1.0 + np.exp(-z_out))
 
 
-def make_mlp_score_udf():
+def make_mlp_score_udf(model_path: str | None = None):
     """Arrow-batched scoring kernel: the `clf.predict_proba` slot of
     ztf/random_forest_snia/processor.py:200-216, numpy-frozen. Factory
-    (not module-level) because pandas_udf needs an active session."""
+    (not module-level) because pandas_udf needs an active session.
+    ``model_path`` (default: SPARK_GRAFT_MODEL_CHECKPOINT) swaps in an
+    on-disk artifact; the closure carries it to executors."""
+    if model_path is None:
+        model_path = checkpoint_path()
 
     @F.pandas_udf("double")
     def mlp_score_udf(
@@ -94,7 +152,7 @@ def make_mlp_score_udf():
         import numpy as np
 
         xs = [s.to_numpy(dtype=np.float64) for s in (x1, x2, x3, x4)]
-        return pd.Series(mlp_forward(xs))
+        return pd.Series(mlp_forward(xs, model_path))
 
     return mlp_score_udf
 
@@ -141,19 +199,33 @@ FOREST = [
 ]
 
 
-def _load_forest():
+def _untuple_node(nd):
+    """JSON arrays back to the (feat, thresh, lo, hi) node tuples."""
+    if isinstance(nd, (list, tuple)):
+        f, t, lo, hi = nd
+        return (int(f), float(t), _untuple_node(lo), _untuple_node(hi))
+    return float(nd)
+
+
+def _load_forest(path: str | None = None):
     """Executor-side materialization slot (a real joblib.load /
-    xgb.Booster.load_model goes here)."""
+    xgb.Booster.load_model goes here). With ``path``, the node tree comes
+    from the JSON artifact."""
+    if path is not None:
+        return [_untuple_node(t) for t in _read_checkpoint(path)["forest"]]
     return FOREST
 
 
-def forest_forward(xs):
+def forest_forward(xs, model_path: str | None = None):
     """Vectorized forest evaluation: np.where per node (both subtrees
     evaluated, branch selected per row — the standard vectorized-tree
     trick), tree votes averaged in declaration order."""
     import numpy as np
 
-    forest = ExecutorRegistry.get("frozen_forest_v1", _load_forest)
+    forest = ExecutorRegistry.get(
+        f"frozen_forest_v1:{model_path or 'builtin'}",
+        lambda: _load_forest(model_path),
+    )
 
     def node(nd):
         if not isinstance(nd, tuple):
@@ -167,9 +239,12 @@ def forest_forward(xs):
     return acc / float(len(forest))
 
 
-def make_forest_score_udf():
+def make_forest_score_udf(model_path: str | None = None):
     """Arrow-batched forest scoring kernel (factory: pandas_udf needs an
-    active session)."""
+    active session). ``model_path`` (default:
+    SPARK_GRAFT_MODEL_CHECKPOINT) swaps in an on-disk artifact."""
+    if model_path is None:
+        model_path = checkpoint_path()
 
     @F.pandas_udf("double")
     def forest_score_udf(
@@ -178,7 +253,7 @@ def make_forest_score_udf():
         import numpy as np
 
         xs = [s.to_numpy(dtype=np.float64) for s in (x1, x2, x3, x4)]
-        return pd.Series(forest_forward(xs))
+        return pd.Series(forest_forward(xs, model_path))
 
     return forest_score_udf
 
