@@ -83,6 +83,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float | None = None,
     shingles_col: str | None = None,
+    hashed_band_keys: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH, optionally
     verified with exact Jaccard over ``shingles_col``.
@@ -92,7 +93,15 @@ def minhash_lsh_pairs(
     Scale path: the only shuffle is the equi-join on (band, band_hash);
     band hashes of non-near-dup docs are uniform → no skew. The verify
     step re-joins the token sets ONLY for colliding pairs.
-    """
+
+    ``hashed_band_keys=True`` is the production-at-100 TB narrowing: the
+    band key becomes xxhash64 over the signature slice (8 bytes) instead
+    of the comma-joined decimal string (~40+ bytes) — a ~5× smaller
+    shuffle row for the band join. The cost is engine portability, not
+    correctness: a 64-bit key collision can only ADD a candidate pair
+    (~2⁻⁶⁴ per cross pair), which the exact-Jaccard verify step then
+    rejects; oracle runs keep the default collision-free string key so
+    DuckDB reproduces the exact candidate set."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
@@ -114,26 +123,24 @@ def minhash_lsh_pairs(
     # (id, num_hashes longs) — ~150 B/doc, disk-spillable at 100 TB.
     sig = sig.persist()
 
-    # one row per (doc, band): the band key is the concatenated slice of
-    # the signature — engine-portable (no Spark-specific hash) and
-    # collision-free, so the oracle reproduces the exact candidate set.
-    # (Production at 100 TB: swap for xxhash64 of the slice to shrink the
-    # shuffle key; the operator shape is unchanged.)
+    # one row per (doc, band): the band key is either the concatenated
+    # slice of the signature — engine-portable (no Spark-specific hash)
+    # and collision-free, so the oracle reproduces the exact candidate
+    # set — or, with hashed_band_keys, the 8-byte xxhash64 of the slice
+    # (the production shuffle-narrowing; see docstring).
+    def band_key(b: int):
+        cols = [
+            F.col(f"__m{i}")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        if hashed_band_keys:
+            return F.xxhash64(*cols)
+        return F.concat_ws(",", *cols)
+
     band_rows = sig.select(
         "__id",
         F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"__m{i}")
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_key(b) for b in range(bands)])
         ).alias("__band", "__bh"),
     )
 

@@ -426,3 +426,33 @@ def test_temporal_dim_join_equi_with_residual_range(spark, registry):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_hashed_band_keys_narrow_the_shuffle(spark):
+    """Production band-key flag: xxhash64 slice keys replace the
+    comma-joined decimal strings, so the band join shuffles an 8-byte
+    long instead of a ~40-byte string — and the verified pair set is
+    unchanged (a 64-bit collision can only add a candidate, which the
+    exact-Jaccard verify rejects)."""
+    from fink_science_spark.operators.dedup import minhash_lsh_pairs
+    from fink_science_spark.queries_ext import _doc_shingles
+
+    docs = _doc_shingles(spark, SF)
+
+    def run(hashed):
+        return minhash_lsh_pairs(
+            docs, "doc_id", tokens_col="shingles", num_hashes=16, bands=8,
+            jaccard_threshold=0.5, shingles_col="shingles",
+            hashed_band_keys=hashed,
+        )
+
+    portable, hashed = run(False), run(True)
+    p_plan, h_plan = plan_of(portable), plan_of(hashed)
+    assert "xxhash64" not in p_plan and "xxhash64" in h_plan
+    # shingle construction itself uses concat_ws on both sides; the band
+    # keys add 2×bands more of them on the portable path only
+    assert h_plan.count("concat_ws") < p_plan.count("concat_ws")
+    key = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    )
+    assert key(portable) == key(hashed)
