@@ -116,6 +116,36 @@ def cosine_topk(
     )
 
 
+def _local_topk_frame(S, qids, cids, local_k):
+    """Per-query local top-k emission from a score block, quantized for
+    cross-engine determinism: scores are rounded to 9 decimals BEFORE any
+    selection or ranking (BLAS dot reorders summation vs an engine's
+    sequential fold, so near-equal full-precision cosines can flip rank
+    between engines — the quantize-then-compare rule), and the emission
+    is TIE-INCLUSIVE (every row at or above the local k-th rounded score
+    goes out), so the global (cos desc, id asc) window sees every
+    candidate any engine could rank into the top k."""
+    import numpy as np
+    import pandas as pd
+
+    Sr = np.round(S, 9)
+    kk = min(local_k, Sr.shape[0])
+    part = np.argpartition(-Sr, kk - 1, axis=0)[:kk, :]
+    qi, ci, cos = [], [], []
+    for j in range(Sr.shape[1]):
+        vals = Sr[part[:, j], j]
+        keep = np.isfinite(vals)
+        if not keep.any():
+            continue
+        thresh = vals[keep].min()
+        col = Sr[:, j]
+        mask = np.isfinite(col) & (col >= thresh)
+        qi.extend([qids[j]] * int(mask.sum()))
+        ci.extend(cids[mask])
+        cos.extend(col[mask])
+    return pd.DataFrame({"__qid": qi, "__cid": ci, "__cos": cos})
+
+
 def cosine_topk_blocked(
     corpus: DataFrame,
     queries: DataFrame,
@@ -182,18 +212,7 @@ def cosine_topk_blocked(
             if H is not None:
                 cbucket = ((C @ H.T) > 0).astype(np.int64) @ (1 << np.arange(len(H)))
                 S = np.where(cbucket[:, None] == qbucket[None, :], S, -np.inf)
-            kk = min(local_k, S.shape[0])
-            # per-query local top-kk (unordered; global window ranks exactly)
-            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
-            qi, ci, cos = [], [], []
-            for j in range(S.shape[1]):
-                col = idx[:, j]
-                vals = S[col, j]
-                keep = np.isfinite(vals)
-                qi.extend([qids[j]] * int(keep.sum()))
-                ci.extend(cids[col[keep]])
-                cos.extend(vals[keep])
-            yield pd.DataFrame({"__qid": qi, "__cid": ci, "__cos": cos})
+            yield _local_topk_frame(S, qids, cids, local_k)
 
     candidates = corpus.select(corpus_id, corpus_vec).mapInPandas(
         block, schema="__qid long, __cid long, __cos double"
@@ -417,17 +436,7 @@ def ivf_topk_blocked(
             S = (C @ Q.T) / (cnorm[:, None] * qnorm[None, :])
             probed = (ccell[:, None, None] == qcells[None, :, :]).any(axis=2)
             S = np.where(probed, S, -np.inf)
-            kk = min(local_k, S.shape[0])
-            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
-            qi, ci, cos = [], [], []
-            for j in range(S.shape[1]):
-                col = idx[:, j]
-                vals = S[col, j]
-                keep = np.isfinite(vals)
-                qi.extend([qids[j]] * int(keep.sum()))
-                ci.extend(cids[col[keep]])
-                cos.extend(vals[keep])
-            yield pd.DataFrame({"__qid": qi, "__cid": ci, "__cos": cos})
+            yield _local_topk_frame(S, qids, cids, local_k)
 
     candidates = corpus.select(corpus_id, corpus_vec).mapInPandas(
         block, schema="__qid long, __cid long, __cos double"

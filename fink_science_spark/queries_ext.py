@@ -391,8 +391,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id % 20 = 0),
 scored AS (
   SELECT q.qid, c.vec_id cid,
-         list_inner_product(q.qv, c.v) /
-         sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.v, c.v))
+         round(list_inner_product(q.qv, c.v) /
+               sqrt(list_inner_product(q.qv, q.qv) *
+                    list_inner_product(c.v, c.v)), 9)
              AS cosr
   FROM q JOIN e c ON c.vec_id != q.qid
 ),
@@ -440,8 +441,9 @@ b AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e),
 q AS (SELECT vec_id qid, v qv, bucket FROM b WHERE vec_id % 20 = 0),
 scored AS (
   SELECT q.qid, c.vec_id cid,
-         list_inner_product(q.qv, c.v) /
-         sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.v, c.v))
+         round(list_inner_product(q.qv, c.v) /
+               sqrt(list_inner_product(q.qv, q.qv) *
+                    list_inner_product(c.v, c.v)), 9)
              AS cosr
   FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.qid
 ),

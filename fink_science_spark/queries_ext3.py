@@ -145,8 +145,9 @@ def _oracle_ann_ivf_topk() -> str:
         "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 20 = 0)",
         """scored AS (
   SELECT q.qid, c.vec_id AS cid,
-         list_inner_product(q.qv, c.v) /
-         sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.v, c.v))
+         round(list_inner_product(q.qv, c.v) /
+               sqrt(list_inner_product(q.qv, q.qv) *
+                    list_inner_product(c.v, c.v)), 9)
              AS cosr
   FROM q JOIN qp ON qp.qid = q.qid
          JOIN cells c ON c.cell = qp.cell AND c.vec_id != q.qid)""",

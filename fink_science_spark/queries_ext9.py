@@ -642,7 +642,7 @@ _RR_K1 = 10   # recall-stage candidates per query
 _RR_K2 = 3    # final reranked neighbors
 
 
-def _rr_feats(prefix: str = "") -> list[str]:
+def _rr_feats() -> list[str]:
     """Rerank features as SQL exprs over the joined candidate row (shared
     verbatim between the Spark plan and the DuckDB oracle)."""
     return [
@@ -720,8 +720,9 @@ meta AS (
 q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id % 20 = 0),
 scored AS (
   SELECT q.qid, c.vec_id cid,
-         list_inner_product(q.qv, c.v) /
-         sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.v, c.v))
+         round(list_inner_product(q.qv, c.v) /
+               sqrt(list_inner_product(q.qv, q.qv) *
+                    list_inner_product(c.v, c.v)), 9)
              AS cosr
   FROM q JOIN e c ON c.vec_id != q.qid
 ),
