@@ -779,6 +779,23 @@ _PR_ROUNDS = 3      # unrolled damped iterations
 _PR_DAMP = 0.85
 _PR_EDGE_A = 7919   # LCG link derivation
 _PR_EDGE_B = 11
+# Dyadic quantization step for edge probabilities and per-round ranks:
+# with both factors carrying ≤20 fraction bits, every product r·p is
+# exact in a double (≤40 bits) and the per-dst inflow sum of < 2⁶ such
+# terms needs < 47 bits — also exact, so hash-aggregate SUMMATION ORDER
+# CANNOT change the result and the unrolled iteration is bit-identical
+# across engines (the trailing_mean float-boundary lesson, applied to an
+# iterated sum). floor(x·Q + 0.5)/Q rather than round(): engines
+# disagree on round()'s half mode, floor they agree on.
+_PR_Q = float(1 << 20)
+
+
+def _pr_quant(col):
+    return F.floor(col * F.lit(_PR_Q) + F.lit(0.5)) / F.lit(_PR_Q)
+
+
+def _pr_quant_sql(expr: str) -> str:
+    return f"floor(({expr}) * {_PR_Q!r} + 0.5) / {_PR_Q!r}"
 
 
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,11 +813,13 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
     e = edges.join(outdeg, "src").select(
-        "src", "dst", (F.col("w") / F.col("deg")).alias("p")
+        "src", "dst", _pr_quant(F.col("w") / F.col("deg")).alias("p")
     )
     nodes = spark.range(_PR_N).select(F.col("id").alias("node"))
     base = (1.0 - _PR_DAMP) / _PR_N
-    rank = nodes.select("node", F.lit(1.0 / _PR_N).alias("r"))
+    rank = nodes.select(
+        "node", _pr_quant(F.lit(1.0 / _PR_N)).alias("r")
+    )
     # the checkpointed edge list has no catalog stats → pin the broadcast
     # explicitly (rank vector and edges are host-scale, always the small
     # side against any doc-derived relation)
@@ -814,7 +833,7 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(contrib), nodes.node == contrib.dst, "left"
         ).select(
             "node",
-            (
+            _pr_quant(
                 F.lit(base)
                 + F.lit(_PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
             ).alias("r"),
@@ -836,7 +855,7 @@ def _oracle_pagerank() -> str:
         rounds.append(f"""
 r{k} AS (
   SELECT n.node,
-         {base!r} + {_PR_DAMP!r} * coalesce(c.inflow, 0.0) AS r
+         {_pr_quant_sql(f"{base!r} + {_PR_DAMP!r} * coalesce(c.inflow, 0.0)")} AS r
   FROM nodes n LEFT JOIN (
     SELECT e.dst, sum(rk.r * e.p) AS inflow
     FROM {prev} rk JOIN e ON rk.node = e.src
@@ -855,11 +874,13 @@ edges AS (
 ),
 outdeg AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src),
 e AS (
-  SELECT edges.src, dst, w / CAST(deg AS DOUBLE) AS p
+  SELECT edges.src, dst,
+         {_pr_quant_sql(f"w / CAST(deg AS DOUBLE)")} AS p
   FROM edges JOIN outdeg ON edges.src = outdeg.src
 ),
 nodes AS (SELECT unnest(generate_series(0, {_PR_N - 1})) AS node),
-r0 AS (SELECT node, 1.0 / {_PR_N} AS r FROM nodes),{",".join(rounds)}
+r0 AS (SELECT node, {_pr_quant_sql(f"1.0 / {_PR_N}")} AS r
+       FROM nodes),{",".join(rounds)}
 SELECT n.node, CAST(coalesce(d.deg, 0) AS BIGINT) AS out_weight,
        round(rk.r, 6) AS rank
 FROM nodes n
