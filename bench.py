@@ -39,6 +39,7 @@ HEADLINE = [
     "group_features",
     "trapezoid_fluence",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_capped",
     "stream_sliding_counts",
     "stream_stateful_user_stats",
     "ann_ivf_topk",
@@ -204,6 +205,16 @@ def main() -> None:
                 rows_per_s[name] = round(_table_rows(SF_DIR, table) / t)
             except Exception:  # noqa: BLE001 - metric is best-effort
                 pass
+    # stop the session BEFORE printing: Spark's shutdown (streaming temp
+    # checkpoint cleanup in particular) writes log noise to the captured
+    # output, and anything printed after the JSON line can push it out of
+    # a bounded tail capture (this is exactly what truncated the round-1/2
+    # driver bench records). The JSON line is the final byte of output,
+    # compact separators, explicitly flushed.
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 - shutdown noise must not eat the result
+        pass
     print(
         json.dumps(
             {
@@ -213,10 +224,11 @@ def main() -> None:
                 "queries": timings,
                 "rows_per_s": rows_per_s,
                 "sf": _sf_from_dir(SF_DIR),
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
