@@ -112,17 +112,23 @@ def connected_components(
                 edges, src, dst, max_iter, None, driver_threshold
             )
 
+    # materialize the narrow (u, v) projection ONCE, self-loops included:
+    # everything below (node set, canonical edge set, the loop, the final
+    # join) derives from this checkpoint, so the upstream pair pipeline —
+    # typically a full LSH candidate generation — is evaluated exactly
+    # once instead of once per consumer (nodes used to read the raw
+    # `edges` plan and re-ran the whole pipeline a second time)
+    base = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    ).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        base.select(F.col("u").alias("node"))
+        .unionByName(base.select(F.col("v").alias("node")))
         .distinct()
     )
     e = (
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("u"),
-            F.least(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
+        base.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
