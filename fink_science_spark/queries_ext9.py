@@ -1136,6 +1136,12 @@ def _bpe_rounds(cur: DataFrame, extra: list):
     ``extra`` columns intact, list of 1-row merge DFs (round, pair,
     freq))."""
     merges = []
+    # per-round localCheckpoints keep the cost LINEAR in rounds: without
+    # them round k's plan embeds rounds 1..k-1 (and the 1-row `best` is
+    # consumed twice — merge output + the broadcast rewrite), so the
+    # corpus would be re-tokenized O(rounds²) times across the final
+    # union (the connected_components lesson applied to the merge loop)
+    cur = cur.localCheckpoint(eager=True)
     for rnd in range(1, _BPE_ROUNDS + 1):
         toks = F.split(F.trim(F.col("seq")), " +")
         pair = F.zip_with(
@@ -1153,6 +1159,7 @@ def _bpe_rounds(cur: DataFrame, extra: list):
             counts.orderBy(F.col("freq").desc(), F.col("pair").asc())
             .limit(1)
             .select(F.lit(rnd).alias("round"), "pair", "freq")
+            .localCheckpoint(eager=True)
         )
         merges.append(best)
         pat = F.concat(
@@ -1174,7 +1181,7 @@ def _bpe_rounds(cur: DataFrame, extra: list):
                 F.array_join(F.split(F.trim(F.col("seq")), " +"), "  "),
                 F.lit(" "),
             ).alias("seq"),
-        )
+        ).localCheckpoint(eager=True)
     return cur, merges
 
 
