@@ -264,3 +264,56 @@ def test_morton_key_bijective_and_matches_duckdb(spark, pairs):
             b |= ((r["z"] >> (2 * i + 1)) & 1) << i
         assert (a, b) == (r["a"], r["b"])
     con.close()
+
+
+@given(
+    st.lists(
+        st.lists(_texts.filter(bool), min_size=1, max_size=12, unique=True),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_simhash_lane_packing_matches_reference_votes(spark, docsets):
+    """The lane-packed signature (15 long SUMs + COUNT) must equal the
+    naive per-bit ±1 majority vote computed in pure Python from the same
+    md5-derived token hashes — on arbitrary token multisets, including
+    the tie case (count_ones*2 == n → bit 0)."""
+    import hashlib
+
+    from fink_science_spark.operators.dedup import simhash_pairs
+
+    BITS = 60
+
+    def ref_sig(tokens):
+        votes = [0] * BITS
+        for t in tokens:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for j in range(BITS):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(BITS) if votes[j] > 0)
+
+    rows = [(i, toks) for i, toks in enumerate(docsets)]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    # max_hamming=60 keeps every candidate pair; hamming distances then
+    # directly expose each doc's signature relative to the others
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            df, "id", "toks", max_hamming=BITS, bits=BITS, chunks=4
+        ).collect()
+    }
+    sigs = {i: ref_sig(toks) for i, toks in rows}
+    for (a, bid), ham in got.items():
+        assert ham == bin(sigs[a] ^ sigs[bid]).count("1"), (a, bid)
+    # every pair agreeing on ≥1 of 4 chunks must be present; with
+    # max_hamming=60 any pair sharing a chunk collides
+    for a in sigs:
+        for b in sigs:
+            if a < b:
+                chunk_agree = any(
+                    ((sigs[a] >> (c * 15)) & 0x7FFF)
+                    == ((sigs[b] >> (c * 15)) & 0x7FFF)
+                    for c in range(4)
+                )
+                assert ((a, b) in got) == chunk_agree, (a, b)
