@@ -119,6 +119,7 @@ HEADLINE = [
     "bpe_encode_stats",
     "knn_graph_stats",
     "eval_split",
+    "doc_chunks",
 ]
 
 

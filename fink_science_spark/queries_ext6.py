@@ -1086,6 +1086,90 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+# --------------------------------------------------------------------------
+# Sliding-window document chunking: long documents → fixed-size training
+# chunks with overlap (the context-window preprocessing step between
+# cleaning and sequence packing). Pure per-row map + Generate — no
+# shuffle, no Python; at 100 TB this is a narrow scan-shaped pass whose
+# output rows carry a fingerprint instead of the chunk text (the text
+# re-materializes downstream only where needed).
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32    # tokens per chunk
+_CHUNK_OVERLAP = 8  # tokens shared with the previous chunk
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, chunk): chunk k covers tokens
+    [k·stride, k·stride + size); the last chunk starts only if it adds
+    tokens beyond the previous chunk's coverage (start + overlap < n),
+    so n_chunks = 1 + floor(max(n − overlap − 1, 0) / stride). Emits the
+    chunk's token count and an md5 fingerprint of its joined tokens —
+    enough for downstream dedup/packing without shipping text."""
+    toks = tokens("text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+        .withColumn(
+            "nc",
+            (
+                F.lit(1)
+                + F.floor(
+                    F.greatest(
+                        F.col("n") - _CHUNK_OVERLAP - 1, F.lit(0)
+                    ) / _CHUNK_STRIDE
+                )
+            ).cast("int"),
+        )
+    )
+    exploded = docs.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), (F.col("nc") - 1) * _CHUNK_STRIDE,
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("chunk_id", "start_tok"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("start_tok") + 1, F.lit(_CHUNK_SIZE)
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.size(chunk).alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+ORACLE_DOC_CHUNKS = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         (1 + CAST(floor(greatest(len(toks) - {_CHUNK_OVERLAP} - 1, 0)
+                         / {_CHUNK_STRIDE}) AS INT)) AS nc
+  FROM tok WHERE len(toks) >= 1
+)
+SELECT doc_id,
+       g.i AS chunk_id,
+       g.i * {_CHUNK_STRIDE} AS start_tok,
+       least({_CHUNK_SIZE}, n - g.i * {_CHUNK_STRIDE})::INT AS n_tok,
+       md5(array_to_string(
+           toks[g.i * {_CHUNK_STRIDE} + 1 :
+                g.i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')) AS chunk_md5
+FROM base, (SELECT unnest(generate_series(0, 255)) AS i) AS g
+WHERE g.i < nc
+"""
+
+
 QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "train_shard_assign": q_train_shard_assign,
@@ -1103,6 +1187,7 @@ QUERIES_EXT6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_frame_energy": q_audio_frame_energy,
     "scd2_history": q_scd2_history,
     "curated_corpus": q_curated_corpus,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLES_EXT6: dict[str, str] = {
@@ -1123,4 +1208,5 @@ ORACLES_EXT6: dict[str, str] = {
     "audio_frame_energy": ORACLE_AUDIO_FRAME_ENERGY,
     "scd2_history": ORACLE_SCD2_HISTORY,
     "curated_corpus": _oracle_curated_corpus(),
+    "doc_chunks": ORACLE_DOC_CHUNKS,
 }

@@ -456,3 +456,12 @@ def test_minhash_hashed_band_keys_narrow_the_shuffle(spark):
         (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
     )
     assert key(portable) == key(hashed)
+
+
+def test_doc_chunks_is_pure_map_no_shuffle(spark, registry):
+    """Chunking is a scan-shaped narrow pass: tokenize → Generate →
+    project. Any Exchange here would shuffle the 100 TB document table
+    for a per-row operation."""
+    plan = plan_of(registry["doc_chunks"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
