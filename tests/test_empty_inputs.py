@@ -118,3 +118,47 @@ def test_equal_area_pixel_null_safe(spark):
     assert rows[1]["pix"] is not None and rows[2]["pix"] is not None
     # boundary clamp: dec=+90 / ra→360 stay inside the grid
     assert 0 <= rows[1]["pix"] < 128 and 0 <= rows[2]["pix"] < 128
+
+
+def test_minhash_hashed_band_keys_empty(spark, empty_docs):
+    from fink_science_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        empty_docs, "doc_id", "shingles", num_hashes=8, bands=4,
+        hashed_band_keys=True,
+    )
+    assert out.count() == 0
+
+
+def test_cosine_pairs_bucketed_capped_empty(spark):
+    from fink_science_spark.operators.similarity import cosine_pairs_bucketed
+
+    df = spark.createDataFrame([], "id long, v array<double>, b long")
+    out = cosine_pairs_bucketed(
+        df, "id", "v", bucket_col=F.col("b"), threshold=0.5, max_bucket=4
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "cosr"}
+
+
+def test_http_transport_empty_batch():
+    """A zero-row position batch must short-circuit to an empty typed
+    frame without issuing any HTTP request."""
+    import pandas as pd
+
+    from fink_science_spark.operators.remote import http_post_transport
+
+    calls = []
+
+    def post(*a, **k):  # pragma: no cover - must never run
+        calls.append(1)
+        raise AssertionError("no request expected for an empty batch")
+
+    tr = http_post_transport("http://example.invalid", "ra", "dec", post=post)
+    out = tr(
+        pd.DataFrame(
+            {"id": pd.Series(dtype="int64"), "ra": [], "dec": []}
+        )
+    )
+    assert len(out) == 0 and not calls
+    assert list(out.columns) == ["id", "match_name", "dist"]
