@@ -339,18 +339,24 @@ WHERE list_inner_product(a.v, bb.v) /
 """
 
 
-_COS_MAX_BUCKET = 12
+_COS_CAP_FLOOR = 12
+_COS_CAP_FRAC = 40  # cap = max(floor, n_rows // frac)
 
 
 def q_dedup_embedding_cosine_capped(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The 100 TB-default variant of `dedup_embedding_cosine`: buckets
-    larger than ``max_bucket`` contribute no pairs (skew guard — the
-    embedding analogue of n-gram dedup's max_doc_freq stop-shingle cap),
-    so one hot LSH cell can't go O(n²). At sf0.01 the cap of 12 drops the
-    handful of 13-18-member cells, so this exercises the drop path for
-    real, not vacuously."""
+    larger than the cap contribute no pairs (skew guard — the embedding
+    analogue of n-gram dedup's max_doc_freq stop-shingle cap), so one
+    hot LSH cell can't go O(n²). The cap is RELATIVE to corpus size —
+    max(12, n/40) ≈ 1.6× the mean occupancy at 64 cells — because with
+    fixed nbits every bucket grows linearly with the corpus and any
+    absolute cap eventually drops everything (surfaced by the sf0.1
+    parity sweep: a fixed cap of 12 emptied the result at 2000 rows).
+    At every test SF the relative cap drops the genuinely-skewed tail
+    cells and keeps the rest, so the drop path is exercised
+    non-vacuously."""
     from fink_science_spark.operators.similarity import (
         cosine_pairs_bucketed,
         lsh_bucket_udf,
@@ -359,12 +365,13 @@ def q_dedup_embedding_cosine_capped(
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    cap = max(_COS_CAP_FLOOR, emb.count() // _COS_CAP_FRAC)
     bucket = lsh_bucket_udf(_EMB_DIM, _COS_BITS)
     pairs = cosine_pairs_bucketed(
         emb, "vec_id", "v",
         bucket_col=bucket(F.col("v")),
         threshold=_COS_THRESHOLD,
-        max_bucket=_COS_MAX_BUCKET,
+        max_bucket=cap,
     )
     return pairs.select("id_a", "id_b", F.round("cosr", 6).alias("cos"))
 
@@ -373,8 +380,10 @@ ORACLE_DEDUP_EMBEDDING_COSINE_CAPPED = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 b AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e),
 sz AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+cap AS (SELECT greatest({_COS_CAP_FLOOR}, count(*) // {_COS_CAP_FRAC}) AS c
+        FROM e),
 keep AS (SELECT b.* FROM b JOIN sz USING (bucket)
-         WHERE sz.n <= {_COS_MAX_BUCKET})
+         WHERE sz.n <= (SELECT c FROM cap))
 SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
        round(list_inner_product(a.v, bb.v) /
              sqrt(list_inner_product(a.v, a.v) *
