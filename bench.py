@@ -120,6 +120,7 @@ HEADLINE = [
     "knn_graph_stats",
     "eval_split",
     "doc_chunks",
+    "avro_scan",
 ]
 
 

@@ -554,6 +554,59 @@ SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type
 """
 
+def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broker's actual wire format through the engine WITHOUT the
+    spark-avro jar: the documents table is re-serialized as a deflate
+    Avro Object Container (pure-Python writer standing in for the
+    broker), then read back through the block-parallel avro_replay
+    DataSource (one partition per Avro block) and aggregated per lang.
+    The oracle reads the same logical rows natively — any encode/decode/
+    schema-translation error anywhere breaks the hash. When spark-avro
+    is available, `format("avro")` drops into the same slot unchanged
+    (reference wiring: fink_science/tester.py:89-105)."""
+    import os as _os
+
+    from fink_science_spark.queries_ext2 import _SCRATCH
+    from fink_science_spark.sources.avro_codec import write_container
+    from fink_science_spark.sources.avro_replay import register_avro_source
+
+    register_avro_source(spark)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = _os.path.join(_SCRATCH, f"docs_{tag}.avro")
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "lang", "type": "string"},
+            {"name": "n_chars", "type": "long"},
+        ],
+    }
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    write_container(
+        path, schema,
+        [{"doc_id": r[0], "lang": r[1], "n_chars": r[2]} for r in rows],
+        codec="deflate", records_per_block=200,
+    )
+    df = spark.read.format("avro_replay").option("path", path).load()
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+ORACLE_AVRO_SCAN = """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       min(doc_id) AS min_doc
+FROM documents GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES_EXT8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -563,6 +616,7 @@ QUERIES_EXT8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "superluminous_sentinel": q_superluminous_sentinel,
     "replay_scan": q_replay_scan,
     "stream_replay_counts": q_stream_replay_counts,
+    "avro_scan": q_avro_scan,
 }
 
 ORACLES_EXT8: dict[str, str] = {
@@ -572,4 +626,5 @@ ORACLES_EXT8: dict[str, str] = {
     "superluminous_sentinel": ORACLE_SUPERLUMINOUS,
     "replay_scan": ORACLE_REPLAY_SCAN,
     "stream_replay_counts": ORACLE_STREAM_REPLAY_COUNTS,
+    "avro_scan": ORACLE_AVRO_SCAN,
 }
