@@ -365,6 +365,31 @@ def write_container(
 
 
 # --------------------------------------------------------------------------
+# Bare-datum encoding — the Kafka-message-value shape: a broker delivers
+# (key, value) where value is ONE binary-encoded record with the schema
+# agreed out of band (schema registry). This is the payload `from_avro`
+# decodes in the reference's consumer; the container framing above is
+# the at-rest file shape.
+# --------------------------------------------------------------------------
+
+
+def encode_datum(datum, schema) -> bytes:
+    """One record → its bare Avro binary encoding (no container)."""
+    names: dict = {}
+    _register_names(schema, names)
+    buf = io.BytesIO()
+    _write_datum(buf, datum, schema, names)
+    return buf.getvalue()
+
+
+def decode_datum(data: bytes, schema):
+    """Bare Avro binary payload → Python datum (dicts for records)."""
+    names: dict = {}
+    _register_names(schema, names)
+    return _read_datum(io.BytesIO(data), schema, names)
+
+
+# --------------------------------------------------------------------------
 # Avro schema → Spark StructType translation
 # --------------------------------------------------------------------------
 

@@ -184,3 +184,77 @@ def test_avro_source_feeds_same_enrichment_as_parquet(spark, tmp_path):
 
     canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert canon(enrich(avro_df)) == canon(enrich(base))
+
+
+def test_avro_stream_replay_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.sources.avro_replay import register_avro_source
+    from fink_science_spark.streaming.shell import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    register_avro_source(spark)
+    path = str(tmp_path / "alerts_stream.avro")
+    write_container(path, ALERT_SCHEMA, _alerts(57), codec="deflate",
+                    records_per_block=10)
+    with scoped_shuffle_partitions(spark, 4):
+        stream = (
+            spark.readStream.format("avro_replay")
+            .option("path", path)
+            .load()
+        )
+        counts = stream.groupBy("candidate.fid").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("candidate.ra"), 6).alias("sum_ra"),
+        )
+        got = run_to_memory(counts, "avro_stream_counts", spark)
+        batch = (
+            spark.read.format("avro_replay").option("path", path).load()
+            .groupBy("candidate.fid")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("candidate.ra"), 6).alias("sum_ra"),
+            )
+        )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert canon(got) == canon(batch)
+    assert len(canon(got)) == 2  # both fid values present
+
+
+def test_avro_stream_offsets_are_blocks(tmp_path):
+    """Engine-free: offsets advance in block units; blocks_per_trigger
+    chunks the replay like Kafka partition offsets."""
+    from fink_science_spark.sources.avro_replay import AvroReplayStreamReader
+
+    path = str(tmp_path / "chunk.avro")
+    write_container(path, ALERT_SCHEMA, _alerts(57), records_per_block=10)
+    r = AvroReplayStreamReader({"path": path, "blocks_per_trigger": "2"})
+    assert r.initialOffset() == {"block": 0}
+    assert r.latestOffset() == {"block": 2}
+    assert r.latestOffset() == {"block": 4}
+    parts = r.partitions({"block": 2}, {"block": 4})
+    assert [p.offset for p in parts] == [b[0] for b in r.blocks[2:4]]
+    assert r.latestOffset() == {"block": 6}
+    assert r.latestOffset() == {"block": 6}  # caught up, stays
+
+
+def test_with_decoded_avro_kafka_value_shape(spark):
+    """The from_avro slot: bare binary datums in a column decode to a
+    typed struct through one Arrow stage; nulls inside nullable unions
+    survive."""
+    from fink_science_spark.sources.avro_codec import encode_datum
+    from fink_science_spark.sources.avro_replay import with_decoded_avro
+
+    cand_schema = ALERT_SCHEMA["fields"][1]["type"]
+    rows = [
+        (1, encode_datum(_cand(2.45e6, 10.0, -5.0, 17.25, 1), cand_schema)),
+        (2, encode_datum(_cand(2.45e6, 20.0, 15.0, None, 2), cand_schema)),
+    ]
+    df = spark.createDataFrame(rows, "key long, value binary")
+    out = with_decoded_avro(df, "value", cand_schema, "candidate")
+    got = {r["key"]: r["candidate"] for r in out.collect()}
+    assert got[1]["ra"] == 10.0 and got[1]["magpsf"] == 17.25
+    assert got[2]["fid"] == 2 and got[2]["magpsf"] is None
+    assert "value" not in out.columns
