@@ -121,6 +121,7 @@ HEADLINE = [
     "eval_split",
     "doc_chunks",
     "avro_scan",
+    "stream_avro_counts",
 ]
 
 

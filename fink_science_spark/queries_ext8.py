@@ -607,6 +607,65 @@ FROM documents GROUP BY lang
 """
 
 
+def q_stream_avro_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broker's streaming mode end-to-end without jars: an Avro
+    container replayed as a REAL Structured Streaming source (block
+    offsets), aggregated, availableNow → memory. Batch SQL over the
+    same logical rows is the oracle — stream/batch parity across the
+    wire format."""
+    import os as _os
+    import uuid as _uuid
+
+    from fink_science_spark.queries_ext2 import _SCRATCH
+    from fink_science_spark.sources.avro_codec import write_container
+    from fink_science_spark.sources.avro_replay import register_avro_source
+    from fink_science_spark.streaming.shell import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    register_avro_source(spark)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = _os.path.join(_SCRATCH, f"docs_stream_{tag}.avro")
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "source", "type": "string"},
+            {"name": "n_chars", "type": "long"},
+        ],
+    }
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    write_container(
+        path, schema,
+        [{"doc_id": r[0], "source": r[1], "n_chars": r[2]} for r in rows],
+        codec="deflate", records_per_block=200,
+    )
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.format("avro_replay").option("path", path).load()
+        )
+        counts = stream.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        result = run_to_memory(
+            counts, f"avro_counts_{_uuid.uuid4().hex[:8]}", spark
+        )
+    return result
+
+
+ORACLE_STREAM_AVRO_COUNTS = """
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES_EXT8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -617,6 +676,7 @@ QUERIES_EXT8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "replay_scan": q_replay_scan,
     "stream_replay_counts": q_stream_replay_counts,
     "avro_scan": q_avro_scan,
+    "stream_avro_counts": q_stream_avro_counts,
 }
 
 ORACLES_EXT8: dict[str, str] = {
@@ -627,4 +687,5 @@ ORACLES_EXT8: dict[str, str] = {
     "replay_scan": ORACLE_REPLAY_SCAN,
     "stream_replay_counts": ORACLE_STREAM_REPLAY_COUNTS,
     "avro_scan": ORACLE_AVRO_SCAN,
+    "stream_avro_counts": ORACLE_STREAM_AVRO_COUNTS,
 }
