@@ -122,6 +122,7 @@ HEADLINE = [
     "doc_chunks",
     "avro_scan",
     "stream_avro_counts",
+    "fits_catalog_join",
 ]
 
 

@@ -666,6 +666,50 @@ FROM documents GROUP BY source
 """
 
 
+def q_fits_catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native FITS catalog read without astropy: the nation dimension is
+    serialized as a FITS BINTABLE (pure-Python writer standing in for an
+    upstream catalog release), registered through CatalogRegistry's
+    astropy-free codec path, and broadcast-joined onto customers — the
+    reference's 4LAC load-and-crossmatch flow
+    (ztf/xmatch/utils.py:118-150). The oracle joins the native parquet
+    tables, so any header/dtype/byte-order error in the codec breaks the
+    hash."""
+    import os as _os
+
+    from fink_science_spark.queries_ext2 import _SCRATCH
+    from fink_science_spark.sources.catalogs import CatalogRegistry
+    from fink_science_spark.sources.fits_codec import write_bintable
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = _os.path.join(_SCRATCH, f"nation_{tag}.fits")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_bintable(path, nation.toPandas())
+    reg = CatalogRegistry(spark)
+    cat = reg.register_fits("nation_fits", path)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    return (
+        reg.broadcast_join(
+            cust, "nation_fits", cust.c_nationkey == cat.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_FITS_CATALOG_JOIN = """
+SELECT n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 
 QUERIES_EXT8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -677,6 +721,7 @@ QUERIES_EXT8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_replay_counts": q_stream_replay_counts,
     "avro_scan": q_avro_scan,
     "stream_avro_counts": q_stream_avro_counts,
+    "fits_catalog_join": q_fits_catalog_join,
 }
 
 ORACLES_EXT8: dict[str, str] = {
@@ -688,4 +733,5 @@ ORACLES_EXT8: dict[str, str] = {
     "stream_replay_counts": ORACLE_STREAM_REPLAY_COUNTS,
     "avro_scan": ORACLE_AVRO_SCAN,
     "stream_avro_counts": ORACLE_STREAM_AVRO_COUNTS,
+    "fits_catalog_join": ORACLE_FITS_CATALOG_JOIN,
 }

@@ -56,6 +56,26 @@ class CatalogRegistry:
         self._catalogs[name] = self.spark.createDataFrame(pdf, schema=schema).cache()
         return self._catalogs[name]
 
+    def register_fits(
+        self, name: str, path: str, select: list[str] | None = None
+    ) -> DataFrame:
+        """Native FITS BINTABLE catalog read, astropy-free — the 4LAC
+        load of ztf/xmatch/utils.py:118-150 through the pure-Python
+        codec (sources/fits_codec.py, FITS 4.0 standard subset). Falls
+        back to astropy transparently if it is installed and the codec
+        hits an unsupported TFORM."""
+        try:
+            from fink_science_spark.sources.fits_codec import read_bintable
+
+            pdf = read_bintable(path)
+        except ValueError:
+            from astropy.table import Table  # optional fallback
+
+            pdf = Table.read(path).to_pandas()
+        if select:
+            pdf = pdf[select]
+        return self.register_pandas(name, pdf)
+
     def register_df(self, name: str, df: DataFrame) -> DataFrame:
         self._catalogs[name] = df.cache()
         return self._catalogs[name]
