@@ -217,6 +217,95 @@ def http_post_transport(
     return transport
 
 
+def http_get_json_transport(
+    url: str,
+    param_cols: dict[str, str],
+    *,
+    extra_params: dict | None = None,
+    parse=None,
+    max_retries: int = 3,
+    retry_delay: float = 0.5,
+    timeout: float = 10.0,
+    get: Callable | None = None,
+) -> Transport:
+    """REST-JSON transport for :func:`service_xmatch` — the per-object
+    GET shape of the reference's SNAD-DR / Fink-API / SDSS photo-z
+    lookups (ztf/blazar_extreme_state/utils.py:209-250 and :253-319;
+    ztf/superluminous/processor.py:345-360). One request per input row:
+    ``param_cols`` maps request parameter names to batch columns,
+    ``extra_params`` adds constants (radius, format, ...).
+
+    Retry semantics follow ``_post_request_with_retry`` EXACTLY: a non-200
+    response sleeps ``retry_delay`` and retries up to ``max_retries``
+    times; a connection error / timeout gives up on that row immediately
+    (the reference returns None there, no retry). A failed row simply
+    yields no matches — downstream fills the ``unmatched`` sentinel, so
+    service degradation degrades answers to "Unknown", never crashes the
+    scan.
+
+    ``parse(row_id, payload) -> [(id, match_name, dist), ...]`` maps one
+    JSON response to candidate matches; the default expects a list of
+    ``{"name": ..., "dist": ...}`` objects. ``get`` is injectable for
+    tests (defaults to requests.get resolved lazily on the executor)."""
+
+    def default_parse(rid, payload):
+        return [
+            (rid, str(m["name"]), float(m.get("dist", 0.0)))
+            for m in (payload or [])
+        ]
+
+    parse_fn = parse or default_parse
+
+    def transport(pdf: pd.DataFrame) -> pd.DataFrame:
+        import time
+
+        if get is None:
+            import requests
+
+            do_get = requests.get
+            conn_exc: tuple = (
+                requests.exceptions.ConnectionError,
+                requests.exceptions.ReadTimeout,
+                requests.exceptions.HTTPError,
+                ConnectionError,
+                TimeoutError,
+                OSError,
+            )
+        else:
+            do_get = get
+            conn_exc = (ConnectionError, TimeoutError, OSError)
+
+        id_col = pdf.columns[0]
+        ids, names, dists = [], [], []
+        for row in pdf.itertuples(index=False):
+            rowd = row._asdict()
+            params = {p: rowd[c] for p, c in param_cols.items()}
+            if extra_params:
+                params.update(extra_params)
+            payload = None
+            for attempt in range(max_retries):
+                try:
+                    r = do_get(url, params=params, timeout=timeout)
+                except conn_exc:
+                    break  # reference: connection errors are not retried
+                if r.status_code == 200:
+                    payload = r.json()
+                    break
+                if attempt + 1 < max_retries:
+                    time.sleep(retry_delay)
+            if payload is None:
+                continue
+            for rid, name, dist in parse_fn(rowd[id_col], payload):
+                ids.append(rid)
+                names.append(name)
+                dists.append(dist)
+        return pd.DataFrame(
+            {id_col: ids, "match_name": names, "dist": dists}
+        ).astype({id_col: "int64", "match_name": "string", "dist": "float64"})
+
+    return transport
+
+
 def local_table_resolver(
     table_loader: Callable[[], pd.DataFrame],
     registry_key: str,

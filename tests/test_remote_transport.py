@@ -173,3 +173,102 @@ def test_service_xmatch_over_http_end_to_end(spark, xmatch_server):
     out = service_xmatch(df, "id", ["ra", "dec"], tr, out_col="xmatch")
     rows = {r["id"]: r["xmatch"] for r in out.collect()}
     assert rows == {1: "StarA", 2: "StarB", 3: "Unknown"}
+
+
+class _JsonHandler(BaseHTTPRequestHandler):
+    """GET endpoint: ?ra=&dec= → JSON candidate list from _CATALOG."""
+
+    fail_first = 0
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        import json
+        from urllib.parse import parse_qs, urlparse
+
+        srv = self.server
+        srv.request_count += 1
+        if srv.request_count <= type(self).fail_first:
+            self.send_response(500)
+            self.end_headers()
+            return
+        q = parse_qs(urlparse(self.path).query)
+        ra, dec = float(q["ra"][0]), float(q["dec"][0])
+        out = []
+        for name, (cra, cdec) in _CATALOG.items():
+            d = ((ra - cra) ** 2 + (dec - cdec) ** 2) ** 0.5
+            if d <= _RADIUS_DEG:
+                out.append({"name": name, "dist": round(d * 3600.0, 6)})
+        payload = json.dumps(out).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+
+@pytest.fixture
+def json_server():
+    handler = type("J", (_JsonHandler,), {})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    srv.request_count = 0
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}/conesearch", srv
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_json_transport_per_row_requests(json_server):
+    from fink_science_spark.operators.remote import http_get_json_transport
+
+    url, srv = json_server
+    tr = http_get_json_transport(
+        url, {"ra": "ra", "dec": "dec"}, retry_delay=0.01
+    )
+    out = tr(_positions())
+    got = {(int(r.id), r.match_name) for r in out.itertuples()}
+    assert (1, "StarA") in got and (2, "StarB") in got
+    assert not any(i == 3 for i, _ in got)  # no match → no rows
+    assert srv.request_count == 3  # one GET per input row
+
+
+def test_json_transport_retry_on_500_not_on_conn(json_server):
+    from fink_science_spark.operators.remote import http_get_json_transport
+
+    url, srv = json_server
+    srv.RequestHandlerClass.fail_first = 2
+    tr = http_get_json_transport(
+        url, {"ra": "ra", "dec": "dec"}, max_retries=3, retry_delay=0.01
+    )
+    out = tr(_positions().head(1))  # single row: 2×500 then 200
+    assert srv.request_count == 3
+    assert (out.match_name == "StarA").any()
+    # connection refused: gives up per row immediately (reference
+    # semantics), rows yield no matches, no exception
+    tr2 = http_get_json_transport(
+        "http://127.0.0.1:9", {"ra": "ra", "dec": "dec"},
+        max_retries=3, retry_delay=0.01, timeout=0.5,
+    )
+    assert len(tr2(_positions())) == 0
+
+
+def test_json_transport_through_service_xmatch(spark, json_server):
+    from fink_science_spark.operators.remote import (
+        http_get_json_transport,
+        service_xmatch,
+    )
+
+    url, _ = json_server
+    df = spark.createDataFrame(
+        [(1, 10.0, -5.0), (2, 20.0, 15.0), (3, 50.0, 50.0)],
+        "id long, ra double, dec double",
+    )
+    tr = http_get_json_transport(url, {"ra": "ra", "dec": "dec"},
+                                 retry_delay=0.01)
+    out = service_xmatch(df, "id", ["ra", "dec"], tr, out_col="xmatch")
+    rows = {r["id"]: r["xmatch"] for r in out.collect()}
+    assert rows == {1: "StarA", 2: "StarB", 3: "Unknown"}
