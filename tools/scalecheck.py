@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Empirical scaling curves for the headline operator families.
+
+The correctness gate runs at small SFs; this tool answers the 100 TB
+question directly: replicate the sf0.1 tables ×2 and ×4 (key-offset
+copies, so ids stay unique and key-derived distributions keep their
+shape), run the representative queries UNCHANGED against the scaled
+directories, and report wall-time growth. A plan that is linear in the
+input shows ratios ≈ the scale factor; an accidental all-pairs or
+re-scan shows super-linear growth immediately.
+
+Usage: python tools/scalecheck.py [scales ...] (default: 1 2 4)
+Prints one JSON line: {"query": {"1": s, "2": s, "4": s}, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_scratch")
+
+# id column to offset per table (keeps keys unique across replicas; the
+# offset is far above any real key so modular/LCG-derived attributes keep
+# their distribution shape)
+TABLES = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "customer": "c_custkey",
+    "supplier": None,  # catalog side: deliberately NOT scaled (broadcast dim)
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "region": None,
+    "nation": None,
+    "part": None,
+}
+
+QUERIES = [
+    "pricing_summary",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard_capped",
+    "dedup_embedding_cosine_capped",
+    "ann_cosine_topk",
+    "crossmatch_sky",
+    "doc_chunks",
+    "group_features",
+]
+
+OFFSET = 1 << 40
+
+
+def scaled_dir(spark, scale: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCRATCH, f"scalecheck_x{scale}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for table, key in TABLES.items():
+        src = os.path.join(BASE, f"{table}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        if key is None or scale == 1:
+            rep = df
+        else:
+            parts = [df]
+            for k in range(1, scale):
+                parts.append(df.withColumn(key, F.col(key) + k * OFFSET))
+            rep = parts[0]
+            for p in parts[1:]:
+                rep = rep.unionByName(p)
+        rep.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    open(marker, "w").close()
+    return out
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from fink_science_spark.session import get_session
+
+    import __spark_entry__ as entrymod
+
+    scales = [int(x) for x in sys.argv[1:]] or [1, 2, 4]
+    spark = get_session(app_name="scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    dirs = {s: scaled_dir(spark, s) for s in scales}
+    # warm-up at the base scale
+    for name in QUERIES:
+        queries[name](spark, dirs[scales[0]]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    results: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        results[name] = {}
+        for s in scales:
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, dirs[s]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+            results[name][str(s)] = round(min(samples), 3)
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    print(json.dumps(results, separators=(",", ":")), flush=True)
+
+
+if __name__ == "__main__":
+    main()
