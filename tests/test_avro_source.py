@@ -258,3 +258,40 @@ def test_with_decoded_avro_kafka_value_shape(spark):
     assert got[1]["ra"] == 10.0 and got[1]["magpsf"] == 17.25
     assert got[2]["fid"] == 2 and got[2]["magpsf"] is None
     assert "value" not in out.columns
+
+
+def test_container_roundtrip_enum_fixed_map(tmp_path):
+    """The remaining type surface: enum (symbol index), fixed (raw
+    bytes), map (counted blocks) — roundtrip + Spark-type translation."""
+    from pyspark.sql import types as T
+
+    schema = {
+        "type": "record",
+        "name": "m",
+        "fields": [
+            {"name": "band", "type": {"type": "enum", "name": "bands",
+                                      "symbols": ["g", "r", "i"]}},
+            {"name": "sig", "type": {"type": "fixed", "name": "sig16",
+                                     "size": 4}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {"name": "tags", "type": {"type": "map",
+                                      "values": ["null", "string"]}},
+        ],
+    }
+    records = [
+        {"band": "r", "sig": b"\x01\x02\x03\x04",
+         "props": {"a": 1, "b": -7}, "tags": {"x": None, "y": "z"}},
+        {"band": "g", "sig": b"\xff\x00\xff\x00", "props": {},
+         "tags": {}},
+    ]
+    path = str(tmp_path / "efm.avro")
+    write_container(path, schema, records, codec="deflate")
+    _s, got = read_container(path)
+    assert got == records
+    st = to_spark_type(schema)
+    assert isinstance(st["band"].dataType, T.StringType)
+    assert isinstance(st["sig"].dataType, T.BinaryType)
+    assert st["props"].dataType == T.MapType(T.StringType(), T.LongType(),
+                                             valueContainsNull=False)
+    assert st["tags"].dataType == T.MapType(T.StringType(), T.StringType(),
+                                            valueContainsNull=True)
