@@ -123,6 +123,7 @@ HEADLINE = [
     "avro_scan",
     "stream_avro_counts",
     "fits_catalog_join",
+    "stream_avro_alert_pipeline",
 ]
 
 

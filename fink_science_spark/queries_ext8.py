@@ -710,6 +710,82 @@ GROUP BY n_name
 """
 
 
+def q_stream_avro_alert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference production loop, end to end, jar-free: nested alert
+    packets (candidate record + prv_candidates array of records — the
+    true Avro alert layout, FIXTURES §1) serialized into an Avro
+    container, consumed as a Structured Streaming source, and enriched
+    with the same stateless cascade as the batch `alert_enrichment`
+    (c-column concat, history count, delta-last, valid count,
+    brightening flag). The batch oracle over the flat events table is
+    the check — so Avro encode → block-offset stream → nested decode →
+    struct/array enrichment must ALL be exact for the hash to match."""
+    import os as _os
+    import uuid as _uuid
+
+    from fink_science_spark.functions.arrays import concat_col, delta_last
+    from fink_science_spark.queries_ext2 import _SCRATCH
+    from fink_science_spark.sources.alerts import build_alerts
+    from fink_science_spark.sources.avro_codec import write_container
+    from fink_science_spark.sources.avro_replay import register_avro_source
+    from fink_science_spark.streaming.shell import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    register_avro_source(spark)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = _os.path.join(_SCRATCH, f"alerts_{tag}.avro")
+
+    cand_rec = {
+        "type": "record",
+        "name": "cand",
+        "fields": [
+            {"name": "ts_us", "type": "long"},
+            {"name": "value", "type": "double"},
+            {"name": "event_type", "type": "string"},
+        ],
+    }
+    alert_schema = {
+        "type": "record",
+        "name": "alert",
+        "fields": [
+            {"name": "user_id", "type": "long"},
+            {"name": "candidate", "type": cand_rec},
+            {"name": "prv_candidates",
+             "type": {"type": "array", "items": "cand"}},
+        ],
+    }
+    ev = _events_us(spark, sf_dir).select(
+        "user_id", "ts_us", "value", "event_type"
+    )
+    alerts = build_alerts(ev, "user_id", "ts_us", ["value", "event_type"])
+    records = [r.asDict(recursive=True) for r in alerts.collect()]
+    write_container(path, alert_schema, records, codec="deflate",
+                    records_per_block=50)
+
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.format("avro_replay").option("path", path).load()
+        )
+        df = concat_col(stream, "value")
+        enriched = df.select(
+            "user_id",
+            F.size("prv_candidates").alias("n_prv"),
+            F.round(delta_last("cvalue"), 6).alias("delta_last"),
+            F.size(F.filter("cvalue", lambda x: x >= 10.0)).alias("n_valid"),
+            F.coalesce(
+                F.col("candidate.value") > F.array_max("prv_candidates.value"),
+                F.lit(False),
+            ).alias("is_brightening"),
+        )
+        result = run_to_memory(
+            enriched, f"avro_alerts_{_uuid.uuid4().hex[:8]}", spark,
+            output_mode="append",
+        )
+    return result
+
+
 # --------------------------------------------------------------------------
 
 QUERIES_EXT8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -722,7 +798,17 @@ QUERIES_EXT8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "avro_scan": q_avro_scan,
     "stream_avro_counts": q_stream_avro_counts,
     "fits_catalog_join": q_fits_catalog_join,
+    "stream_avro_alert_pipeline": q_stream_avro_alert_pipeline,
 }
+
+
+def _oracle_stream_avro_alert_pipeline() -> str:
+    # the batch alert-enrichment oracle IS the streaming-Avro oracle:
+    # same logical result from the flat events table
+    from fink_science_spark.queries_ext2 import ORACLE_ALERT_ENRICHMENT
+
+    return ORACLE_ALERT_ENRICHMENT
+
 
 ORACLES_EXT8: dict[str, str] = {
     "period_scan": ORACLE_PERIOD_SCAN,
@@ -734,4 +820,5 @@ ORACLES_EXT8: dict[str, str] = {
     "avro_scan": ORACLE_AVRO_SCAN,
     "stream_avro_counts": ORACLE_STREAM_AVRO_COUNTS,
     "fits_catalog_join": ORACLE_FITS_CATALOG_JOIN,
+    "stream_avro_alert_pipeline": _oracle_stream_avro_alert_pipeline(),
 }
