@@ -295,3 +295,77 @@ def test_container_roundtrip_enum_fixed_map(tmp_path):
                                              valueContainsNull=False)
     assert st["tags"].dataType == T.MapType(T.StringType(), T.StringType(),
                                             valueContainsNull=True)
+
+
+def test_avro_stream_chunked_multi_trigger(spark, tmp_path):
+    """Real multi-trigger chunked replay: blocks_per_trigger=2 over a
+    6-block container must deliver all 57 records across ≥2 micro-batches
+    with no loss or duplication."""
+    import time
+
+    from fink_science_spark.sources.avro_replay import register_avro_source
+
+    register_avro_source(spark)
+    path = str(tmp_path / "chunked.avro")
+    write_container(path, ALERT_SCHEMA, _alerts(57), codec="deflate",
+                    records_per_block=10)
+    seen: list[list] = []
+
+    def sink(batch_df, batch_id):
+        rows = [r["objectId"] for r in batch_df.collect()]
+        if rows:
+            seen.append(rows)
+
+    q = (
+        spark.readStream.format("avro_replay")
+        .option("path", path)
+        .option("blocks_per_trigger", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while sum(len(b) for b in seen) < 57 and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    flat = [x for b in seen for x in b]
+    assert sorted(flat) == sorted(f"ZTF{i:06d}" for i in range(57))
+    assert len(seen) >= 2  # genuinely chunked across triggers
+
+
+def test_avro_codec_error_paths(tmp_path):
+    """Corrupt inputs fail loudly with a diagnosis, never silently."""
+    import pytest as _pytest
+
+    from fink_science_spark.sources.avro_codec import (
+        block_index,
+        read_block,
+    )
+
+    # not an Avro file
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes(b"PAR1not-avro-at-all")
+    with _pytest.raises(ValueError, match="container"):
+        block_index(str(bad))
+
+    # corrupted sync marker between blocks
+    path = str(tmp_path / "ok.avro")
+    write_container(path, ALERT_SCHEMA, _alerts(25), records_per_block=10)
+    schema, codec, sync, blocks = block_index(path)
+    raw = bytearray(open(path, "rb").read())
+    # flip a byte inside the sync marker after the first block
+    first_off, _n, first_size = blocks[0]
+    # sync begins after (varint n, varint size, payload); find it by
+    # searching from the known second block offset backwards 16 bytes
+    second_off = blocks[1][0]
+    raw[second_off - 1] ^= 0xFF
+    corrupted = str(tmp_path / "corrupt.avro")
+    open(corrupted, "wb").write(bytes(raw))
+    with _pytest.raises(ValueError, match="sync marker"):
+        block_index(corrupted)
+    # a direct block read past the corruption also refuses
+    with _pytest.raises(ValueError, match="sync marker"):
+        read_block(corrupted, schema, codec, sync, first_off)
