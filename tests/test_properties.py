@@ -317,3 +317,67 @@ def test_simhash_lane_packing_matches_reference_votes(spark, docsets):
                     for c in range(4)
                 )
                 assert ((a, b) in got) == chunk_agree, (a, b)
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.floats(min_value=0.1, max_value=30.0),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_nearest_join_sky_capture_guarantee_random(spark, seed, radius):
+    """Hypothesis-driven all-sky capture: 25×25 uniform-sphere points at
+    an arbitrary radius (0.1°–30°) must match the brute-force cross-join
+    1-NN exactly — the zoned grid + unclamped asin bound has no tunable
+    left to be wrong at any latitude or radius in this range."""
+    import itertools
+    import math
+
+    from fink_science_spark.operators.spatial import nearest_join_sky
+
+    def lcg(s):
+        while True:
+            s = (s * 1103515245 + 12345) % (2**31)
+            yield s / 2**31
+
+    g = lcg(seed | 1)
+    # uniform on the sphere: dec = asin(2u-1)
+    def pt():
+        return (
+            next(g) * 360.0,
+            math.degrees(math.asin(2.0 * next(g) - 1.0)),
+        )
+
+    lefts = [(i, *pt()) for i in range(25)]
+    rights = [(1000 + i, *pt()) for i in range(25)]
+    ldf = spark.createDataFrame(lefts, "lid long, ra double, dec double")
+    rdf = spark.createDataFrame(rights, "rid long, ra double, dec double")
+
+    def hav(ra1, dec1, ra2, dec2):
+        dphi = math.radians(dec2 - dec1)
+        dlam = math.radians(ra2 - ra1)
+        a = (
+            math.sin(dphi / 2) ** 2
+            + math.cos(math.radians(dec1))
+            * math.cos(math.radians(dec2))
+            * math.sin(dlam / 2) ** 2
+        )
+        return math.degrees(2 * math.asin(math.sqrt(min(1.0, a))))
+
+    expected = {}
+    for (lid, lra, ldec), (rid, rra, rdec) in itertools.product(lefts, rights):
+        d = hav(lra, ldec, rra, rdec)
+        if d <= radius:
+            cur = expected.get(lid)
+            if cur is None or (d, rid) < cur:
+                expected[lid] = (d, rid)
+    expected = {k: v[1] for k, v in expected.items()}
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in nearest_join_sky(
+            ldf, rdf, "lid", "ra", "dec", "rid", "ra", "dec",
+            radius_deg=radius,
+        ).collect()
+    }
+    assert got == expected
