@@ -381,3 +381,65 @@ def test_nearest_join_sky_capture_guarantee_random(spark, seed, radius):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+             min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000),
+                       st.integers(-100, 100)),
+             min_size=0, max_size=40),
+)
+@_settings
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    """Backward as-of semantics vs pandas.merge_asof on arbitrary keyed
+    timestamp sets, including duplicate timestamps and empty right
+    sides. Right-side ties on (key, ts) are broken identically by
+    pre-deduping to the max value (merge_asof takes the LAST row on
+    ties; the engine's window scan keeps the struct max)."""
+    import pandas as pd
+
+    from fink_science_spark.operators.asof import asof_join
+
+    # unique (key, ts) on the right: engine tie-break vs pandas "last"
+    # would otherwise compare implementation-defined orders
+    rd = {}
+    for k, t, v in rrows:
+        rd[(k, t)] = max(v, rd.get((k, t), v))
+    rrows = [(k, t, v) for (k, t), v in sorted(rd.items())]
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "lid long, k long, ts long",
+    )
+    rdf = spark.createDataFrame(rrows, "k long, ts long, v long") if rrows \
+        else spark.createDataFrame([], "k long, ts long, v long")
+
+    got = {
+        r["lid"]: (r["asof_v"], r["asof_ts"])
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["v"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        columns=["lid", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="stable"
+    )
+    if len(rp):
+        m = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                          suffixes=("", "_r"))
+        expected = {
+            int(row.lid): (
+                None if pd.isna(row.v) else int(row.v),
+                None,  # merge_asof drops the matched ts; compare value only
+            )
+            for row in m.itertuples()
+        }
+        assert {k: v[0] for k, v in got.items()} == {
+            k: v[0] for k, v in expected.items()
+        }
+    else:
+        assert all(v == (None, None) for v in got.values())
+    assert set(got) == {i for i in range(len(lrows))}
