@@ -41,7 +41,44 @@ from fink_science_spark.sources.avro_codec import (
 
 @dataclass
 class _BlockPartition(InputPartition):
+    path: str
     offset: int
+
+
+def _source_files(path: str) -> list[str]:
+    """A single container file, or every ``*.avro`` in a directory
+    (sorted — deterministic plan order), mirroring spark-avro's
+    directory reads."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.avro")))
+        if not files:
+            raise ValueError(f"avro_replay: no *.avro files under {path}")
+        return files
+    return [path]
+
+
+def _index_files(path: str):
+    """(avro_schema, [(file, codec, sync, offset, n, size), ...]) across
+    all source files; schemas must agree (same contract spark-avro
+    enforces for a directory read)."""
+    import json
+
+    files = _source_files(path)
+    schema = None
+    blocks = []
+    for f in files:
+        s, codec, sync, idx = block_index(f)
+        if schema is None:
+            schema = s
+        elif json.dumps(s, sort_keys=True) != json.dumps(schema, sort_keys=True):
+            raise ValueError(
+                f"avro_replay: schema mismatch between {files[0]} and {f}"
+            )
+        blocks.extend((f, codec, sync, off, n, size) for off, n, size in idx)
+    return schema, blocks
 
 
 def _flatten(datum, spark_type):
@@ -75,7 +112,7 @@ class AvroReplaySource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("avro_replay: 'path' option is required")
-        avro_schema, _codec, _sync, _blocks = block_index(path)
+        avro_schema, _blocks = _index_files(path)
         return to_spark_type(avro_schema)
 
     def reader(self, schema) -> "AvroReplayReader":
@@ -90,21 +127,23 @@ class AvroReplayReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avro_replay: 'path' option is required")
-        (
-            self.avro_schema,
-            self.codec,
-            self.sync,
-            self.blocks,
-        ) = block_index(self.path)
+        self.avro_schema, self.blocks = _index_files(self.path)
         self.spark_type = to_spark_type(self.avro_schema)
+        self._codecs = {
+            (f, off): (codec, sync)
+            for f, codec, sync, off, _n, _size in self.blocks
+        }
 
     def partitions(self):
-        return [_BlockPartition(off) for off, _n, _size in self.blocks]
+        return [
+            _BlockPartition(f, off)
+            for f, _codec, _sync, off, _n, _size in self.blocks
+        ]
 
     def read(self, partition: _BlockPartition):
+        codec, sync = self._codecs[(partition.path, partition.offset)]
         for rec in read_block(
-            self.path, self.avro_schema, self.codec, self.sync,
-            partition.offset,
+            partition.path, self.avro_schema, codec, sync, partition.offset,
         ):
             yield _flatten(rec, self.spark_type)
 
@@ -122,12 +161,7 @@ class AvroReplayStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avro_replay: 'path' option is required")
-        (
-            self.avro_schema,
-            self.codec,
-            self.sync,
-            self.blocks,
-        ) = block_index(self.path)
+        self.avro_schema, self.blocks = _index_files(self.path)
         self.spark_type = to_spark_type(self.avro_schema)
         self.blocks_per_trigger = int(options.get("blocks_per_trigger", "0"))
         self._target = 0
@@ -146,14 +180,18 @@ class AvroReplayStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         return [
-            _BlockPartition(self.blocks[i][0])
+            _BlockPartition(self.blocks[i][0], self.blocks[i][3])
             for i in range(start["block"], end["block"])
         ]
 
     def read(self, partition: _BlockPartition):
+        codec, sync = next(
+            (c, s)
+            for f, c, s, off, _n, _sz in self.blocks
+            if f == partition.path and off == partition.offset
+        )
         for rec in read_block(
-            self.path, self.avro_schema, self.codec, self.sync,
-            partition.offset,
+            partition.path, self.avro_schema, codec, sync, partition.offset,
         ):
             yield _flatten(rec, self.spark_type)
 
@@ -192,6 +230,63 @@ def with_decoded_avro(df, payload_col: str, avro_schema: dict, out_col: str):
             yield out
 
     return df.mapInPandas(decode, schema=out_schema)
+
+
+def _pythonize(v):
+    """numpy scalars / Rows from Arrow-pandas back to plain Python so the
+    spec-level codec (which type-dispatches unions on Python types) sees
+    canonical values."""
+    if hasattr(v, "item") and not isinstance(v, (bytes, bytearray, str)):
+        try:
+            return v.item()
+        except (ValueError, AttributeError):
+            pass
+    if hasattr(v, "asDict"):
+        v = v.asDict()
+    if isinstance(v, dict):
+        return {k: _pythonize(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_pythonize(x) for x in v]
+    return v
+
+
+def write_avro_dir(
+    df,
+    out_dir: str,
+    avro_schema: dict,
+    codec: str = "deflate",
+    records_per_block: int = 1000,
+):
+    """Distributed Avro SINK: each task serializes its partition into one
+    ``part-<id>.avro`` container under ``out_dir`` (the layout
+    spark-avro's writer produces and :class:`AvroReplaySource` reads back
+    as a directory). The write happens WHERE the data lives — rows never
+    move to the driver; driver traffic is one (path, row-count) summary
+    per partition, returned for logging/assertions."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(batches):
+        import pandas as pd
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            rows.extend(_pythonize(r) for r in pdf.to_dict("records"))
+        path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+        if rows:
+            from fink_science_spark.sources.avro_codec import write_container
+
+            write_container(path, avro_schema, rows, codec=codec,
+                            records_per_block=records_per_block)
+            yield pd.DataFrame({"path": [path], "n": [len(rows)]})
+
+    return (
+        df.mapInPandas(sink, schema="path string, n long").collect()
+    )
 
 
 def register_avro_source(spark) -> None:
