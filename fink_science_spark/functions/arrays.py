@@ -144,9 +144,12 @@ def trapezoid_integral(arr_t: Column | str, arr_v: Column | str) -> Column:
     views, zip the trapezoid terms, fold-sum."""
     t = F.col(arr_t) if isinstance(arr_t, str) else arr_t
     v = F.col(arr_v) if isinstance(arr_v, str) else arr_v
-    n = F.size(t)
-    t1, t2 = F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)
-    v1, v2 = F.slice(v, 1, n - 1), F.slice(v, 2, n - 1)
+    # greatest(n-1, 0): a 0-element array would otherwise pass slice a
+    # negative length and throw (surfaced by the hypothesis property test
+    # — the first streamed micro-batch of a new key has exactly this shape)
+    n = F.greatest(F.size(t) - 1, F.lit(0))
+    t1, t2 = F.slice(t, 1, n), F.slice(t, 2, n)
+    v1, v2 = F.slice(v, 1, n), F.slice(v, 2, n)
     mid = F.zip_with(v1, v2, lambda a, b: (a + b) / 2)
     dt = F.zip_with(t2, t1, lambda a, b: a - b)
     terms = F.zip_with(mid, dt, lambda m, d: m * d)

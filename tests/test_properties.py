@@ -443,3 +443,81 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
     else:
         assert all(v == (None, None) for v in got.values())
     assert set(got) == {i for i in range(len(lrows))}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.floats(0.01, 100.0, allow_nan=False),
+        ),
+        min_size=1, max_size=60,
+    ),
+    st.floats(0.05, 0.95),
+)
+@_settings
+def test_weighted_quantile_matches_reference_cdf(spark, rows, q):
+    """Step-CDF weighted quantile vs a direct Python computation: the
+    smallest value whose cumulative weight fraction reaches q, values
+    accumulated in ascending order — including duplicate values and
+    highly skewed weights."""
+    from fink_science_spark.operators.aggregates import weighted_quantile
+
+    df = spark.createDataFrame(rows, "k long, v double, w double")
+    got = {
+        r["k"]: r["q"]
+        for r in weighted_quantile(df, ["k"], "v", "w", q=q, round_to=9)
+        .withColumnRenamed(
+            [c for c in weighted_quantile(
+                df, ["k"], "v", "w", q=q, round_to=9).columns
+             if c != "k"][0],
+            "q",
+        )
+        .collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for k, v, w in rows:
+        groups[k].append((v, w))
+    for k, items in groups.items():
+        items.sort()
+        tot = sum(w for _v, w in items)
+        acc = 0.0
+        exp = items[-1][0]
+        for v, w in items:
+            acc += w
+            if acc / tot >= q:
+                exp = v
+                break
+        assert got[k] == round(exp, 9), (k, q)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0.0, 1e4, allow_nan=False),
+            st.floats(-100.0, 100.0, allow_nan=False),
+        ),
+        min_size=0, max_size=30,
+    )
+)
+@_settings
+def test_trapezoid_integral_matches_numpy(spark, pts):
+    import numpy as np
+
+    from fink_science_spark.functions.arrays import trapezoid_integral
+
+    pts = sorted(set(pts))  # time-sorted, unique epochs
+    ts = [p[0] for p in pts]
+    vs = [p[1] for p in pts]
+    df = spark.createDataFrame(
+        [(ts, vs)], "t array<double>, v array<double>"
+    )
+    (got,) = df.select(
+        F.round(trapezoid_integral("t", "v"), 6).alias("i")
+    ).collect()[0]
+    trap = getattr(np, 'trapezoid', np.trapz)
+    expected = float(trap(vs, ts)) if len(pts) >= 2 else 0.0
+    assert got == pytest.approx(round(expected, 6), abs=1e-5)
