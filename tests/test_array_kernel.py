@@ -126,3 +126,53 @@ def test_band_peak_and_exists(alerts):
     assert by_id[1].bright_r is False
     assert by_id[2].bright_r is True  # current r-band 16.0 < 17.5
     assert by_id[3].bright_r is False  # empty history → coalesce(False)
+
+
+def test_all_array_kernels_survive_empty_and_singleton(spark):
+    """Edge sweep: every history-array kernel must return a well-defined
+    value (not throw) on zero- and one-element arrays — the first
+    micro-batch of a new key (the trapezoid_integral negative-slice
+    crash was exactly this class)."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.functions.arrays import (
+        any_matching,
+        band_peak,
+        count_in_window,
+        delta_last,
+        first_above,
+        last_in_band,
+        non_null_count,
+        trapezoid_integral,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [], [], []),
+            (1, [5.0], [7.0], ["g"]),
+        ],
+        "k long, t array<double>, v array<double>, b array<string>",
+    )
+    out = df.select(
+        "k",
+        delta_last("v").alias("dl"),
+        non_null_count("v").alias("nn"),
+        count_in_window("t", "v", 0.0, 10.0).alias("cw"),
+        last_in_band("t", "v", "b", "g").alias("lib"),
+        first_above("t", "v", 6.0).alias("fa"),
+        band_peak("v", "b", "g").alias("bp"),
+        F.round(trapezoid_integral("t", "v"), 6).alias("ti"),
+        any_matching("v", lambda x: x > 6.0).alias("am"),
+    ).orderBy("k").collect()
+    empty, single = out
+    assert empty["dl"] is None
+    assert empty["nn"] == 0 and empty["cw"] == 0
+    assert empty["lib"] is None and empty["fa"] is None
+    assert empty["bp"] is None
+    assert empty["ti"] == 0.0
+    assert empty["am"] is False
+    assert single["nn"] == 1 and single["cw"] == 1
+    assert single["lib"] == 7.0 and single["fa"] == 5.0
+    assert single["bp"] == 7.0
+    assert single["ti"] == 0.0  # < 2 points
+    assert single["am"] is True
