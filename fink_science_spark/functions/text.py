@@ -204,9 +204,15 @@ def repetition_metrics(tok: Column | str) -> dict[str, Column]:
             lambda d: F.size(F.filter(t, lambda x: x == d)),
         )
     )
+    # n == 0 guards (zero-token docs: empty / whitespace / punct-only
+    # text): under ANSI mode a bare /n throws DIVIDE_BY_ZERO — surfaced
+    # by the empty-input fuzz sweep, not by the corpus, whose docs all
+    # tokenize non-empty. Ratios of an empty doc are defined as 0.0.
     return {
         "n_tokens": n,
-        "uniq_ratio": F.round(F.size(F.array_distinct(t)) / n, 6),
+        "uniq_ratio": F.round(
+            F.when(n > 0, F.size(F.array_distinct(t)) / n).otherwise(0.0), 6
+        ),
         "dup_bigram_ratio": F.round(
             F.when(
                 F.size(bi) > 0,
@@ -214,5 +220,7 @@ def repetition_metrics(tok: Column | str) -> dict[str, Column]:
             ).otherwise(0.0),
             6,
         ),
-        "top_token_ratio": F.round(top / n, 6),
+        "top_token_ratio": F.round(
+            F.when(n > 0, top / n).otherwise(0.0), 6
+        ),
     }

@@ -888,3 +888,44 @@ def test_cosine_pairs_bucket_cap_drops_hot_bucket(spark):
     assert len(uncapped) == 30 * 29 // 2 + 3  # C(30,2) hot + C(3,2) cold
     assert capped == {(100, 101), (100, 102), (101, 102)}
     assert capped < uncapped
+
+
+def test_text_kernels_survive_degenerate_text(spark):
+    """Zero-token documents (empty / whitespace / punctuation-only /
+    non-latin) must produce defined metrics, not ANSI DIVIDE_BY_ZERO —
+    the repetition ratios previously threw on them."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.functions.text import (
+        lang_id,
+        punct_ratio,
+        repetition_metrics,
+        rolling_fingerprint,
+        stopword_ratio,
+        token_count,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "\t\n"), (3, "€ñ漢字 ¡hola!"), (4, "a")],
+        "k long, text string",
+    )
+    t = tokens("text")
+    rep = repetition_metrics(t)
+    out = df.select(
+        "k",
+        token_count("text").alias("tc"),
+        F.round(punct_ratio("text"), 4).alias("pr"),
+        F.round(stopword_ratio(t), 4).alias("sr"),
+        lang_id(t).alias("li"),
+        rolling_fingerprint(t).alias("rf"),
+        *[c.alias(n) for n, c in rep.items()],
+    ).orderBy("k").collect()
+    by_k = {r["k"]: r for r in out}
+    for k in (0, 1, 2):
+        assert by_k[k]["tc"] == 0
+        assert by_k[k]["uniq_ratio"] == 0.0
+        assert by_k[k]["top_token_ratio"] == 0.0
+        assert by_k[k]["li"] == "und"
+    assert by_k[3]["tc"] >= 1  # 'hola' survives the latinization
+    assert by_k[4]["uniq_ratio"] == 1.0
