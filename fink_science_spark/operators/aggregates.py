@@ -106,7 +106,14 @@ def weighted_quantile(
     ).select(
         *keys,
         "__v",
-        (F.sum("__w").over(w_cum) / F.sum("__w").over(w_tot)).alias("__cdf"),
+        # zero-total-weight guard: a group whose weights sum to 0 has no
+        # defined quantile — its cdf stays NULL, every row fails the >= q
+        # filter, and the group is omitted from the output (previously an
+        # ANSI DIVIDE_BY_ZERO; surfaced by the degenerate-input fuzz)
+        F.when(
+            F.sum("__w").over(w_tot) > 0,
+            F.sum("__w").over(w_cum) / F.sum("__w").over(w_tot),
+        ).alias("__cdf"),
     )
     return (
         with_cdf.filter(F.col("__cdf") >= q)

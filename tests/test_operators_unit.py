@@ -929,3 +929,18 @@ def test_text_kernels_survive_degenerate_text(spark):
         assert by_k[k]["li"] == "und"
     assert by_k[3]["tc"] >= 1  # 'hola' survives the latinization
     assert by_k[4]["uniq_ratio"] == 1.0
+
+
+def test_weighted_quantile_zero_weight_group_omitted(spark):
+    """A group whose weights sum to zero has no defined quantile: it is
+    omitted (previously an ANSI DIVIDE_BY_ZERO); groups with mass are
+    unaffected."""
+    from fink_science_spark.operators.aggregates import weighted_quantile
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 0.0), (1, 7.0, 0.0), (2, 3.0, 2.0), (2, 9.0, 1.0)],
+        "k long, v double, w double",
+    )
+    out = {r["k"]: r["wq50"] for r in
+           weighted_quantile(df, ["k"], "v", "w", q=0.5).collect()}
+    assert out == {2: 3.0}
