@@ -73,8 +73,16 @@ def order_stats(
         "vmin",
         "vmax",
         *[f"p{int(p * 100):02d}" for p in percentiles],
-        F.round(m3 / F.pow(m2, 1.5), round_to).alias("skew"),
-        F.round(m4 / F.pow(m2, 2.0) - 3.0, round_to).alias("kurt"),
+        # m2 > 0 guard: a single-row or constant group has zero variance,
+        # where skew/kurt are undefined — NULL, not ANSI DIVIDE_BY_ZERO
+        # (surfaced by the degenerate-input fuzz; the oracle twin carries
+        # the identical CASE so both engines agree on such groups)
+        F.round(
+            F.when(m2 > 0, m3 / F.pow(m2, 1.5)), round_to
+        ).alias("skew"),
+        F.round(
+            F.when(m2 > 0, m4 / F.pow(m2, 2.0) - 3.0), round_to
+        ).alias("kurt"),
     )
 
 

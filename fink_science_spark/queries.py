@@ -551,10 +551,12 @@ WITH r AS (
   FROM events GROUP BY event_type
 )
 SELECT event_type, n, round(e1, 4) AS mean, std, vmin, vmax, p50,
-       round((e3 - 3.0*e1*e2 + 2.0*e1*e1*e1)
-             / pow(e2 - e1*e1, 1.5), 4) AS skew,
-       round((e4 - 4.0*e1*e3 + 6.0*e1*e1*e2 - 3.0*e1*e1*e1*e1)
-             / pow(e2 - e1*e1, 2.0) - 3.0, 4) AS kurt
+       round(CASE WHEN e2 - e1*e1 > 0 THEN
+             (e3 - 3.0*e1*e2 + 2.0*e1*e1*e1)
+             / pow(e2 - e1*e1, 1.5) END, 4) AS skew,
+       round(CASE WHEN e2 - e1*e1 > 0 THEN
+             (e4 - 4.0*e1*e3 + 6.0*e1*e1*e2 - 3.0*e1*e1*e1*e1)
+             / pow(e2 - e1*e1, 2.0) - 3.0 END, 4) AS kurt
 FROM r
 """
 

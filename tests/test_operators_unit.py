@@ -944,3 +944,20 @@ def test_weighted_quantile_zero_weight_group_omitted(spark):
     out = {r["k"]: r["wq50"] for r in
            weighted_quantile(df, ["k"], "v", "w", q=0.5).collect()}
     assert out == {2: 3.0}
+
+
+def test_order_stats_constant_group_null_moments(spark):
+    """Single-row and constant groups have zero variance: skew/kurt are
+    NULL (previously ANSI DIVIDE_BY_ZERO), everything else well-defined."""
+    from fink_science_spark.operators.aggregates import order_stats
+
+    df = spark.createDataFrame(
+        [("one", 5.0), ("const", 2.0), ("const", 2.0),
+         ("spread", 1.0), ("spread", 3.0), ("spread", 8.0)],
+        "k string, v double",
+    )
+    out = {r["k"]: r for r in order_stats(df, ["k"], "v").collect()}
+    assert out["one"]["n"] == 1 and out["one"]["skew"] is None
+    assert out["const"]["skew"] is None and out["const"]["kurt"] is None
+    assert out["const"]["std"] == 0.0
+    assert out["spread"]["skew"] is not None
