@@ -149,6 +149,34 @@ def read_bintable(path: str) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+_BITPIX = {8: "u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
+
+
+def read_image(data: bytes) -> np.ndarray:
+    """Primary IMAGE HDU from in-memory FITS bytes → 2-D numpy array —
+    the cutout-stamp decode (reference: gzipped 63×63 float32 stamps in
+    cutoutScience.stampData, read via astropy at
+    ztf/hostless_detection/pipeline_utils.py:46-57). BSCALE/BZERO are
+    applied when present; dtype follows BITPIX."""
+    import io as _io
+
+    buf = _io.BytesIO(data)
+    hdr = _read_header(buf)  # consumes exactly the header blocks
+    if not hdr.get("SIMPLE", False):
+        raise ValueError("not a FITS image")
+    if hdr.get("NAXIS") != 2:
+        raise ValueError(f"expected NAXIS=2 image, got {hdr.get('NAXIS')}")
+    w, h = hdr["NAXIS1"], hdr["NAXIS2"]
+    dt = np.dtype(_BITPIX[hdr["BITPIX"]])
+    arr = np.frombuffer(
+        data, dtype=dt, count=w * h, offset=buf.tell()
+    ).reshape(h, w)
+    scale, zero = hdr.get("BSCALE", 1), hdr.get("BZERO", 0)
+    if scale != 1 or zero != 0:
+        arr = arr * float(scale) + float(zero)
+    return arr
+
+
 def _card(key: str, value, comment: str = "") -> bytes:
     if isinstance(value, bool):
         v = "T" if value else "F"
