@@ -207,3 +207,97 @@ def test_real_alerts_roundtrip_through_avro(spark, alerts):
 
     assert sorted(map(canon, got)) == sorted(map(canon, records))
     assert sum(len(r["prv_candidates"]) for r in got) > 0  # real history
+
+
+def test_roid_cascade_on_real_alerts_matches_reference_semantics(
+    spark, alerts
+):
+    """The asteroid-catcher rule cascade (ztf/asteroids/processor.py:
+    120-167 — sequential flag overwrites: first-detection → Fink SSO →
+    PS1-proximity veto → trend vetoes → MPC flag) evaluated NATIVELY as
+    a reverse-priority CASE over the real alert fields, against an
+    independent pandas evaluation of the documented rules. Sequential
+    overwrite == first-match-wins in reverse assignment order."""
+    import numpy as np
+    import pandas as pd
+
+    from fink_science_spark.functions.arrays import concat_col
+
+    df = concat_col(concat_col(alerts, "magpsf"), "jd")
+    c = F.col
+    nalerthist = F.size(
+        F.filter("cmagpsf", lambda x: ~F.isnan(x) & x.isNotNull())
+    )
+    last_jd_gap = F.when(
+        F.size("cjd") >= 2,
+        F.element_at("cjd", -1) - F.element_at("cjd", -2),
+    )
+    ndethist = c("candidate.ndethist")
+    sg, ssd, dps = (
+        c("candidate.sgscore1"), c("candidate.ssdistnr"),
+        c("candidate.distpsnr1"),
+    )
+    mpc = (
+        (ssd >= 0.0) & (ssd < 5.0) & ((F.abs(dps) - ssd) > 0.0)
+        & (ndethist <= 5) & (nalerthist <= 5)
+    )
+    flag = (
+        F.when(mpc, 3)
+        .when((ndethist == 2) & (nalerthist == 1), 0)
+        .when(
+            (nalerthist == 2)
+            & (last_jd_gap > F.lit(30.0 / (24.0 * 60.0))),
+            0,
+        )
+        .when((dps < 5) & (dps > 0), 0)
+        .when((sg < 0.76) & (ndethist <= 2), 2)
+        .when(ndethist == 1, 1)
+        .otherwise(0)
+    )
+    got = {
+        r["c"]: r["roid"]
+        for r in df.select(
+            c("candidate.candid").alias("c"), flag.alias("roid")
+        ).collect()
+    }
+
+    # independent ground truth: the documented sequential-overwrite rules
+    pdf = df.select(
+        c("candidate.candid").alias("c"), "cjd", "cmagpsf",
+        ndethist.alias("nd"), sg.alias("sg"), ssd.alias("ssd"),
+        dps.alias("dps"),
+    ).toPandas()
+    expected = {}
+    overridden = 0  # rows where a later rule OVERWROTE an earlier flag
+    for row in pdf.itertuples(index=False):
+        nal = int(np.sum(np.array(row.cmagpsf) == np.array(row.cmagpsf)))
+        f = 0
+        if row.nd == 1:
+            f = 1
+        if row.sg is not None and row.sg < 0.76 and row.nd <= 2:
+            f = 2
+        pre_veto = f
+        if row.dps is not None and 0 < row.dps < 5:
+            f = 0
+        if nal == 2 and len(row.cjd) >= 2 and (
+            row.cjd[-1] - row.cjd[-2]
+        ) > 30.0 / (24.0 * 60.0):
+            f = 0
+        if row.nd == 2 and nal == 1:
+            f = 0
+        if (
+            row.ssd is not None and 0.0 <= row.ssd < 5.0
+            and row.dps is not None and abs(row.dps) - row.ssd > 0.0
+            and row.nd <= 5 and nal <= 5
+        ):
+            f = 3
+        if f != pre_veto:
+            overridden += 1
+        expected[row.c] = f
+    assert got == expected
+    assert len(got) == 51
+    # the sample's alerts all end at 0 (each has a close PS1 counterpart)
+    # — the NON-VACUOUS part is that earlier rules fired and the vetoes
+    # overwrote them, which is exactly the sequential-overwrite semantics
+    # the reverse-priority CASE must reproduce
+    assert overridden > 0
