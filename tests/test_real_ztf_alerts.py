@@ -301,3 +301,56 @@ def test_roid_cascade_on_real_alerts_matches_reference_semantics(
     # overwrote them, which is exactly the sequential-overwrite semantics
     # the reverse-priority CASE must reproduce
     assert overridden > 0
+
+
+def test_sky_crossmatch_on_real_coordinates(spark, alerts):
+    """The flagship 1-NN grid crossmatch on genuine alert coordinates:
+    odd-candid alerts matched against the even-candid half at 1°, versus
+    brute-force ground truth. Real ZTF pointings cluster tightly — the
+    regime where grid cells are dense and (dist, id) tie-breaking
+    matters."""
+    import itertools
+
+    from fink_science_spark.operators.spatial import nearest_join_sky
+
+    pos = alerts.select(
+        F.col("candidate.candid").alias("cid"),
+        F.col("candidate.ra").alias("ra"),
+        F.col("candidate.dec").alias("dec"),
+    )
+    left = pos.filter(F.col("cid") % 2 == 1)
+    right = pos.filter(F.col("cid") % 2 == 0).withColumnRenamed("cid", "rid")
+    lrows = [(r["cid"], r["ra"], r["dec"]) for r in left.collect()]
+    rrows = [(r["rid"], r["ra"], r["dec"]) for r in right.collect()]
+    assert lrows and rrows
+
+    def hav(ra1, dec1, ra2, dec2):
+        dphi = math.radians(dec2 - dec1)
+        dlam = math.radians(ra2 - ra1)
+        a = (
+            math.sin(dphi / 2) ** 2
+            + math.cos(math.radians(dec1))
+            * math.cos(math.radians(dec2))
+            * math.sin(dlam / 2) ** 2
+        )
+        return math.degrees(2 * math.asin(math.sqrt(min(1.0, a))))
+
+    radius = 1.0
+    expected = {}
+    for (li, lr, ld), (ri, rr, rd) in itertools.product(lrows, rrows):
+        d = hav(lr, ld, rr, rd)
+        if d <= radius:
+            cur = expected.get(li)
+            if cur is None or (d, ri) < cur:
+                expected[li] = (d, ri)
+    expected = {k: v[1] for k, v in expected.items()}
+    assert expected  # real pointings do have sub-degree cross-half pairs
+
+    got = {
+        r["cid"]: r["rid"]
+        for r in nearest_join_sky(
+            left, right, "cid", "ra", "dec", "rid", "ra", "dec",
+            radius_deg=radius,
+        ).collect()
+    }
+    assert got == expected
