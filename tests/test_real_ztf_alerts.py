@@ -354,3 +354,83 @@ def test_sky_crossmatch_on_real_coordinates(spark, alerts):
         ).collect()
     }
     assert got == expected
+
+
+# the 556-row ELAsTiCC test table (the directory also holds a 29-row
+# float-typed file with a DIFFERENT nested schema generation — real
+# schema drift; reading the canonical file keeps the types exact)
+RUBIN = ("/root/reference/fink_science/data/alerts/elasticc_parquet/"
+         "test_elasticc_earlysnia.parquet")
+
+
+def test_rubin_per_band_features_on_real_elasticc(spark):
+    """The rubin/slsn per-band feature family (keep_filter → mean/std/
+    max with −1 sentinels for absent bands, basic_functions.py:21-135)
+    as native HOFs over the REAL ELAsTiCC history (556 genuine Rubin
+    alerts: diaSource + prvDiaSources flux series), against numpy ground
+    truth. Flux-based Rubin fields, not ZTF magnitudes — the second
+    survey's data contract."""
+    import numpy as np
+
+    alerts = spark.read.parquet(RUBIN)
+    pairs = F.concat(
+        F.transform(
+            "prvDiaSources",
+            lambda p: F.struct(
+                p["filterName"].alias("b"), p["psFlux"].alias("f")
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.col("diaSource.filterName").alias("b"),
+                F.col("diaSource.psFlux").alias("f"),
+            )
+        ),
+    )
+    df = alerts.select("alertId", pairs.alias("hist"))
+
+    def band_feats(band):
+        fl = F.filter(
+            "hist", lambda s: (s["b"] == band) & ~F.isnan(s["f"])
+        )
+        v = F.transform(fl, lambda s: s["f"])
+        n = F.size(v)
+        mean = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / n
+        e2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x) / n
+        return [
+            F.when(n > 0, mean).otherwise(-1.0).alias(f"{band}_mean"),
+            F.when(n > 0, F.sqrt(F.greatest(e2 - mean * mean, F.lit(0.0))))
+            .otherwise(-1.0).alias(f"{band}_std"),
+            F.when(n > 0, F.array_max(v)).otherwise(-1.0).alias(f"{band}_max"),
+        ]
+
+    bands = ["g", "r", "i"]
+    out = {
+        r["alertId"]: r
+        for r in df.select(
+            "alertId", *[c for b in bands for c in band_feats(b)]
+        ).collect()
+    }
+
+    pdf = df.toPandas()
+    checked_nonempty = 0
+    for row in pdf.itertuples(index=False):
+        got = out[row.alertId]
+        for b in bands:
+            xs = np.array(
+                [s["f"] for s in row.hist
+                 if s["b"] == b and s["f"] is not None
+                 and not math.isnan(s["f"])]
+            )
+            if len(xs) == 0:
+                assert (got[f"{b}_mean"], got[f"{b}_std"], got[f"{b}_max"]) \
+                    == (-1.0, -1.0, -1.0), (row.alertId, b)
+            else:
+                checked_nonempty += 1
+                assert got[f"{b}_mean"] == pytest.approx(float(np.mean(xs)),
+                                                         rel=1e-9)
+                assert got[f"{b}_std"] == pytest.approx(float(np.std(xs)),
+                                                        rel=1e-6, abs=1e-9)
+                assert got[f"{b}_max"] == pytest.approx(float(np.max(xs)),
+                                                        rel=1e-12)
+    assert checked_nonempty > 100  # real multiband histories exercised
