@@ -474,3 +474,69 @@ def test_engine_reproduces_reference_production_outputs(spark):
         assert r["our_nalerthist"] == r["ref_nalerthist"], r["candid"]
     # varied, real counts — not a degenerate sample
     assert len({r["ref_nalerthist"] for r in out}) > 5
+
+
+def test_hostless_style_ks_on_real_stamp_pixels(spark, alerts):
+    """The hostless-detection distribution comparison (kstest between
+    stamp regions, ztf/hostless_detection/powerspectrum.py:214-222) on
+    REAL pixels: every genuine science stamp is decoded inside Spark,
+    its pixels exploded to rows tagged center (15×15 core) vs border
+    (3-pixel frame), and the engine's single-window KS kernel must match
+    a direct numpy ECDF sup-difference per alert."""
+    import pandas as pd
+
+    from fink_science_spark.operators.stats import ks_two_sample
+
+    def pixel_rows(batches):
+        from fink_science_spark.sources.fits_codec import read_image
+
+        for pdf in batches:
+            out = []
+            for cid, blob in zip(pdf["cid"], pdf["blob"]):
+                img = read_image(gzip.decompress(bytes(blob)))
+                h, w = img.shape
+                for i in range(h):
+                    for j in range(w):
+                        v = float(img[i, j])
+                        if math.isnan(v):
+                            continue
+                        center = (24 <= i < 39) and (24 <= j < 39)
+                        border = i < 3 or i >= h - 3 or j < 3 or j >= w - 3
+                        if center or border:
+                            out.append((cid, v, center, border))
+            yield pd.DataFrame(
+                out, columns=["cid", "px", "in_c", "in_b"]
+            )
+
+    px = (
+        alerts.select(
+            F.col("candidate.candid").alias("cid"),
+            F.col("cutoutScience.stampData").alias("blob"),
+        )
+        .limit(8)
+        .mapInPandas(
+            pixel_rows,
+            schema="cid long, px double, in_c boolean, in_b boolean",
+        )
+    )
+    got = {
+        r["cid"]: (r["n_a"], r["n_b"], r["ks_stat"])
+        for r in ks_two_sample(
+            px, group="cid", value="px",
+            in_a=F.col("in_c"), in_b=F.col("in_b"),
+        ).collect()
+    }
+    assert got
+
+    pdf = px.toPandas()
+    for cid, grp in pdf.groupby("cid"):
+        a = np.sort(grp[grp.in_c].px.to_numpy())
+        b = np.sort(grp[grp.in_b].px.to_numpy())
+        vals = np.unique(np.concatenate([a, b]))
+        ca = np.searchsorted(a, vals, side="right") / len(a)
+        cb = np.searchsorted(b, vals, side="right") / len(b)
+        ks = float(np.max(np.abs(ca - cb)))
+        na, nb, stat = got[cid]
+        assert (na, nb) == (len(a), len(b))
+        assert stat == pytest.approx(ks, abs=1e-12), cid
+        assert 0.0 < stat <= 1.0  # real center vs border DO differ
