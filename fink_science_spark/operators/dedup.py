@@ -348,9 +348,22 @@ def simhash_pairs(
             cnt * 2 > F.col("__n"), F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
+    # ENFORCED lane-capacity bound: a doc with ≥ 2¹⁶ tokens would carry
+    # lane counts into the neighbouring lane and silently corrupt the
+    # signature — fail the job loudly instead (F.when on the assert's
+    # null result forces evaluation; a bare unused column would be pruned)
+    guard = F.assert_true(
+        F.col("__n") < F.lit(1 << lane_width),
+        F.lit(
+            "simhash_pairs: document exceeds the 16-bit vote-lane "
+            "capacity (65535 tokens); pre-cap or dedupe the token sets"
+        ),
+    )
     # materialize once — the chunk self-join would otherwise evaluate the
     # tokenize→hash→60-vote pipeline on both sides (16 B/doc cached)
-    sig = votes.select("__id", sim.alias("__sim")).persist()
+    sig = votes.select(
+        "__id", F.when(guard.isNull(), sim).alias("__sim")
+    ).persist()
     # one row per (doc, chunk): a single aliased self-join on
     # (chunk_id, chunk_value) replaces ``chunks`` separate joins — and
     # because both sides are the same canonical plan, the shuffle exchange

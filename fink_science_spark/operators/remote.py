@@ -197,6 +197,20 @@ def http_post_transport(
                 continue
             if len(got) == 0 or "objectId" not in got.columns:
                 continue
+            if name_col not in got.columns or "angDist" not in got.columns:
+                # a 200 with a malformed table (error page, changed
+                # schema) is a degraded response, not a crash: the
+                # tri-state contract turns it into Fail sentinels
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: chunk[id_col].to_numpy(dtype="int64"),
+                            "match_name": "Fail parse",
+                            "dist": float("inf"),
+                        }
+                    )
+                )
+                continue
             frames.append(
                 pd.DataFrame(
                     {
@@ -289,7 +303,13 @@ def http_get_json_transport(
                 except conn_exc:
                     break  # reference: connection errors are not retried
                 if r.status_code == 200:
-                    payload = r.json()
+                    try:
+                        payload = r.json()
+                    except ValueError:
+                        # 200 with a non-JSON body (proxy error page):
+                        # degraded response → this row yields no matches,
+                        # never a task crash
+                        pass
                     break
                 if attempt + 1 < max_retries:
                     time.sleep(retry_delay)

@@ -190,19 +190,24 @@ def nearest_join_sky(
         d_hi = d_lo + F.lit(radius_deg)
         d_max = F.greatest(F.abs(d_lo), F.abs(d_hi))
         # unclamped: cos(d_eff) → 0⁺ gives margin 180° (n=2, ring fully
-        # covered by the ±1 explode); cos(d_eff) ≤ 0 lands on the
-        # negative-margin path below → n=1 (whole polar ring, one cell)
+        # covered by the ±1 explode); cos(d_eff) ≤ 0 means no RA bound is
+        # sound in this ring, so it is ONE cell. The ≤ 0 branch must be
+        # explicit: feeding a negative cosine through asin produces NaN
+        # whenever |cos| < sin(r/2) (ratio < −1, outside asin's domain),
+        # and NaN propagated through greatest→cast→ra_block into a NULL
+        # join key — silently dropping every row in a near-polar band for
+        # radii where frac(90/r) puts a zone edge just past the pole
+        # (caught by code review; regression-pinned at radius 0.65°).
         d_eff = d_max + F.lit(radius_deg)
+        cos_eff = F.cos(F.radians(d_eff))
         margin = F.degrees(
-            2.0
-            * F.asin(
-                F.least(
-                    F.lit(1.0), F.lit(sin_half_r) / F.cos(F.radians(d_eff))
-                )
-            )
+            2.0 * F.asin(F.least(F.lit(1.0), F.lit(sin_half_r) / cos_eff))
         )
-        return F.greatest(F.floor(F.lit(360.0) / margin), F.lit(1)).cast(
-            "long"
+        n_from_margin = F.greatest(
+            F.floor(F.lit(360.0) / margin), F.lit(1)
+        ).cast("long")
+        return F.when(cos_eff <= 0, F.lit(1).cast("long")).otherwise(
+            n_from_margin
         )
 
     def ra_block(ra: Column, n: Column) -> Column:

@@ -1165,7 +1165,9 @@ SELECT doc_id,
        md5(array_to_string(
            toks[g.i * {_CHUNK_STRIDE} + 1 :
                 g.i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')) AS chunk_md5
-FROM base, (SELECT unnest(generate_series(0, 255)) AS i) AS g
+FROM base,
+     (SELECT unnest(generate_series(
+          0, greatest((SELECT max(nc) FROM base) - 1, 0))) AS i) AS g
 WHERE g.i < nc
 """
 

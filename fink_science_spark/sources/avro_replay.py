@@ -165,6 +165,10 @@ class AvroReplayStreamReader(DataSourceStreamReader):
         self.spark_type = to_spark_type(self.avro_schema)
         self.blocks_per_trigger = int(options.get("blocks_per_trigger", "0"))
         self._target = 0
+        self._codecs = {
+            (f, off): (codec, sync)
+            for f, codec, sync, off, _n, _size in self.blocks
+        }
 
     def initialOffset(self) -> dict:
         return {"block": 0}
@@ -179,24 +183,26 @@ class AvroReplayStreamReader(DataSourceStreamReader):
         return {"block": self._target}
 
     def partitions(self, start: dict, end: dict):
+        # restart recovery: after a checkpoint restore the engine hands us
+        # the committed start, which a fresh _target (reset to 0 by
+        # __init__) would otherwise regress below — latestOffset must stay
+        # monotonic w.r.t. the recovered offset or already-processed
+        # blocks get re-delivered (caught by code review)
+        self._target = max(self._target, start["block"], end["block"])
         return [
             _BlockPartition(self.blocks[i][0], self.blocks[i][3])
             for i in range(start["block"], end["block"])
         ]
 
     def read(self, partition: _BlockPartition):
-        codec, sync = next(
-            (c, s)
-            for f, c, s, off, _n, _sz in self.blocks
-            if f == partition.path and off == partition.offset
-        )
+        codec, sync = self._codecs[(partition.path, partition.offset)]
         for rec in read_block(
             partition.path, self.avro_schema, codec, sync, partition.offset,
         ):
             yield _flatten(rec, self.spark_type)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._target = max(self._target, end["block"])
 
 
 def with_decoded_avro(df, payload_col: str, avro_schema: dict, out_col: str):

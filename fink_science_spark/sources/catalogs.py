@@ -68,9 +68,13 @@ class CatalogRegistry:
             from fink_science_spark.sources.fits_codec import read_bintable
 
             pdf = read_bintable(path)
-        except ValueError:
-            from astropy.table import Table  # optional fallback
-
+        except ValueError as codec_err:
+            try:
+                from astropy.table import Table  # optional fallback
+            except ImportError:
+                # no astropy: surface the codec's diagnostic, not a
+                # ModuleNotFoundError that masks it
+                raise codec_err
             pdf = Table.read(path).to_pandas()
         if select:
             pdf = pdf[select]

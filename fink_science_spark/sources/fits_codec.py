@@ -51,10 +51,26 @@ def _cards(header_bytes: bytes) -> dict:
             break
         if "=" not in card:
             continue
-        val = card[10:].split("/")[0].strip()
-        if val.startswith("'"):
-            out[key] = val.strip("'").strip()
-        elif val in ("T", "F"):
+        raw = card[10:]
+        # quoted strings first: '/' is the comment separator only AFTER
+        # the closing quote — a slash inside the quotes is part of the
+        # value (e.g. a '2026/08/14' date string); '' escapes a quote
+        if raw.lstrip().startswith("'"):
+            body = raw.lstrip()[1:]
+            end, i = [], 0
+            while i < len(body):
+                if body[i] == "'":
+                    if i + 1 < len(body) and body[i + 1] == "'":
+                        end.append("'")
+                        i += 2
+                        continue
+                    break
+                end.append(body[i])
+                i += 1
+            out[key] = "".join(end).strip()
+            continue
+        val = raw.split("/")[0].strip()
+        if val in ("T", "F"):
             out[key] = val == "T"
         else:
             try:

@@ -961,3 +961,80 @@ def test_order_stats_constant_group_null_moments(spark):
     assert out["const"]["skew"] is None and out["const"]["kurt"] is None
     assert out["const"]["std"] == 0.0
     assert out["spread"]["skew"] is not None
+
+
+def test_nearest_join_sky_polar_nan_band_regression(spark):
+    """Radius 0.65°: zone arithmetic puts a zone's worst-case dec just
+    past 90° with |cos| < sin(r/2), where an unguarded asin produced NaN
+    ring counts → NULL join keys → silently dropped near-polar matches.
+    The explicit cos ≤ 0 → one-cell branch must capture them all."""
+    import itertools
+    import math
+
+    from fink_science_spark.operators.spatial import nearest_join_sky
+
+    radius = 0.65
+    lefts = [
+        (i, (i * 37.0) % 360.0, 88.8 + 0.05 * i) for i in range(12)
+    ]  # dec 88.8 .. 89.35 — inside the formerly-NaN band
+    rights = [
+        (100 + i, (i * 37.0 + 0.01) % 360.0, 88.8 + 0.05 * i + 0.001)
+        for i in range(12)
+    ]
+    ldf = spark.createDataFrame(lefts, "lid long, ra double, dec double")
+    rdf = spark.createDataFrame(rights, "rid long, ra double, dec double")
+
+    def hav(ra1, dec1, ra2, dec2):
+        dphi = math.radians(dec2 - dec1)
+        dlam = math.radians(ra2 - ra1)
+        a = (
+            math.sin(dphi / 2) ** 2
+            + math.cos(math.radians(dec1))
+            * math.cos(math.radians(dec2))
+            * math.sin(dlam / 2) ** 2
+        )
+        return math.degrees(2 * math.asin(math.sqrt(min(1.0, a))))
+
+    expected = {}
+    for (li, lr, ld), (ri, rr, rd) in itertools.product(lefts, rights):
+        d = hav(lr, ld, rr, rd)
+        if d <= radius:
+            cur = expected.get(li)
+            if cur is None or (d, ri) < cur:
+                expected[li] = (d, ri)
+    expected = {k: v[1] for k, v in expected.items()}
+    assert len(expected) == 12  # every point has a sub-radius partner
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in nearest_join_sky(
+            ldf, rdf, "lid", "ra", "dec", "rid", "ra", "dec",
+            radius_deg=radius,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_lane_capacity_enforced(spark):
+    """A document with >= 2^16 tokens would overflow the packed vote
+    lanes and silently corrupt its signature — the kernel must fail
+    loudly instead; documents under the bound are unaffected."""
+    import pytest as _pytest
+
+    from fink_science_spark.operators.dedup import simhash_pairs
+
+    big = [(1, [f"t{i}" for i in range(1 << 16)]),
+           (2, [f"t{i}" for i in range(10)])]
+    df = spark.createDataFrame(big, "id long, toks array<string>")
+    # two loud paths guard this regime: the ANSI long-SUM overflow on the
+    # high lanes fires for typical hash mixes, and the explicit
+    # assert_true covers the adversarial low-lane-only carry where no
+    # overflow occurs — either way the job FAILS rather than corrupting
+    with _pytest.raises(Exception, match="vote-lane capacity|ARITHMETIC_OVERFLOW"):
+        simhash_pairs(df, "id", "toks").collect()
+
+    ok = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b"])], "id long, toks array<string>"
+    )
+    out = simhash_pairs(ok, "id", "toks").collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
