@@ -433,3 +433,51 @@ def test_directory_read_schema_mismatch_raises(spark, tmp_path):
     write_container(str(d / "b.avro"), other, [{"k": 1}])
     with pytest.raises(ValueError, match="schema mismatch"):
         _index_files(str(d))
+
+
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_zigzag_varint_full_int64_range(longs):
+    """Bare-datum encode/decode at the 64-bit zigzag boundaries
+    (including -2^63 and 2^63-1, where Python's arbitrary-precision ints
+    must still produce the canonical 10-byte wire form)."""
+    from fink_science_spark.sources.avro_codec import (
+        decode_datum,
+        encode_datum,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    for v in longs:
+        assert decode_datum(encode_datum({"x": v}, schema), schema) == {
+            "x": v
+        }
+
+
+def test_deeply_nested_union_array_map_roundtrip(tmp_path):
+    """Stress the recursive surface: arrays of nullable records holding
+    maps of nullable arrays."""
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "items", "type": {"type": "array", "items": [
+                "null",
+                {"type": "record", "name": "inner", "fields": [
+                    {"name": "m", "type": {"type": "map", "values": [
+                        "null",
+                        {"type": "array", "items": "long"},
+                    ]}},
+                ]},
+            ]}},
+        ],
+    }
+    records = [
+        {"items": [None, {"m": {"a": [1, -2, 3], "b": None}},
+                   {"m": {}}]},
+        {"items": []},
+    ]
+    path = str(tmp_path / "deep.avro")
+    write_container(path, schema, records, codec="deflate")
+    _s, got = read_container(path)
+    assert got == records
