@@ -481,3 +481,77 @@ def test_deeply_nested_union_array_map_roundtrip(tmp_path):
     write_container(path, schema, records, codec="deflate")
     _s, got = read_container(path)
     assert got == records
+
+
+def test_interop_with_official_java_avro(spark, tmp_path):
+    """Spec conformance against the REFERENCE IMPLEMENTATION: the Apache
+    Avro Java library that ships in Spark's jars reads our containers
+    (deflate, nested alert schema, NaN doubles, unions), and a container
+    written by the Java DataFileWriter reads back through our codec —
+    both directions bit-faithful."""
+    jvm = spark._jvm
+
+    # ours → Java
+    path1 = str(tmp_path / "ours.avro")
+    records = _alerts(23)
+    write_container(path1, ALERT_SCHEMA, records, codec="deflate",
+                    records_per_block=7)
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path1),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    import json as _json
+
+    assert _json.loads(reader.getSchema().toString()) == _json.loads(
+        _json.dumps(ALERT_SCHEMA)
+    )
+    got = []
+    while reader.hasNext():
+        rec = reader.next()
+        got.append(
+            (
+                str(rec.get("objectId")),
+                float(rec.get("candidate").get("ra")),
+                rec.get("candidate").get("magpsf"),
+                int(rec.get("prv_candidates").size()),
+                str(rec.get("cdsxmatch")) if rec.get("cdsxmatch") else None,
+            )
+        )
+    reader.close()
+    assert len(got) == 23
+    for (oid, ra, mag, nprv, xm), exp in zip(got, records):
+        assert oid == exp["objectId"]
+        assert ra == exp["candidate"]["ra"]
+        assert (mag is None) == (exp["candidate"]["magpsf"] is None)
+        assert nprv == len(exp["prv_candidates"])
+        assert xm == exp["cdsxmatch"]
+
+    # Java → ours
+    path2 = str(tmp_path / "java.avro")
+    sch_json = _json.dumps(
+        {
+            "type": "record",
+            "name": "jrec",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "x", "type": "double"},
+                {"name": "s", "type": ["null", "string"]},
+            ],
+        }
+    )
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(sch_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter()
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.create(jschema, jvm.java.io.File(path2))
+    expected = [(1, 0.5, "a"), (-7, -1.25e10, None), (2**40, 3.0, "z/у")]
+    for k, x, s in expected:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("k", k)
+        rec.put("x", float(x))
+        rec.put("s", s)
+        writer.append(rec)
+    writer.close()
+    _s, ours = read_container(path2)
+    assert ours == [{"k": k, "x": x, "s": s} for k, x, s in expected]
