@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext7 import QUERIES_EXT7
     from fink_science_spark.queries_ext8 import QUERIES_EXT8
     from fink_science_spark.queries_ext9 import QUERIES_EXT9
+    from fink_science_spark.queries_ext10 import QUERIES_EXT10
 
     return {
         **QUERIES,
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT7,
         **QUERIES_EXT8,
         **QUERIES_EXT9,
+        **QUERIES_EXT10,
     }
 
 
@@ -61,6 +63,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext7 import ORACLES_EXT7
     from fink_science_spark.queries_ext8 import ORACLES_EXT8
     from fink_science_spark.queries_ext9 import ORACLES_EXT9
+    from fink_science_spark.queries_ext10 import ORACLES_EXT10
 
     return {
         **ORACLES,
@@ -73,4 +76,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT7,
         **ORACLES_EXT8,
         **ORACLES_EXT9,
+        **ORACLES_EXT10,
     }

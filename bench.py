@@ -124,6 +124,10 @@ HEADLINE = [
     "stream_avro_counts",
     "fits_catalog_join",
     "stream_avro_alert_pipeline",
+    # round 3, sketch family
+    "bloom_prune_join",
+    "sketch_quantiles",
+    "heavy_hitters",
 ]
 
 

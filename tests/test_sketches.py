@@ -1,0 +1,204 @@
+"""Unit and plan tests for the mergeable-sketch family
+(operators/sketches.py): Bloom join pruning, histogram quantiles,
+exact heavy hitters."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.test_plans import plan_of
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+# --------------------------------------------------------------------------
+# Bloom
+# --------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key must probe positive — the exactness contract of
+    the pruned join rests on zero false negatives."""
+    from fink_science_spark.operators.sketches import (
+        bloom_bits_for,
+        bloom_might_contain,
+        build_bloom_bitset,
+    )
+
+    keys = spark.range(0, 5000, 7).withColumnRenamed("id", "k")
+    m = bloom_bits_for(keys.count())
+    bitset = build_bloom_bitset(keys, "k", m)
+    missed = keys.filter(~bloom_might_contain("k", bitset, m)).count()
+    assert missed == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Non-members should mostly be pruned: at 16 bits/key, k=4 the
+    theoretical fp rate is ~0.24%; assert an order-of-magnitude bound."""
+    from fink_science_spark.operators.sketches import (
+        bloom_bits_for,
+        bloom_might_contain,
+        build_bloom_bitset,
+    )
+
+    keys = spark.range(0, 2000).withColumnRenamed("id", "k")
+    m = bloom_bits_for(2000)
+    bitset = build_bloom_bitset(keys, "k", m)
+    probe = spark.range(1_000_000, 1_020_000).withColumnRenamed("id", "k")
+    fp = probe.filter(bloom_might_contain("k", bitset, m)).count()
+    assert fp / 20_000 < 0.02, fp
+
+
+def test_bloom_bits_for_sizing():
+    from fink_science_spark.operators.sketches import bloom_bits_for
+
+    assert bloom_bits_for(1) == 1 << 10
+    assert bloom_bits_for(1000) == 1 << 14
+    # cap respected
+    assert bloom_bits_for(10**9) == 1 << 21
+
+
+def test_bloom_prune_join_filters_fact_before_join(spark, registry):
+    """The bitset probe must sit between the fact scan and the join —
+    that is the entire point: non-matching rows die before any join
+    machinery (and before the shuffle, on a non-broadcastable dim)."""
+    plan = plan_of(registry["bloom_prune_join"](spark, SF))
+    assert "forall" in plan and "xxhash64" in plan, plan
+    # the probe is a native filter, not Python
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # filter node on the fact side references the probe before the join
+    join_pos = plan.index("BroadcastHashJoin")
+    assert "forall" in plan[join_pos:], "probe filter lost below the join"
+
+
+# --------------------------------------------------------------------------
+# Histogram quantiles
+# --------------------------------------------------------------------------
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark):
+    """The estimator's error contract: each estimate lands within one bin
+    width above the exact quantile."""
+    import pyspark.sql.functions as F
+
+    from fink_science_spark.operators.sketches import histogram_quantiles
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    bins = 256
+    est = {
+        r["l_returnflag"]: r
+        for r in histogram_quantiles(
+            li, "l_returnflag", "l_extendedprice", bins=bins
+        ).collect()
+    }
+    lo, hi = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).first()
+    width = (hi - lo) / bins
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for flag, row in est.items():
+        for q in ("p50", "p90", "p99"):
+            assert exact[flag][q] - 1e-6 <= row[q] <= exact[flag][q] + 2 * width, (
+                flag,
+                q,
+                row[q],
+                exact[flag][q],
+            )
+
+
+def test_histogram_quantile_constant_column(spark):
+    """hi == lo degenerate domain: everything lands in bucket 0 and the
+    estimate equals the (single) value, not NaN/div-zero."""
+    import pandas as pd
+
+    from fink_science_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 5 + ["b"] * 3, "v": [7.0] * 8})
+    )
+    rows = histogram_quantiles(df, "g", "v").collect()
+    assert {r["g"]: r["p99"] for r in rows} == {"a": 7.0, "b": 7.0}
+
+
+def test_sketch_quantiles_shuffle_carries_bins_not_rows(spark, registry):
+    """The first aggregation must be partial (map-side combine) so the
+    exchange moves at most groups × bins count rows."""
+    plan = plan_of(registry["sketch_quantiles"](spark, SF))
+    assert "partial_count" in plan or "partial" in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters
+# --------------------------------------------------------------------------
+
+
+def test_heavy_hitter_candidates_superset_any_partitioning(spark):
+    """Pigeonhole guarantee: under several adversarial repartitionings,
+    the candidate set always contains every true global heavy hitter."""
+    import pyspark.sql.functions as F
+
+    from fink_science_spark.operators.sketches import heavy_hitter_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    m = 35
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    n = toks.count()
+    true_heavy = {
+        r["t"]
+        for r in toks.groupBy("t")
+        .count()
+        .filter(F.col("count") * m > n)
+        .collect()
+    }
+    assert true_heavy, "fixture should produce at least one heavy hitter"
+    for parts in (1, 3, 17):
+        cands = set(
+            heavy_hitter_candidates(docs.repartition(parts), "text", m)
+        )
+        assert true_heavy <= cands, (parts, true_heavy - cands)
+
+
+def test_heavy_hitters_result_partitioning_independent(spark):
+    from fink_science_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = sorted(
+        (r["token"], r["cnt"]) for r in heavy_hitters(docs, "text").collect()
+    )
+    skewed = sorted(
+        (r["token"], r["cnt"])
+        for r in heavy_hitters(docs.repartition(13), "text").collect()
+    )
+    assert base == skewed and base
+
+
+def test_heavy_hitters_counting_pass_filters_before_exchange(spark, registry):
+    """The exact count must only shuffle candidate tokens: the isin
+    filter sits below the aggregation exchange."""
+    plan = plan_of(registry["heavy_hitters"](spark, SF))
+    first_exchange = plan.index("Exchange")
+    assert "token" in plan, plan
+    # candidate membership filter present and native
+    assert re.search(r"Condition.*token.*IN|token#\d+ IN", plan), plan
+    assert "BatchEvalPython" not in plan
