@@ -128,6 +128,7 @@ HEADLINE = [
     "bloom_prune_join",
     "sketch_quantiles",
     "heavy_hitters",
+    "lm_quality_buckets",
 ]
 
 

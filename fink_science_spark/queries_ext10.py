@@ -136,15 +136,182 @@ ORDER BY token
 """
 
 # --------------------------------------------------------------------------
+# lm_quality_buckets: CCNet-style language-model quality scoring — train
+# a bigram LM with stupid backoff on half the corpus (even doc ids),
+# score EVERY document by average negative log2-likelihood, and bucket
+# into head/middle/tail by score terciles.
+#
+# This is the classic perplexity-filter move of web-corpus curation
+# (CCNet buckets CommonCrawl by KenLM perplexity terciles). Scale shape:
+# the LM tables are corpus aggregates (vocab-sized — broadcast back);
+# the scoring pass is tokenize → explode → two broadcast joins → one
+# per-doc hash aggregation, so the 100 TB document side shuffles only
+# (doc_id, partial sums). Tercile cutpoints come from the histogram
+# quantile sketch (no global sort — the naive ntile(3) over all docs
+# would be a single-partition window).
+#
+# Cross-engine determinism: every per-bigram log-likelihood is dyadically
+# quantized (floor(x·2¹²+0.5)/2¹²) before summation — each term then
+# carries ≤17 significant bits and a ≤64-term doc sum stays exact in a
+# double, so hash-aggregate summation order cannot move the score (the
+# host_pagerank / trailing_mean lesson, queries_ext9.py).
+# --------------------------------------------------------------------------
+
+_LM_BACKOFF = 0.4          # stupid-backoff discount
+_LM_Q = float(1 << 12)     # dyadic log-likelihood quantum
+_LM_T1, _LM_T2 = 1.0 / 3.0, 2.0 / 3.0
+_LM_CUT_BINS = 64
+
+
+def _lm_quant(col):
+    return F.floor(col * F.lit(_LM_Q) + F.lit(0.5)) / F.lit(_LM_Q)
+
+
+def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    pairs = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(toks)), j -> "
+                    "struct(element_at(toks, j - 1) AS prev, "
+                    "element_at(toks, j) AS w))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.prev", "p.w")
+    )
+    train = pairs.filter(F.col("doc_id") % 2 == 0)
+
+    c2 = train.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    bigram_model = c2.join(c1, "prev")
+
+    train_toks = (
+        base.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("toks").alias("w"))
+    )
+    uni = train_toks.groupBy("w").agg(F.count("*").alias("cu"))
+    n_train = train_toks.agg(F.count("*").alias("n_train"))
+
+    p = F.coalesce(
+        F.col("c2").cast("double") / F.col("c1"),
+        F.lit(_LM_BACKOFF) * (F.col("cu").cast("double") / F.col("n_train")),
+        F.lit(_LM_BACKOFF) / F.col("n_train"),
+    )
+    per_doc = (
+        pairs.join(F.broadcast(bigram_model), ["prev", "w"], "left")
+        .join(F.broadcast(uni), ["w"], "left")
+        .join(F.broadcast(n_train))
+        .select("doc_id", _lm_quant(F.log2(p)).alias("ll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.sum("ll") / F.count("*"), 6).alias("nll"),
+        )
+    )
+    cuts = histogram_quantiles(
+        per_doc.withColumn("grp", F.lit(1)),
+        "grp",
+        "nll",
+        bins=_LM_CUT_BINS,
+        qs=(_LM_T1, _LM_T2),
+        q_names=("t1", "t2"),
+    ).select("t1", "t2")
+    return (
+        per_doc.join(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll",
+            F.when(F.col("nll") <= F.col("t1"), F.lit("head"))
+            .when(F.col("nll") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_lm_quality_buckets() -> str:
+    quant = f"floor(log2(p) * {_LM_Q!r} + 0.5) / {_LM_Q!r}"
+    cuts_sql = histogram_quantiles_oracle_sql(
+        "per_doc_g",
+        "grp",
+        "nll",
+        bins=_LM_CUT_BINS,
+        qs=(_LM_T1, _LM_T2),
+        q_names=("t1", "t2"),
+    )
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, u['prev'] AS prev, u['w'] AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(2, len(toks)),
+                                 j -> {{'prev': toks[j - 1], 'w': toks[j]}})) AS u
+    FROM toksrc WHERE len(toks) >= 2
+  )
+),
+c2 AS (
+  SELECT prev, w, count(*)::BIGINT AS c2 FROM pairs
+  WHERE doc_id % 2 = 0 GROUP BY prev, w
+),
+c1 AS (SELECT prev, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY prev),
+bigram_model AS (SELECT c2.prev, c2.w, c2.c2, c1.c1 FROM c2 JOIN c1 USING (prev)),
+train_toks AS (
+  SELECT unnest(toks) AS w FROM toksrc WHERE doc_id % 2 = 0
+),
+uni AS (SELECT w, count(*)::BIGINT AS cu FROM train_toks GROUP BY w),
+n_train AS (SELECT count(*)::BIGINT AS n_train FROM train_toks),
+scored AS (
+  SELECT doc_id,
+         coalesce(CAST(m.c2 AS DOUBLE) / m.c1,
+                  {_LM_BACKOFF!r} * (CAST(u.cu AS DOUBLE) / t.n_train),
+                  {_LM_BACKOFF!r} / t.n_train) AS p
+  FROM pairs
+  LEFT JOIN bigram_model m ON pairs.prev = m.prev AND pairs.w = m.w
+  LEFT JOIN uni u ON pairs.w = u.w
+  CROSS JOIN n_train t
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(-sum({quant}) / count(*), 6) AS nll
+  FROM scored GROUP BY doc_id
+),
+per_doc_g AS (SELECT *, 1 AS grp FROM per_doc),
+cuts AS ({cuts_sql})
+SELECT doc_id, n_bigrams, nll,
+       CASE WHEN nll <= t1 THEN 'head'
+            WHEN nll <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM per_doc, cuts
+ORDER BY doc_id
+"""
+
+
+ORACLE_LM_QUALITY_BUCKETS = _oracle_lm_quality_buckets()
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
     "heavy_hitters": q_heavy_hitters,
+    "lm_quality_buckets": q_lm_quality_buckets,
 }
 
 ORACLES_EXT10: dict[str, str] = {
     "bloom_prune_join": ORACLE_BLOOM_PRUNE_JOIN,
     "sketch_quantiles": ORACLE_SKETCH_QUANTILES,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "lm_quality_buckets": ORACLE_LM_QUALITY_BUCKETS,
 }

@@ -202,3 +202,57 @@ def test_heavy_hitters_counting_pass_filters_before_exchange(spark, registry):
     # candidate membership filter present and native
     assert re.search(r"Condition.*token.*IN|token#\d+ IN", plan), plan
     assert "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# LM quality buckets
+# --------------------------------------------------------------------------
+
+
+def test_lm_quality_backoff_path_fires(spark):
+    """The held-out half must contain bigrams unseen in training so the
+    stupid-backoff branch is actually exercised by the parity gate (7
+    unseen occurrences at sf0.001 as of the fixture generation)."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    pairs = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(toks)), j -> "
+                    "struct(element_at(toks, j - 1) AS prev, "
+                    "element_at(toks, j) AS w))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.prev", "p.w")
+    )
+    train = pairs.filter(F.col("doc_id") % 2 == 0).select("prev", "w").distinct()
+    assert pairs.join(train, ["prev", "w"], "left_anti").count() > 0
+
+
+def test_lm_quality_buckets_are_roughly_terciles(spark, registry):
+    rows = registry["lm_quality_buckets"](spark, SF).collect()
+    from collections import Counter
+
+    shares = Counter(r["bucket"] for r in rows)
+    n = len(rows)
+    assert set(shares) == {"head", "middle", "tail"}, shares
+    # histogram-edge cutpoints are coarse (64 bins) — allow wide slack
+    for b, c in shares.items():
+        assert 0.12 * n <= c <= 0.6 * n, (b, shares)
+
+
+def test_lm_quality_scoring_pass_broadcasts_model(spark, registry):
+    """The LM tables join back by broadcast — the document side must
+    never shuffle for the join — and no single-partition global window
+    (the reason cutpoints come from the sketch, not ntile)."""
+    plan = plan_of(registry["lm_quality_buckets"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan or "partitionBy" not in plan.lower(), plan
