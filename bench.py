@@ -129,6 +129,7 @@ HEADLINE = [
     "sketch_quantiles",
     "heavy_hitters",
     "lm_quality_buckets",
+    "pq_compression",
 ]
 
 

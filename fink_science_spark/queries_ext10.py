@@ -301,12 +301,200 @@ ORDER BY doc_id
 ORACLE_LM_QUALITY_BUCKETS = _oracle_lm_quality_buckets()
 
 # --------------------------------------------------------------------------
+# pq_compression: product-quantization codes for the embedding store —
+# split each 64-dim vector into 4 subspaces of 16 dims, train a
+# 4-centroid codebook per subspace (deterministic hash-ranked seeds + one
+# distributed Lloyd round), and emit each vector's 4 codes plus its
+# reconstruction error. 4 codes × 2 bits ≈ 1 byte vs 256 bytes of
+# float32 — the 100 TB embedding-store compression move (PQ/ADC, the
+# standard IVF-PQ layout; codes join the IVF cells from ann_ivf_topk).
+#
+# Scale shape: codebooks are (S × K) rows — broadcast back for
+# assignment; training is one hash aggregation per Lloyd round over
+# (s, cell, dim) partial sums; the embedding table never shuffles except
+# its per-(vec, s) argmin window, keyed by vec_id (uniform). Seeds are
+# the K hash-smallest vectors (driver-bounded collect, K rows).
+#
+# Cross-engine determinism (the ann_ivf_topk contract): every distance
+# is rounded to 9 decimals before an argmin (ties → smaller cell);
+# Lloyd means are rounded to 6 decimals per dimension.
+# --------------------------------------------------------------------------
+
+_PQ_S = 4        # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (total 64)
+_PQ_K = 4        # centroids per subspace
+
+
+def _pq_ip(a, b):
+    """Sequential left-fold inner product — fixed summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.queries import _t
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("s"),
+                        F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+                    )
+                    for s in range(_PQ_S)
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.s", "p.sv")
+
+    seed_rows = (
+        e.orderBy(hash64(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    cb0 = spark.createDataFrame(
+        [
+            (s, cell, list(r["v"][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]))
+            for s in range(_PQ_S)
+            for cell, r in enumerate(seed_rows)
+        ],
+        "s long, cell long, cv array<double>",
+    )
+
+    def assign(cb: DataFrame) -> DataFrame:
+        score = F.round(
+            _pq_ip(F.col("cv"), F.col("cv"))
+            - F.lit(2.0) * _pq_ip(F.col("sv"), F.col("cv")),
+            9,
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy(
+            score.asc(), F.col("cell").asc()
+        )
+        return (
+            subs.join(F.broadcast(cb), "s")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    m1 = assign(cb0)
+    cb1 = (
+        m1.select("s", "cell", F.posexplode("sv").alias("i", "x"))
+        .groupBy("s", "cell", "i")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("s", "cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "m"))),
+                lambda t: t["m"],
+            ).alias("cv")
+        )
+    )
+    m2 = assign(cb1)
+    d2r = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    code_cols = [
+        F.max(F.when(F.col("s") == s, F.col("cell"))).alias(f"c{s}")
+        for s in range(_PQ_S)
+    ]
+    return (
+        m2.select("vec_id", "s", "cell", d2r.alias("d2"))
+        .groupBy("vec_id")
+        .agg(*code_cols, F.round(F.sum("d2"), 6).alias("recon_err"))
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_pq_compression() -> str:
+    from fink_science_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("vec_id::VARCHAR")
+    sd, s_, k = _PQ_SUBDIM, _PQ_S, _PQ_K
+
+    def score(sv: str, cv: str) -> str:
+        return (
+            f"round(list_inner_product({cv}, {cv}) - "
+            f"2.0 * list_inner_product({sv}, {cv}), 9)"
+        )
+
+    code_cols = ",\n       ".join(
+        f"max(CASE WHEN s = {s} THEN cell END)::BIGINT AS c{s}" for s in range(s_)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, g.s::BIGINT AS s,
+         v[g.s * {sd} + 1 : g.s * {sd} + {sd}] AS sv
+  FROM e, generate_series(0, {s_ - 1}) g(s)
+),
+rk AS (
+  SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) AS rk FROM e
+),
+cb0 AS (
+  SELECT subs.s, (rk.rk - 1)::BIGINT AS cell, subs.sv AS cv
+  FROM subs JOIN rk ON subs.vec_id = rk.vec_id
+  WHERE rk.rk <= {k}
+),
+a1 AS (
+  SELECT subs.vec_id, subs.s, subs.sv, cb0.cell,
+         row_number() OVER (PARTITION BY subs.vec_id, subs.s
+             ORDER BY {score('subs.sv', 'cb0.cv')} ASC, cb0.cell ASC) AS rn
+  FROM subs JOIN cb0 ON subs.s = cb0.s
+),
+m1 AS (SELECT vec_id, s, sv, cell FROM a1 WHERE rn = 1),
+upd AS (
+  SELECT s, cell, g.i AS i, round(avg(sv[g.i]), 6) AS m
+  FROM m1, generate_series(1, {sd}) g(i)
+  GROUP BY s, cell, g.i
+),
+cb1 AS (SELECT s, cell, list(m ORDER BY i) AS cv FROM upd GROUP BY s, cell),
+a2 AS (
+  SELECT subs.vec_id, subs.s, subs.sv, cb1.cell, cb1.cv,
+         row_number() OVER (PARTITION BY subs.vec_id, subs.s
+             ORDER BY {score('subs.sv', 'cb1.cv')} ASC, cb1.cell ASC) AS rn
+  FROM subs JOIN cb1 ON subs.s = cb1.s
+),
+m2 AS (
+  SELECT vec_id, s, cell,
+         round(list_sum(list_transform(generate_series(1, {sd}),
+               i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), 9) AS d2
+  FROM a2 WHERE rn = 1
+)
+SELECT vec_id,
+       {code_cols},
+       round(sum(d2), 6) AS recon_err
+FROM m2 GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+ORACLE_PQ_COMPRESSION = _oracle_pq_compression()
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
     "heavy_hitters": q_heavy_hitters,
     "lm_quality_buckets": q_lm_quality_buckets,
+    "pq_compression": q_pq_compression,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -314,4 +502,5 @@ ORACLES_EXT10: dict[str, str] = {
     "sketch_quantiles": ORACLE_SKETCH_QUANTILES,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "lm_quality_buckets": ORACLE_LM_QUALITY_BUCKETS,
+    "pq_compression": ORACLE_PQ_COMPRESSION,
 }

@@ -256,3 +256,92 @@ def test_lm_quality_scoring_pass_broadcasts_model(spark, registry):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan or "partitionBy" not in plan.lower(), plan
+
+
+# --------------------------------------------------------------------------
+# Product quantization
+# --------------------------------------------------------------------------
+
+
+def test_pq_lloyd_round_reduces_reconstruction_error(spark):
+    """One Lloyd round must not worsen total reconstruction error vs the
+    seed codebook (k-means monotonicity, modulo the 6-dec mean rounding)."""
+    import pyspark.sql.functions as F
+
+    from fink_science_spark.queries_ext10 import (
+        _PQ_K,
+        _PQ_S,
+        _PQ_SUBDIM,
+        q_pq_compression,
+    )
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.queries import _t
+
+    # trained error from the registered query
+    trained = (
+        q_pq_compression(spark, SF)
+        .agg(F.sum("recon_err").alias("e"))
+        .first()["e"]
+    )
+    # seed-codebook error: assign to the K hash-smallest vectors' subvecs
+    e = _t(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = (
+        e.orderBy(hash64(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("s"),
+                        F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+                    )
+                    for s in range(_PQ_S)
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.s", "p.sv")
+    cb0 = spark.createDataFrame(
+        [
+            (s, c, list(r["v"][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]))
+            for s in range(_PQ_S)
+            for c, r in enumerate(seeds)
+        ],
+        "s long, cell long, cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    seed_err = (
+        subs.join(F.broadcast(cb0), "s")
+        .groupBy("vec_id", "s")
+        .agg(F.min(d2).alias("d"))
+        .agg(F.sum("d").alias("e"))
+        .first()["e"]
+    )
+    assert trained <= seed_err + 1e-3, (trained, seed_err)
+
+
+def test_pq_codes_cover_multiple_cells(spark, registry):
+    """Degenerate training (all vectors in one cell) would compress
+    nothing; assert the codebook is actually used across cells."""
+    rows = registry["pq_compression"](spark, SF).collect()
+    from fink_science_spark.queries_ext10 import _PQ_K
+
+    for c in ("c0", "c1", "c2", "c3"):
+        used = {r[c] for r in rows}
+        assert len(used) >= 2, (c, used)
+        assert used <= set(range(_PQ_K))
+
+
+def test_pq_assignment_broadcasts_codebook(spark, registry):
+    plan = plan_of(registry["pq_compression"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
