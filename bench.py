@@ -130,6 +130,7 @@ HEADLINE = [
     "heavy_hitters",
     "lm_quality_buckets",
     "pq_compression",
+    "stream_heavy_hitters",
 ]
 
 

@@ -488,6 +488,90 @@ ORDER BY vec_id
 ORACLE_PQ_COMPRESSION = _oracle_pq_compression()
 
 # --------------------------------------------------------------------------
+# stream_heavy_hitters: the sketch family on the streaming surface —
+# per-token frequency state maintained across micro-batches with
+# applyInPandasWithState (update mode: each batch re-emits the tokens it
+# touched), heavy threshold applied to the materialized final state.
+#
+# Scale shape: the state store is keyed by token (vocabulary-sized, not
+# corpus-sized); each micro-batch shuffles only its own token partial
+# counts. At web scale the stateless tokenize stage would pre-filter
+# through a per-batch candidate pass exactly like the batch operator —
+# the state layout is unchanged. The final emission of an availableNow
+# run equals the batch aggregate, so the batch heavy-hitters SQL is the
+# exact oracle.
+# --------------------------------------------------------------------------
+
+
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from fink_science_spark.streaming.shell import scoped_shuffle_partitions
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+
+    def update(key, pdfs, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"token": [key[0]], "cnt": [n]})
+
+    with scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "documents.parquet")
+            .load(sf_dir)
+        )
+        toks = stream.select(
+            F.explode(F.split("text", " ")).alias("token")
+        ).filter(F.col("token") != "")
+        out = toks.groupBy("token").applyInPandasWithState(
+            update,
+            outputStructType="token string, cnt long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"hh_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("token").orderBy(F.col("cnt").desc())
+    final = (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("token", "cnt")
+    )
+    totals = final.agg(F.sum("cnt").alias("__nt"))
+    return (
+        final.join(F.broadcast(totals))
+        .filter(F.col("cnt") * F.lit(_HH_M) > F.col("__nt"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__nt"), 6).alias("share"),
+        )
+        .orderBy("token")
+    )
+
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
@@ -495,6 +579,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "lm_quality_buckets": q_lm_quality_buckets,
     "pq_compression": q_pq_compression,
+    "stream_heavy_hitters": q_stream_heavy_hitters,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -503,4 +588,7 @@ ORACLES_EXT10: dict[str, str] = {
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "lm_quality_buckets": ORACLE_LM_QUALITY_BUCKETS,
     "pq_compression": ORACLE_PQ_COMPRESSION,
+    # stream_heavy_hitters: the final stateful emission equals the batch
+    # aggregate, so it shares the batch heavy-hitters oracle.
+    "stream_heavy_hitters": ORACLE_HEAVY_HITTERS,
 }
