@@ -131,6 +131,7 @@ HEADLINE = [
     "lm_quality_buckets",
     "pq_compression",
     "stream_heavy_hitters",
+    "pq_adc_topk",
 ]
 
 

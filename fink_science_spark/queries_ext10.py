@@ -334,7 +334,10 @@ def _pq_ip(a, b):
     )
 
 
-def q_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_trained(spark: SparkSession, sf_dir: str):
+    """Shared PQ pieces: (subs, assign, cb1) — the subspace explode, the
+    argmin assigner, and the one-Lloyd-round codebook. Used by both
+    pq_compression (codes + error) and pq_adc_topk (ADC search)."""
     from pyspark.sql.window import Window
 
     from fink_science_spark.functions.hashing import hash64
@@ -401,15 +404,28 @@ def q_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
-    m2 = assign(cb1)
-    d2r = F.round(
-        F.aggregate(
-            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        9,
+    return subs, assign, cb1
+
+
+_PQ_Q = float(1 << 20)  # dyadic quantum for per-subspace distances:
+# d² < 8 → 3 integer + 20 fraction bits per term, a 4-term sum stays
+# exact in a double, so hash-aggregate summation order cannot flip the
+# round(,6) output (the host_pagerank / trailing_mean lesson).
+
+
+def _pq_d2_quant(sv, cv):
+    d2 = F.aggregate(
+        F.zip_with(sv, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    return F.floor(d2 * F.lit(_PQ_Q) + F.lit(0.5)) / F.lit(_PQ_Q)
+
+
+def q_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    subs, assign, cb1 = _pq_trained(spark, sf_dir)
+    m2 = assign(cb1)
+    d2r = _pq_d2_quant(F.col("sv"), F.col("cv"))
     code_cols = [
         F.max(F.when(F.col("s") == s, F.col("cell"))).alias(f"c{s}")
         for s in range(_PQ_S)
@@ -422,21 +438,22 @@ def q_pq_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_pq_compression() -> str:
+def _pq_score_sql(sv: str, cv: str) -> str:
+    return (
+        f"round(list_inner_product({cv}, {cv}) - "
+        f"2.0 * list_inner_product({sv}, {cv}), 9)"
+    )
+
+
+def _pq_cte_prefix() -> str:
+    """Shared oracle CTE chain through the trained-codebook assignment
+    ``a2`` (columns: vec_id, s, sv, cell, cv, rn) — the SQL replay of
+    :func:`_pq_trained` + ``assign(cb1)``."""
     from fink_science_spark.functions.hashing import hash64_sql
 
     h = hash64_sql("vec_id::VARCHAR")
     sd, s_, k = _PQ_SUBDIM, _PQ_S, _PQ_K
-
-    def score(sv: str, cv: str) -> str:
-        return (
-            f"round(list_inner_product({cv}, {cv}) - "
-            f"2.0 * list_inner_product({sv}, {cv}), 9)"
-        )
-
-    code_cols = ",\n       ".join(
-        f"max(CASE WHEN s = {s} THEN cell END)::BIGINT AS c{s}" for s in range(s_)
-    )
+    score = _pq_score_sql
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 subs AS (
@@ -470,11 +487,22 @@ a2 AS (
          row_number() OVER (PARTITION BY subs.vec_id, subs.s
              ORDER BY {score('subs.sv', 'cb1.cv')} ASC, cb1.cell ASC) AS rn
   FROM subs JOIN cb1 ON subs.s = cb1.s
-),
+)"""
+
+
+def _oracle_pq_compression() -> str:
+    sd, s_ = _PQ_SUBDIM, _PQ_S
+    code_cols = ",\n       ".join(
+        f"max(CASE WHEN s = {s} THEN cell END)::BIGINT AS c{s}" for s in range(s_)
+    )
+    return (
+        _pq_cte_prefix()
+        + f""",
 m2 AS (
   SELECT vec_id, s, cell,
-         round(list_sum(list_transform(generate_series(1, {sd}),
-               i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), 9) AS d2
+         floor(list_sum(list_transform(generate_series(1, {sd}),
+               i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) * {_PQ_Q!r} + 0.5)
+           / {_PQ_Q!r} AS d2
   FROM a2 WHERE rn = 1
 )
 SELECT vec_id,
@@ -483,9 +511,101 @@ SELECT vec_id,
 FROM m2 GROUP BY vec_id
 ORDER BY vec_id
 """
+    )
 
 
 ORACLE_PQ_COMPRESSION = _oracle_pq_compression()
+
+# --------------------------------------------------------------------------
+# pq_adc_topk: asymmetric-distance ANN over the PQ codes — the search
+# path that makes PQ useful. Each query precomputes a (subspace, cell)
+# lookup table of quantized subspace distances to the trained codebook;
+# corpus vectors are then ranked by the SUM OF 4 TABLE LOOKUPS on their
+# codes — the full vectors never participate in scoring.
+#
+# Scale shape: the LUT is (queries × S × K) rows — broadcast; the corpus
+# side contributes only its code rows (1 byte of payload per vector at
+# production widths vs 256 bytes of float32 — the reason ADC scans
+# 100 TB stores that raw vectors cannot). The relational join-aggregate
+# form here is the oracle-checkable twin; the production kernel is the
+# blocked mapInPandas scan of operators/similarity with the LUT as a
+# numpy matrix (same plan family as ann_cosine_topk).
+#
+# Determinism: LUT entries are dyadically quantized (_pq_d2_quant), so
+# the 4-term score sum is exact and order-independent; ranking ties
+# break by ascending corpus id in both engines.
+# --------------------------------------------------------------------------
+
+_ADC_K = 3  # results per query
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    subs, assign, cb1 = _pq_trained(spark, sf_dir)
+    codes = assign(cb1).select("vec_id", "s", "cell")
+    qsubs = subs.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qsv")
+    )
+    lut = qsubs.join(F.broadcast(cb1), "s").select(
+        "qid", "s", "cell", _pq_d2_quant(F.col("qsv"), F.col("cv")).alias("qd2")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "cell"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ADC_K)
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            "rank",
+            F.round("approx_d2", 6).alias("approx_d2"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def _oracle_pq_adc_topk() -> str:
+    sd = _PQ_SUBDIM
+    return (
+        _pq_cte_prefix()
+        + f""",
+codes AS (SELECT vec_id, s, cell FROM a2 WHERE rn = 1),
+qsubs AS (SELECT vec_id AS qid, s, sv AS qsv FROM subs WHERE vec_id % 20 = 0),
+lut AS (
+  SELECT q.qid, q.s, c.cell,
+         floor(list_sum(list_transform(generate_series(1, {sd}),
+               i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i])))
+               * {_PQ_Q!r} + 0.5) / {_PQ_Q!r} AS qd2
+  FROM qsubs q JOIN cb1 c ON q.s = c.s
+),
+scored AS (
+  SELECT l.qid, codes.vec_id, sum(l.qd2) AS approx_d2
+  FROM codes JOIN lut l ON codes.s = l.s AND codes.cell = l.cell
+  WHERE codes.vec_id != l.qid
+  GROUP BY l.qid, codes.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, approx_d2,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY approx_d2 ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id AS cid, rank, round(approx_d2, 6) AS approx_d2
+FROM ranked WHERE rank <= {_ADC_K}
+ORDER BY qid, rank
+"""
+    )
+
+
+ORACLE_PQ_ADC_TOPK = _oracle_pq_adc_topk()
 
 # --------------------------------------------------------------------------
 # stream_heavy_hitters: the sketch family on the streaming surface —
@@ -580,6 +700,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_quality_buckets": q_lm_quality_buckets,
     "pq_compression": q_pq_compression,
     "stream_heavy_hitters": q_stream_heavy_hitters,
+    "pq_adc_topk": q_pq_adc_topk,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -591,4 +712,5 @@ ORACLES_EXT10: dict[str, str] = {
     # stream_heavy_hitters: the final stateful emission equals the batch
     # aggregate, so it shares the batch heavy-hitters oracle.
     "stream_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
 }

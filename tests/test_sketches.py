@@ -345,3 +345,67 @@ def test_pq_assignment_broadcasts_codebook(spark, registry):
     plan = plan_of(registry["pq_compression"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_pq_adc_distances_track_exact_distances(spark, registry):
+    """ADC is approximate, and the fixture embeddings are spatially
+    UNstructured (top-3 exact neighbors share a label only ~10% of the
+    time — random baseline), so a recall floor would test the data, not
+    the code. What a broken lut/codes join WOULD destroy: (a) the
+    positive correlation between approx and exact distances, and (b) the
+    fact that ADC-selected top-3 are genuinely closer than random pairs.
+    (Mean approx < mean exact is expected: ADC drops the query-residual
+    term — the textbook underestimate.)"""
+    import pyspark.sql.functions as F
+
+    from fink_science_spark.queries import _t
+
+    adc = registry["pq_adc_topk"](spark, SF).collect()
+    got = {(r["qid"], r["cid"]) for r in adc}
+
+    e = _t(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", d2.alias("t"))
+        .toPandas()
+    )
+    # (b) selected pairs are closer than the population mean
+    sel = exact[
+        exact.apply(lambda r: (r["qid"], r["vec_id"]) in got, axis=1)
+    ]
+    assert len(sel) == len(got)
+    assert sel["t"].mean() < 0.92 * exact["t"].mean(), (
+        sel["t"].mean(),
+        exact["t"].mean(),
+    )
+    # (a) approx distances positively correlate with exact distances
+    from fink_science_spark.queries_ext10 import _pq_d2_quant, _pq_trained
+
+    subs, assign, cb1 = _pq_trained(spark, SF)
+    codes = assign(cb1).select("vec_id", "s", "cell")
+    qsubs = subs.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qsv")
+    )
+    lut = qsubs.join(F.broadcast(cb1), "s").select(
+        "qid", "s", "cell", _pq_d2_quant(F.col("qsv"), F.col("cv")).alias("qd2")
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["s", "cell"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("a"))
+        .toPandas()
+    )
+    j = approx.merge(exact, on=["qid", "vec_id"])
+    assert j["a"].corr(j["t"]) > 0.15, j["a"].corr(j["t"])
