@@ -105,30 +105,33 @@ def bloom_might_contain(
 ) -> Column:
     """Native (codegen) membership test: AND over the k probe bits.
 
-    The bitset travels as ONE array<long> literal inside the plan — it is
-    serialized once per task with the closure, not per row, and the probe
-    is pure JVM arithmetic (no Python, no join, no shuffle). The k checks
-    are folded into a single ``forall`` over a positions array so the
-    bitset literal appears exactly once in the expression tree (k inlined
-    copies of a 256 KB literal would bloat codegen at the size cap).
+    The bitset travels as an array<long> literal inside the plan — it is
+    serialized per task with the expression tree, not per row, and the
+    probe is pure JVM arithmetic (no Python, no join, no shuffle).
+
+    Deliberately a FLAT conjunction of k element_at checks, NOT a
+    ``forall`` over a positions array: higher-order-function lambdas are
+    interpreted expressions outside whole-stage codegen, and the
+    interpreted probe measured 5× slower on the sf0.1 fact scan (4.6 s
+    vs 0.9 s) — the codegen-hostile-HOF lesson of operators/dedup. The
+    k literal copies cost plan bytes (≤ k × 256 KB at the size cap),
+    which execution never feels.
     """
+    import numpy as np
+
     key = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("long")
-    arr = F.lit(bitset)
-    positions = F.array(
-        *[F.pmod(F.xxhash64(F.lit(j), key), F.lit(m_bits)) for j in range(k)]
-    )
-    return F.forall(
-        positions,
-        lambda pos: F.element_at(arr, (F.shiftright(pos, 6) + F.lit(1)).cast("int"))
-        .bitwiseAND(
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                pos.bitwiseAND(F.lit(63)).cast("int"),
-            )
-        )
-        != F.lit(0),
-    )
+    # np.int64 array → ONE ArrayType Literal node. A plain Python list
+    # would become CreateArray with m/64 child Literals — a 5× slower
+    # plan-processing + codegen tree (measured on the sf0.1 fact scan).
+    arr = F.lit(np.asarray(bitset, dtype=np.int64))
+    pred = None
+    for j in range(k):
+        slot, mask = _bloom_probe(key, m_bits, j)
+        hit = (
+            F.element_at(arr, (slot + F.lit(1)).cast("int")).bitwiseAND(mask)
+        ) != F.lit(0)
+        pred = hit if pred is None else (pred & hit)
+    return pred
 
 
 # --------------------------------------------------------------------------

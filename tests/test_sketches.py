@@ -72,12 +72,14 @@ def test_bloom_prune_join_filters_fact_before_join(spark, registry):
     that is the entire point: non-matching rows die before any join
     machinery (and before the shuffle, on a non-broadcastable dim)."""
     plan = plan_of(registry["bloom_prune_join"](spark, SF))
-    assert "forall" in plan and "xxhash64" in plan, plan
-    # the probe is a native filter, not Python
+    assert "element_at" in plan and "xxhash64" in plan, plan
+    # the probe is a native filter, not Python, and not an interpreted
+    # HOF lambda (forall measured 5x slower than the flat conjunction)
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "forall" not in plan, "probe regressed to interpreted HOF"
     # filter node on the fact side references the probe before the join
     join_pos = plan.index("BroadcastHashJoin")
-    assert "forall" in plan[join_pos:], "probe filter lost below the join"
+    assert "element_at" in plan[join_pos:], "probe filter lost below the join"
 
 
 # --------------------------------------------------------------------------

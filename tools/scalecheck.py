@@ -50,6 +50,13 @@ QUERIES = [
     "crossmatch_sky",
     "doc_chunks",
     "group_features",
+    # round-3 sixth wave: sketch / LM / PQ families
+    "bloom_prune_join",
+    "sketch_quantiles",
+    "heavy_hitters",
+    "lm_quality_buckets",
+    "pq_compression",
+    "pq_adc_topk",
 ]
 
 OFFSET = 1 << 40
