@@ -214,6 +214,9 @@ def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum("ll") / F.count("*"), 6).alias("nll"),
         )
     )
+    # per_doc feeds both the cutpoint sketch and the final projection —
+    # cache it so the scoring pipeline runs once, not per consumer.
+    per_doc = per_doc.persist()
     cuts = histogram_quantiles(
         per_doc.withColumn("grp", F.lit(1)),
         "grp",
@@ -392,7 +395,7 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
         )
 
     m1 = assign(cb0)
-    cb1 = (
+    cb1_rows = (
         m1.select("s", "cell", F.posexplode("sv").alias("i", "x"))
         .groupBy("s", "cell", "i")
         .agg(F.round(F.avg("x"), 6).alias("m"))
@@ -403,6 +406,14 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
                 lambda t: t["m"],
             ).alias("cv")
         )
+        .collect()
+    )
+    # Materialize the trained codebook (S × K rows — driver-bounded like
+    # the IVF codebook) so downstream consumers reference a literal table
+    # instead of re-running the training subtree per consumer.
+    cb1 = spark.createDataFrame(
+        [(r["s"], r["cell"], list(r["cv"])) for r in cb1_rows],
+        "s long, cell long, cv array<double>",
     )
     return subs, assign, cb1
 
