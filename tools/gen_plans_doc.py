@@ -96,6 +96,32 @@ COMMENTARY = {
         "block (planner walks the block index seek+skip); decode is "
         "embarrassingly parallel below the single aggregation exchange."
     ),
+    "bloom_prune_join": (
+        "The Bloom bitset probe is a flat codegen conjunction of "
+        "element_at checks sitting directly on the fact scan — "
+        "non-matching rows die before any join machinery. The bitset is "
+        "ONE ArrayType Literal (np.int64 path), not a CreateArray tree."
+    ),
+    "sketch_quantiles": (
+        "Bounds pass + partial-aggregated (group, bucket) counts: the "
+        "exchange carries at most groups × 256 rows regardless of data "
+        "size; the window/quantile extraction runs on that summary."
+    ),
+    "heavy_hitters": (
+        "Arrow candidate pass (bounded output per partition) feeds a "
+        "native isin filter BELOW the counting exchange — the "
+        "vocabulary-sized shuffle of the naive groupBy never happens."
+    ),
+    "lm_quality_buckets": (
+        "LM tables broadcast back onto the exploded bigram stream; one "
+        "per-doc hash aggregation; tercile cutpoints from the histogram "
+        "sketch (1-row broadcast) instead of a single-partition ntile."
+    ),
+    "pq_adc_topk": (
+        "Codes join a broadcast LUT — full vectors never appear in the "
+        "scoring join; the per-query ranking window runs on 4-term "
+        "exact-dyadic sums."
+    ),
 }
 
 
