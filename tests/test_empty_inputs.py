@@ -162,3 +162,60 @@ def test_http_transport_empty_batch():
     )
     assert len(out) == 0 and not calls
     assert list(out.columns) == ["id", "match_name", "dist"]
+
+
+# --------------------------------------------------------------------------
+# Sketch family (round-3 sixth wave)
+# --------------------------------------------------------------------------
+
+
+def test_bloom_build_empty_keys(spark):
+    """Zero build keys → all-zero bitset → every probe is negative (an
+    empty dim prunes the whole fact side, which the join then confirms)."""
+    from fink_science_spark.operators.sketches import (
+        bloom_might_contain,
+        build_bloom_bitset,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    bits = build_bloom_bitset(empty, "k", 1024)
+    assert all(b == 0 for b in bits)
+    probe = spark.range(0, 100).withColumnRenamed("id", "k")
+    assert probe.filter(bloom_might_contain("k", bits, 1024)).count() == 0
+
+
+def test_histogram_quantiles_empty(spark):
+    from fink_science_spark.operators.sketches import histogram_quantiles
+
+    empty = spark.createDataFrame([], "g string, v double")
+    out = histogram_quantiles(empty, "g", "v")
+    assert out.count() == 0
+    assert set(out.columns) == {"g", "n", "p50", "p90", "p99"}
+
+
+def test_heavy_hitters_empty_corpus(spark):
+    from fink_science_spark.operators.sketches import heavy_hitters
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = heavy_hitters(empty, "text")
+    assert out.count() == 0
+    assert set(out.columns) == {"token", "cnt", "share"}
+
+
+def test_heavy_hitters_null_and_blank_text(spark):
+    """NULL text rows and all-space docs must not crash the Arrow
+    candidate pass or skew the exact counts."""
+    import pandas as pd
+
+    from fink_science_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a a a a", None, "   ", "a b"],
+            }
+        )
+    )
+    rows = {r["token"]: r["cnt"] for r in heavy_hitters(df, "text", m=3).collect()}
+    assert rows == {"a": 5}
