@@ -337,6 +337,12 @@ def _pq_ip(a, b):
     )
 
 
+# Deterministic-training memo (the _IVF_CODEBOOKS pattern): the codebook
+# is a pure function of the input table, so re-deriving it per query call
+# only costs time; a cold process reproduces the identical rows.
+_PQ_CB_CACHE: dict[str, list[tuple[int, int, list[float]]]] = {}
+
+
 def _pq_trained(spark: SparkSession, sf_dir: str):
     """Shared PQ pieces: (subs, assign, cb1) — the subspace explode, the
     argmin assigner, and the one-Lloyd-round codebook. Used by both
@@ -364,20 +370,6 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
         ).alias("p"),
     ).select("vec_id", "p.s", "p.sv")
 
-    seed_rows = (
-        e.orderBy(hash64(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_PQ_K)
-        .collect()
-    )
-    cb0 = spark.createDataFrame(
-        [
-            (s, cell, list(r["v"][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]))
-            for s in range(_PQ_S)
-            for cell, r in enumerate(seed_rows)
-        ],
-        "s long, cell long, cv array<double>",
-    )
-
     def assign(cb: DataFrame) -> DataFrame:
         score = F.round(
             _pq_ip(F.col("cv"), F.col("cv"))
@@ -394,26 +386,42 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
             .drop("__rn")
         )
 
-    m1 = assign(cb0)
-    cb1_rows = (
-        m1.select("s", "cell", F.posexplode("sv").alias("i", "x"))
-        .groupBy("s", "cell", "i")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
-        .groupBy("s", "cell")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("i", "m"))),
-                lambda t: t["m"],
-            ).alias("cv")
+    cb1_data = _PQ_CB_CACHE.get(sf_dir)
+    if cb1_data is None:
+        seed_rows = (
+            e.orderBy(hash64(F.col("vec_id").cast("string")), "vec_id")
+            .limit(_PQ_K)
+            .collect()
         )
-        .collect()
-    )
+        cb0 = spark.createDataFrame(
+            [
+                (s, cell, list(r["v"][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]))
+                for s in range(_PQ_S)
+                for cell, r in enumerate(seed_rows)
+            ],
+            "s long, cell long, cv array<double>",
+        )
+        m1 = assign(cb0)
+        cb1_rows = (
+            m1.select("s", "cell", F.posexplode("sv").alias("i", "x"))
+            .groupBy("s", "cell", "i")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("s", "cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "m"))),
+                    lambda t: t["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        cb1_data = [(r["s"], r["cell"], list(r["cv"])) for r in cb1_rows]
+        _PQ_CB_CACHE[sf_dir] = cb1_data
     # Materialize the trained codebook (S × K rows — driver-bounded like
     # the IVF codebook) so downstream consumers reference a literal table
     # instead of re-running the training subtree per consumer.
     cb1 = spark.createDataFrame(
-        [(r["s"], r["cell"], list(r["cv"])) for r in cb1_rows],
-        "s long, cell long, cv array<double>",
+        cb1_data, "s long, cell long, cv array<double>"
     )
     return subs, assign, cb1
 
