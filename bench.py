@@ -132,6 +132,7 @@ HEADLINE = [
     "pq_compression",
     "stream_heavy_hitters",
     "pq_adc_topk",
+    "resample_ffill",
 ]
 
 

@@ -711,6 +711,101 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# resample_ffill: regularize an irregular event series onto a fixed
+# weekly grid with forward fill — the time-series resampling move every
+# feature pipeline needs before windowed models (pandas' resample+ffill,
+# re-expressed distributively).
+#
+# Scale shape: the last-observation-per-bucket dedup and the grid
+# explode + fill all share ONE partitioning (user_id) — the grid is
+# generated per user with sequence() (never a global calendar cross
+# join), the left join is on the (user, week) keys the window already
+# shuffled by, and the fill is last(ignorenulls) over the same
+# partitioning. Integer week arithmetic only (float division truncates
+# wrong at exact multiples — the weekly_counts lesson).
+# --------------------------------------------------------------------------
+
+_RS_DAY_US = 86_400_000_000  # 1 day in microseconds — the purchase
+# series is sparse at daily resolution, so the fill path is exercised
+# (the weekly grid had zero empty buckets in every fixture)
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.queries import _events_us
+
+    ev = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts_us", "value", "event_id")
+    )
+    week = (F.col("ts_us") - (F.col("ts_us") % F.lit(_RS_DAY_US))) / F.lit(
+        _RS_DAY_US
+    )
+    w_last = Window.partitionBy("user_id", "week").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.withColumn("week", week.cast("long"))
+        .withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "week", "value")
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("week").alias("wlo"), F.max("week").alias("whi")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("wlo", "whi")).alias("week")
+    )
+    joined = grid.join(obs, ["user_id", "week"], "left")
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "week",
+        F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
+        F.col("value").isNotNull().alias("observed"),
+    ).orderBy("user_id", "week")
+
+
+ORACLE_RESAMPLE_FFILL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value, event_id FROM events
+  WHERE event_type = 'purchase'
+),
+o AS (
+  SELECT user_id, (ts_us - (ts_us % {_RS_DAY_US})) / {_RS_DAY_US} AS week,
+         value,
+         row_number() OVER (
+           PARTITION BY user_id, (ts_us - (ts_us % {_RS_DAY_US})) / {_RS_DAY_US}
+           ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e
+),
+obs AS (SELECT user_id, week::BIGINT AS week, value FROM o WHERE rn = 1),
+span AS (
+  SELECT user_id, min(week) AS wlo, max(week) AS whi FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(wlo, whi))::BIGINT AS week FROM span
+),
+j AS (
+  SELECT grid.user_id, grid.week, obs.value
+  FROM grid LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.week = obs.week
+)
+SELECT user_id, week,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY week
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       value IS NOT NULL AS observed
+FROM j
+ORDER BY user_id, week
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
@@ -720,6 +815,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_compression": q_pq_compression,
     "stream_heavy_hitters": q_stream_heavy_hitters,
     "pq_adc_topk": q_pq_adc_topk,
+    "resample_ffill": q_resample_ffill,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -732,4 +828,5 @@ ORACLES_EXT10: dict[str, str] = {
     # aggregate, so it shares the batch heavy-hitters oracle.
     "stream_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
+    "resample_ffill": ORACLE_RESAMPLE_FFILL,
 }

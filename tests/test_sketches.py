@@ -411,3 +411,37 @@ def test_pq_adc_distances_track_exact_distances(spark, registry):
     )
     j = approx.merge(exact, on=["qid", "vec_id"])
     assert j["a"].corr(j["t"]) > 0.15, j["a"].corr(j["t"])
+
+
+# --------------------------------------------------------------------------
+# Time-series resample + forward fill
+# --------------------------------------------------------------------------
+
+
+def test_resample_ffill_fills_gaps(spark, registry):
+    """Weeks with no observation must exist in the grid and carry the
+    previous observed value; the first grid week per user is always
+    observed (span starts at the first observation)."""
+    rows = registry["resample_ffill"](spark, SF).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gaps = [r for r in rows if not r["observed"]]
+    assert gaps, "fixture should contain at least one empty week"
+    assert all(r["value_ffill"] is not None for r in gaps)
+    for user, urows in by_user.items():
+        urows.sort(key=lambda r: r["week"])
+        assert urows[0]["observed"], user
+        # grid is contiguous
+        weeks = [r["week"] for r in urows]
+        assert weeks == list(range(weeks[0], weeks[-1] + 1)), user
+
+
+def test_resample_ffill_single_partitioning(spark, registry):
+    """Dedup window, grid explode, join and fill all run on the user_id
+    partitioning — expect no more than the two aggregation/window
+    exchanges (plus AQE reads), and no Python."""
+    plan = plan_of(registry["resample_ffill"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
