@@ -119,6 +119,11 @@ def bloom_might_contain(
     """
     import numpy as np
 
+    if k <= 0:
+        # zero probes = no pruning information: pass everything (the
+        # join downstream stays exact), matching the vacuous-forall
+        # semantics of the original formulation.
+        return F.lit(True)
     key = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("long")
     # np.int64 array → ONE ArrayType Literal node. A plain Python list
     # would become CreateArray with m/64 child Literals — a 5× slower

@@ -214,25 +214,32 @@ def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum("ll") / F.count("*"), 6).alias("nll"),
         )
     )
-    # per_doc feeds both the cutpoint sketch and the final projection —
-    # cache it so the scoring pipeline runs once, not per consumer.
-    per_doc = per_doc.persist()
-    cuts = histogram_quantiles(
-        per_doc.withColumn("grp", F.lit(1)),
-        "grp",
-        "nll",
-        bins=_LM_CUT_BINS,
-        qs=(_LM_T1, _LM_T2),
-        q_names=("t1", "t2"),
-    ).select("t1", "t2")
+    # per_doc feeds both the cutpoint sketch and the final projection.
+    # Evaluate the cutpoints EAGERLY (a 1-row result, the bounded-summary
+    # contract of the bloom/PQ builds) and inline them as literals —
+    # persist() would leave an unpersisted cache entry per invocation
+    # that both pins storage memory and distorts repeat-run benchmarks
+    # via CacheManager plan dedup.
+    cut_row = (
+        histogram_quantiles(
+            per_doc.withColumn("grp", F.lit(1)),
+            "grp",
+            "nll",
+            bins=_LM_CUT_BINS,
+            qs=(_LM_T1, _LM_T2),
+            q_names=("t1", "t2"),
+        )
+        .select("t1", "t2")
+        .first()
+    )
+    t1, t2 = float(cut_row["t1"]), float(cut_row["t2"])
     return (
-        per_doc.join(F.broadcast(cuts))
-        .select(
+        per_doc.select(
             "doc_id",
             "n_bigrams",
             "nll",
-            F.when(F.col("nll") <= F.col("t1"), F.lit("head"))
-            .when(F.col("nll") <= F.col("t2"), F.lit("middle"))
+            F.when(F.col("nll") <= F.lit(t1), F.lit("head"))
+            .when(F.col("nll") <= F.lit(t2), F.lit("middle"))
             .otherwise(F.lit("tail"))
             .alias("bucket"),
         )
@@ -688,14 +695,23 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    # Materialize the final state (vocabulary-sized) and DROP the memory
+    # sink before returning — the MemorySink otherwise retains every
+    # update-mode emission in driver memory for the session lifetime,
+    # one uuid-named table per invocation.
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("token").orderBy(F.col("cnt").desc())
-    final = (
+    state_rows = (
         spark.table(name)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("token", "cnt")
+        .collect()
+    )
+    spark.catalog.dropTempView(name)
+    final = spark.createDataFrame(
+        [(r["token"], r["cnt"]) for r in state_rows], "token string, cnt long"
     )
     totals = final.agg(F.sum("cnt").alias("__nt"))
     return (
@@ -712,22 +728,22 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # resample_ffill: regularize an irregular event series onto a fixed
-# weekly grid with forward fill — the time-series resampling move every
+# daily grid with forward fill — the time-series resampling move every
 # feature pipeline needs before windowed models (pandas' resample+ffill,
 # re-expressed distributively).
 #
 # Scale shape: the last-observation-per-bucket dedup and the grid
 # explode + fill all share ONE partitioning (user_id) — the grid is
 # generated per user with sequence() (never a global calendar cross
-# join), the left join is on the (user, week) keys the window already
+# join), the left join is on the (user, day) keys the window already
 # shuffled by, and the fill is last(ignorenulls) over the same
-# partitioning. Integer week arithmetic only (float division truncates
+# partitioning. Integer bucket arithmetic only (float division truncates
 # wrong at exact multiples — the weekly_counts lesson).
 # --------------------------------------------------------------------------
 
 _RS_DAY_US = 86_400_000_000  # 1 day in microseconds — the purchase
 # series is sparse at daily resolution, so the fill path is exercised
-# (the weekly grid had zero empty buckets in every fixture)
+# (a WEEKLY grid had zero empty buckets in every fixture)
 
 
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,36 +756,36 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("user_id", "ts_us", "value", "event_id")
     )
-    week = (F.col("ts_us") - (F.col("ts_us") % F.lit(_RS_DAY_US))) / F.lit(
+    day = (F.col("ts_us") - (F.col("ts_us") % F.lit(_RS_DAY_US))) / F.lit(
         _RS_DAY_US
     )
-    w_last = Window.partitionBy("user_id", "week").orderBy(
+    w_last = Window.partitionBy("user_id", "day").orderBy(
         F.col("ts_us").desc(), F.col("event_id").desc()
     )
     obs = (
-        ev.withColumn("week", week.cast("long"))
+        ev.withColumn("day", day.cast("long"))
         .withColumn("__rn", F.row_number().over(w_last))
         .filter(F.col("__rn") == 1)
-        .select("user_id", "week", "value")
+        .select("user_id", "day", "value")
     )
     span = obs.groupBy("user_id").agg(
-        F.min("week").alias("wlo"), F.max("week").alias("whi")
+        F.min("day").alias("dlo"), F.max("day").alias("dhi")
     )
     grid = span.select(
-        "user_id", F.explode(F.sequence("wlo", "whi")).alias("week")
+        "user_id", F.explode(F.sequence("dlo", "dhi")).alias("day")
     )
-    joined = grid.join(obs, ["user_id", "week"], "left")
+    joined = grid.join(obs, ["user_id", "day"], "left")
     w_fill = (
         Window.partitionBy("user_id")
-        .orderBy("week")
+        .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return joined.select(
         "user_id",
-        "week",
+        "day",
         F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
         F.col("value").isNotNull().alias("observed"),
-    ).orderBy("user_id", "week")
+    ).orderBy("user_id", "day")
 
 
 ORACLE_RESAMPLE_FFILL = f"""
@@ -778,31 +794,31 @@ WITH e AS (
   WHERE event_type = 'purchase'
 ),
 o AS (
-  SELECT user_id, (ts_us - (ts_us % {_RS_DAY_US})) / {_RS_DAY_US} AS week,
+  SELECT user_id, (ts_us - (ts_us % {_RS_DAY_US})) / {_RS_DAY_US} AS day,
          value,
          row_number() OVER (
            PARTITION BY user_id, (ts_us - (ts_us % {_RS_DAY_US})) / {_RS_DAY_US}
            ORDER BY ts_us DESC, event_id DESC) AS rn
   FROM e
 ),
-obs AS (SELECT user_id, week::BIGINT AS week, value FROM o WHERE rn = 1),
+obs AS (SELECT user_id, day::BIGINT AS day, value FROM o WHERE rn = 1),
 span AS (
-  SELECT user_id, min(week) AS wlo, max(week) AS whi FROM obs GROUP BY user_id
+  SELECT user_id, min(day) AS dlo, max(day) AS dhi FROM obs GROUP BY user_id
 ),
 grid AS (
-  SELECT user_id, unnest(generate_series(wlo, whi))::BIGINT AS week FROM span
+  SELECT user_id, unnest(generate_series(dlo, dhi))::BIGINT AS day FROM span
 ),
 j AS (
-  SELECT grid.user_id, grid.week, obs.value
-  FROM grid LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.week = obs.week
+  SELECT grid.user_id, grid.day, obs.value
+  FROM grid LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.day = obs.day
 )
-SELECT user_id, week,
+SELECT user_id, day,
        last_value(value IGNORE NULLS) OVER (
-         PARTITION BY user_id ORDER BY week
+         PARTITION BY user_id ORDER BY day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
        value IS NOT NULL AS observed
 FROM j
-ORDER BY user_id, week
+ORDER BY user_id, day
 """
 
 # --------------------------------------------------------------------------

@@ -419,8 +419,8 @@ def test_pq_adc_distances_track_exact_distances(spark, registry):
 
 
 def test_resample_ffill_fills_gaps(spark, registry):
-    """Weeks with no observation must exist in the grid and carry the
-    previous observed value; the first grid week per user is always
+    """Days with no observation must exist in the grid and carry the
+    previous observed value; the first grid day per user is always
     observed (span starts at the first observation)."""
     rows = registry["resample_ffill"](spark, SF).collect()
     assert rows
@@ -428,20 +428,26 @@ def test_resample_ffill_fills_gaps(spark, registry):
     for r in rows:
         by_user.setdefault(r["user_id"], []).append(r)
     gaps = [r for r in rows if not r["observed"]]
-    assert gaps, "fixture should contain at least one empty week"
+    assert gaps, "fixture should contain at least one empty day"
     assert all(r["value_ffill"] is not None for r in gaps)
     for user, urows in by_user.items():
-        urows.sort(key=lambda r: r["week"])
+        urows.sort(key=lambda r: r["day"])
         assert urows[0]["observed"], user
         # grid is contiguous
-        weeks = [r["week"] for r in urows]
-        assert weeks == list(range(weeks[0], weeks[-1] + 1)), user
+        days = [r["day"] for r in urows]
+        assert days == list(range(days[0], days[-1] + 1)), user
 
 
-def test_resample_ffill_single_partitioning(spark, registry):
-    """Dedup window, grid explode, join and fill all run on the user_id
-    partitioning — expect no more than the two aggregation/window
-    exchanges (plus AQE reads), and no Python."""
+def test_resample_ffill_bounded_exchanges(spark, registry):
+    """Dedup window, span agg, join and fill share the user_id-rooted
+    partitioning: at most 4 shuffle exchanges (dedup window, span agg,
+    obs join side, final sort) plus the small-side broadcast — a global
+    calendar cross join or mid-pipeline repartition would add more.
+    No Python anywhere."""
+    import re as _re
+
     plan = plan_of(registry["resample_ffill"](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 4, (n_exchanges, plan)
