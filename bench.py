@@ -133,6 +133,8 @@ HEADLINE = [
     "stream_heavy_hitters",
     "pq_adc_topk",
     "resample_ffill",
+    "feature_drift_psi",
+    "weighted_sample",
 ]
 
 

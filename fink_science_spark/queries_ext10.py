@@ -822,6 +822,172 @@ ORDER BY user_id, day
 """
 
 # --------------------------------------------------------------------------
+# feature_drift_psi: population-stability-index drift report between two
+# event slices (click vs purchase value distributions) over the shared
+# histogram bucketing — the standard ML-ops drift monitor, built on the
+# same mergeable bin-count summary as sketch_quantiles.
+#
+# Scale shape: ONE pass over events produces (slice, bucket) partial
+# counts (map-combined, ≤ 2 × B rows cross the wire); the PSI algebra
+# runs on that summary. Laplace-style smoothing (+0.5 per bucket) keeps
+# empty buckets finite. Per-bucket contributions are dyadically
+# quantized before the total sum (exact, order-independent — the
+# engine-wide contract for anything summed).
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 32
+_PSI_A, _PSI_B = "click", "purchase"
+_PSI_Q = float(1 << 20)
+
+
+def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.queries import _events_us
+
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("event_type").isin(_PSI_A, _PSI_B)
+    )
+    v = F.col("value").cast("double")
+    bounds = ev.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor(
+                (v - F.col("__lo"))
+                / (F.col("__hi") - F.col("__lo"))
+                * F.lit(float(_PSI_BINS))
+            ),
+        )
+    ).cast("long")
+    counts = (
+        ev.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.when(F.col("event_type") == _PSI_A, 1)).alias("n_a"),
+            F.count(F.when(F.col("event_type") == _PSI_B, 1)).alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    p = (F.col("n_a") + F.lit(0.5)) / (
+        F.col("__ta") + F.lit(0.5 * _PSI_BINS)
+    )
+    q = (F.col("n_b") + F.lit(0.5)) / (
+        F.col("__tb") + F.lit(0.5 * _PSI_BINS)
+    )
+    contrib = F.floor((p - q) * F.log(p / q) * F.lit(_PSI_Q) + F.lit(0.5)) / F.lit(
+        _PSI_Q
+    )
+    per_bucket = counts.join(F.broadcast(tot)).select(
+        "bucket", "n_a", "n_b", contrib.alias("contrib")
+    )
+    psi = per_bucket.agg(F.round(F.sum("contrib"), 6).alias("psi"))
+    return (
+        per_bucket.join(F.broadcast(psi))
+        .select("bucket", "n_a", "n_b", F.round("contrib", 6).alias("contrib"), "psi")
+        .orderBy("bucket")
+    )
+
+
+ORACLE_FEATURE_DRIFT_PSI = f"""
+WITH e AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IN ('{_PSI_A}', '{_PSI_B}')
+),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM e),
+counts AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least({_PSI_BINS - 1},
+                         CAST(floor((v - lo) / (hi - lo) * {float(_PSI_BINS)!r})
+                              AS BIGINT)) END AS bucket,
+         count(*) FILTER (event_type = '{_PSI_A}')::BIGINT AS n_a,
+         count(*) FILTER (event_type = '{_PSI_B}')::BIGINT AS n_b
+  FROM e, bounds GROUP BY 1
+),
+tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM counts),
+pb AS (
+  SELECT bucket, n_a, n_b,
+         floor(((n_a + 0.5) / (ta + {0.5 * _PSI_BINS!r})
+                - (n_b + 0.5) / (tb + {0.5 * _PSI_BINS!r}))
+               * ln(((n_a + 0.5) / (ta + {0.5 * _PSI_BINS!r}))
+                    / ((n_b + 0.5) / (tb + {0.5 * _PSI_BINS!r})))
+               * {_PSI_Q!r} + 0.5) / {_PSI_Q!r} AS contrib
+  FROM counts, tot
+),
+psi AS (SELECT round(sum(contrib), 6) AS psi FROM pb)
+SELECT bucket, n_a, n_b, round(contrib, 6) AS contrib, psi
+FROM pb, psi
+ORDER BY bucket
+"""
+
+# --------------------------------------------------------------------------
+# weighted_sample: weighted sampling WITHOUT replacement per stratum
+# (A-ES / Efraimidis–Spirakis exponential keys): key_i = -ln(u_i)/w_i
+# with deterministic md5 uniforms; the k smallest keys per source are
+# exactly a weighted sample without replacement. This is the
+# importance-subsampling move (quality-weighted corpus thinning) that
+# Bernoulli thinning (domain_mix_sample) cannot do at a fixed size.
+#
+# Scale shape: pure per-row map (hash + ln) → one per-source top-k
+# window; at production scale the window is preceded by a per-partition
+# local top-k (the ann pattern) — the semantics here are the oracle
+# twin. Keys rounded to 9 decimals before ranking, doc_id tie-break.
+# --------------------------------------------------------------------------
+
+_WS_K = 10  # sample size per source
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.queries_ext6 import _U_DENOM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # weight: longer documents are more valuable (n_chars as the
+    # quality proxy); u in (0, 1] via (h + 1) / 2^60
+    u = (hash64(F.col("doc_id").cast("string"), seed="wsample") + F.lit(1)) / F.lit(
+        _U_DENOM
+    )
+    key = F.round(-F.log(u) / F.col("n_chars"), 9)
+    w = Window.partitionBy("source").orderBy(
+        F.col("key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", key.alias("key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _WS_K)
+        .select("source", "rank", "doc_id", "n_chars", "key")
+        .orderBy("source", "rank")
+    )
+
+
+def _oracle_weighted_sample() -> str:
+    from fink_science_spark.functions.hashing import hash64_sql
+    from fink_science_spark.queries_ext6 import _U_DENOM
+
+    u = f"(({hash64_sql('doc_id::VARCHAR', seed='wsample')} + 1) / {_U_DENOM!r})"
+    return f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(-ln({u}) / n_chars, 9) AS key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, key,
+         row_number() OVER (PARTITION BY source
+             ORDER BY key ASC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT source, rank, doc_id, n_chars, key
+FROM ranked WHERE rank <= {_WS_K}
+ORDER BY source, rank
+"""
+
+
+ORACLE_WEIGHTED_SAMPLE = _oracle_weighted_sample()
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
@@ -832,6 +998,8 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_heavy_hitters": q_stream_heavy_hitters,
     "pq_adc_topk": q_pq_adc_topk,
     "resample_ffill": q_resample_ffill,
+    "feature_drift_psi": q_feature_drift_psi,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -845,4 +1013,6 @@ ORACLES_EXT10: dict[str, str] = {
     "stream_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "resample_ffill": ORACLE_RESAMPLE_FFILL,
+    "feature_drift_psi": ORACLE_FEATURE_DRIFT_PSI,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }
