@@ -135,6 +135,8 @@ HEADLINE = [
     "resample_ffill",
     "feature_drift_psi",
     "weighted_sample",
+    "user_trend",
+    "quantile_transform",
 ]
 
 

@@ -988,6 +988,188 @@ ORDER BY source, rank
 ORACLE_WEIGHTED_SAMPLE = _oracle_weighted_sample()
 
 # --------------------------------------------------------------------------
+# user_trend: per-user OLS trend of purchase value over time (slope /
+# intercept / R²) from INTEGER sufficient statistics — the grouped
+# regression every feature pipeline computes, in ONE map-combinable
+# hash aggregation.
+#
+# Determinism contract (the mulens/ssoft pattern): day index and
+# value×100 are exact int64, so the five sufficient sums (n, Σt, Σv,
+# Σtv, Σt², Σv²) are exact integers whatever the aggregation order; the
+# closed-form slope/intercept/R² algebra then runs on exactly-
+# representable doubles — bit-identical in both engines. int64 products
+# stay within bounds because the final ratios are computed in doubles
+# (den × Svv would overflow int64 at sf0.1 — checked).
+# --------------------------------------------------------------------------
+
+
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.queries import _events_us
+
+    ev = _events_us(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    t = ((F.col("ts_us") - (F.col("ts_us") % F.lit(_RS_DAY_US))) / F.lit(
+        _RS_DAY_US
+    )).cast("long")
+    v2 = F.round(F.col("value") * 100).cast("long")
+    s = (
+        ev.select("user_id", t.alias("t"), v2.alias("v"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("t").alias("st"),
+            F.sum("v").alias("sv"),
+            F.sum(F.col("t") * F.col("v")).alias("stv"),
+            F.sum(F.col("t") * F.col("t")).alias("stt"),
+            F.sum(F.col("v") * F.col("v")).alias("svv"),
+        )
+    )
+    num = (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).cast("double")
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    svar = (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast("double")
+    slope = num / den / F.lit(100.0)
+    intercept = (
+        (F.col("sv").cast("double") / F.col("n")) / F.lit(100.0)
+        - slope * (F.col("st").cast("double") / F.col("n"))
+    )
+    r2 = (num * num) / (den * svar)
+    guard = (F.col("den") != 0) & (F.col("svar") != 0)
+    return (
+        s.withColumn("den", den)
+        .withColumn("svar", svar)
+        .select(
+            "user_id",
+            "n",
+            F.when(guard, F.round(slope, 6)).alias("slope"),
+            F.when(guard, F.round(intercept, 6)).alias("intercept"),
+            F.when(guard, F.round(r2, 6)).alias("r2"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_TREND = f"""
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) - (epoch_us(ts) % {_RS_DAY_US})) / {_RS_DAY_US} AS t,
+         round(value * 100)::BIGINT AS v
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum(t)::BIGINT AS st, sum(v)::BIGINT AS sv,
+         sum(t * v)::BIGINT AS stv, sum(t * t)::BIGINT AS stt,
+         sum(v * v)::BIGINT AS svv
+  FROM e GROUP BY user_id
+),
+a AS (
+  SELECT user_id, n,
+         CAST(n * stv - st * sv AS DOUBLE) AS num,
+         CAST(n * stt - st * st AS DOUBLE) AS den,
+         CAST(n * svv - sv * sv AS DOUBLE) AS svar,
+         CAST(sv AS DOUBLE) AS svd, CAST(st AS DOUBLE) AS std
+  FROM s
+)
+SELECT user_id, n,
+       CASE WHEN den != 0 AND svar != 0
+            THEN round(num / den / 100.0, 6) END AS slope,
+       CASE WHEN den != 0 AND svar != 0
+            THEN round(svd / n / 100.0 - (num / den / 100.0) * (std / n), 6)
+       END AS intercept,
+       CASE WHEN den != 0 AND svar != 0
+            THEN round((num * num) / (den * svar), 6) END AS r2
+FROM a
+ORDER BY user_id
+"""
+
+# --------------------------------------------------------------------------
+# quantile_transform: map every lineitem price to its approximate
+# per-group CDF position via the histogram summary — the rank/quantile
+# normalization feature transform WITHOUT a per-group sort: percent_rank
+# would shuffle and sort every row; here the histogram (groups × bins
+# cumulative counts) broadcasts back onto a narrow second scan.
+# --------------------------------------------------------------------------
+
+_QT_BINS = 256
+
+
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    v = F.col("l_extendedprice").cast("double")
+    bounds = li.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(_QT_BINS - 1),
+            F.floor(
+                (v - F.col("__lo"))
+                / (F.col("__hi") - F.col("__lo"))
+                * F.lit(float(_QT_BINS))
+            ),
+        )
+    ).cast("long")
+    with_bucket = li.join(F.broadcast(bounds)).withColumn("__bucket", bucket)
+    hist = with_bucket.groupBy("l_returnflag", "__bucket").agg(
+        F.count("*").alias("__c")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cdf_tab = hist.select(
+        "l_returnflag",
+        "__bucket",
+        F.round(
+            F.sum("__c").over(w_cum) / F.sum("__c").over(w_all), 6
+        ).alias("cdf"),
+    )
+    return (
+        with_bucket.join(F.broadcast(cdf_tab), ["l_returnflag", "__bucket"])
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            "cdf",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE_QUANTILE_TRANSFORM = f"""
+WITH bounds AS (
+  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+         max(CAST(l_extendedprice AS DOUBLE)) AS hi
+  FROM lineitem
+),
+b AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+         CASE WHEN hi = lo THEN 0
+              ELSE least({_QT_BINS - 1},
+                         CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                                    / (hi - lo) * {float(_QT_BINS)!r}) AS BIGINT))
+         END AS bucket
+  FROM lineitem, bounds
+),
+hist AS (
+  SELECT l_returnflag, bucket, count(*)::BIGINT AS c FROM b GROUP BY 1, 2
+),
+cdf_tab AS (
+  SELECT l_returnflag, bucket,
+         round(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(c) OVER (PARTITION BY l_returnflag), 6) AS cdf
+  FROM hist
+)
+SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.l_extendedprice, cdf
+FROM b JOIN cdf_tab ON b.l_returnflag = cdf_tab.l_returnflag
+                   AND b.bucket = cdf_tab.bucket
+ORDER BY b.l_orderkey, b.l_linenumber
+"""
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
@@ -1000,6 +1182,8 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_ffill": q_resample_ffill,
     "feature_drift_psi": q_feature_drift_psi,
     "weighted_sample": q_weighted_sample,
+    "user_trend": q_user_trend,
+    "quantile_transform": q_quantile_transform,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -1015,4 +1199,6 @@ ORACLES_EXT10: dict[str, str] = {
     "resample_ffill": ORACLE_RESAMPLE_FFILL,
     "feature_drift_psi": ORACLE_FEATURE_DRIFT_PSI,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "user_trend": ORACLE_USER_TREND,
+    "quantile_transform": ORACLE_QUANTILE_TRANSFORM,
 }

@@ -540,3 +540,77 @@ def test_weighted_sample_biases_toward_weight(spark, registry):
         assert n == _WS_K, (src, n)
         ranks = sorted(r["rank"] for r in rows if r["source"] == src)
         assert ranks == list(range(1, _WS_K + 1))
+
+
+# --------------------------------------------------------------------------
+# Grouped OLS trend + quantile transform
+# --------------------------------------------------------------------------
+
+
+def test_user_trend_matches_numpy_polyfit(spark, registry):
+    """The integer-sufficient-statistics closed form must agree with
+    numpy's least squares on the same (day, value) points."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from fink_science_spark.queries import _events_us
+    from fink_science_spark.queries_ext10 import _RS_DAY_US
+
+    rows = {r["user_id"]: r for r in registry["user_trend"](spark, SF).collect()}
+    assert rows
+    pts = (
+        _events_us(spark, SF)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (F.col("ts_us") - (F.col("ts_us") % F.lit(_RS_DAY_US)))
+            .cast("long")
+            .alias("tus"),
+            "value",
+        )
+        .collect()
+    )
+    by_user = {}
+    for p in pts:
+        by_user.setdefault(p["user_id"], []).append(
+            (p["tus"] // _RS_DAY_US, p["value"])
+        )
+    checked = 0
+    for uid, data in by_user.items():
+        r = rows[uid]
+        ts = np.array([d[0] for d in data], dtype=float)
+        vs = np.array([d[1] for d in data], dtype=float)
+        if r["slope"] is None or len(set(ts)) < 2 or np.var(vs) == 0:
+            continue
+        slope, intercept = np.polyfit(ts, vs, 1)
+        assert abs(r["slope"] - slope) < 1e-4, (uid, r["slope"], slope)
+        assert abs(r["intercept"] - intercept) < 1e-2, (
+            uid,
+            r["intercept"],
+            intercept,
+        )
+        corr = np.corrcoef(ts, vs)[0, 1]
+        assert abs(r["r2"] - corr**2) < 1e-4, (uid, r["r2"], corr**2)
+        checked += 1
+    assert checked >= 3, checked
+
+
+def test_quantile_transform_monotone_and_total(spark, registry):
+    """CDF positions are in (0, 1], monotone in price within a group,
+    and every input row survives the histogram join."""
+    import pyspark.sql.functions as F
+
+    out = registry["quantile_transform"](spark, SF)
+    li_n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    rows = out.collect()
+    assert len(rows) == li_n
+    by_flag = {}
+    for r in rows:
+        assert 0 < r["cdf"] <= 1.0, r
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], r["cdf"])
+        )
+    for flag, pairs in by_flag.items():
+        pairs.sort()
+        cdfs = [c for _, c in pairs]
+        assert all(a <= b for a, b in zip(cdfs, cdfs[1:])), flag
