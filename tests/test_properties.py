@@ -498,7 +498,20 @@ def test_weighted_quantile_matches_reference_cdf(spark, rows, q):
             if acc / tot >= q:
                 exp = v
                 break
-        assert got[k] == round(exp, 9), (k, q)
+        # Reference rounding must match the ENGINE's contract: F.round is
+        # decimal HALF_UP on the printed decimal expansion, while Python's
+        # round() works on the binary double (banker's) — they disagree
+        # when the 10th decimal digit of the shortest repr is exactly 5
+        # but the stored double sits just below it (hypothesis-found:
+        # 131072.1623428705). Use decimal half-up like the engine.
+        import decimal
+
+        exp_r = float(
+            decimal.Decimal(repr(exp)).quantize(
+                decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        assert got[k] == exp_r, (k, q)
 
 
 @given(
