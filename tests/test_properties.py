@@ -541,3 +541,148 @@ def test_trapezoid_integral_matches_numpy(spark, pts):
     trap = getattr(np, 'trapezoid', np.trapz)
     expected = float(trap(vs, ts)) if len(pts) >= 2 else 0.0
     assert got == pytest.approx(round(expected, 6), abs=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Sketch-family properties (round 3, sixth wave)
+# --------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=200, unique=True),
+    st.integers(1, 4),
+)
+@_settings
+def test_bloom_never_false_negative_property(spark, keys, k):
+    """Zero false negatives for ANY key set and probe count — the
+    exactness of the pruned join rests on this."""
+    from fink_science_spark.operators.sketches import (
+        bloom_bits_for,
+        bloom_might_contain,
+        build_bloom_bitset,
+    )
+
+    df = spark.createDataFrame([(x,) for x in keys], "k long")
+    m = bloom_bits_for(len(keys))
+    bits = build_bloom_bitset(df, "k", m, k=k)
+    assert df.filter(~bloom_might_contain("k", bits, m, k=k)).count() == 0
+
+
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=120,
+    ),
+    st.sampled_from([16, 64, 256]),
+)
+@_settings
+def test_histogram_quantile_error_bound_property(spark, values, bins):
+    """For arbitrary value sets and bin counts, every estimate lies in
+    [exact quantile, exact + 2 bin widths] — the documented estimator
+    contract (upper bin edge of the first covering bin)."""
+    import pandas as pd
+
+    from fink_science_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * len(values), "v": values})
+    )
+    row = histogram_quantiles(df, "g", "v", bins=bins).collect()[0]
+    lo, hi = min(values), max(values)
+    width = (hi - lo) / bins if hi > lo else 0.0
+    svals = sorted(values)
+    import math
+
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        exact = svals[math.ceil(q * len(svals)) - 1]
+        assert exact - 1e-6 <= row[name] <= exact + 2 * width + 1e-6, (
+            name,
+            row[name],
+            exact,
+            width,
+        )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd ", min_size=0, max_size=30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 10),
+)
+@_settings
+def test_heavy_hitters_exactness_property(spark, rows, m):
+    """For arbitrary small-alphabet corpora and thresholds, the operator
+    returns EXACTLY the tokens with count*m > N, with exact counts —
+    regardless of the candidate pruning."""
+    from collections import Counter
+
+    from fink_science_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(rows, "text string")
+    got = {
+        r["token"]: r["cnt"] for r in heavy_hitters(df, "text", m=m).collect()
+    }
+    counts: Counter[str] = Counter()
+    for (t,) in rows:
+        for tok in t.split(" "):
+            if tok:
+                counts[tok] += 1
+    n = sum(counts.values())
+    want = {t: c for t, c in counts.items() if c * m > n}
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.floats(1.0, 1e4, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 8),
+)
+@_settings
+def test_weighted_sample_matches_python_aes(spark, rows, k):
+    """The engine's A-ES top-k per stratum must equal a direct Python
+    computation of the same exponential keys (same md5 uniforms, same
+    rounding, same tie-break)."""
+    import math
+
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.queries_ext6 import _U_DENOM
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    u = (hash64(F.col("doc_id").cast("string"), seed="wsample") + F.lit(1)) / F.lit(
+        _U_DENOM
+    )
+    key = F.round(-F.log(u) / F.col("w"), 9)
+    win = Window.orderBy(F.col("key").asc(), F.col("doc_id").asc())
+    got = [
+        r["doc_id"]
+        for r in df.select("doc_id", key.alias("key"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+        .collect()
+    ]
+    # Python twin of hash64 (md5 first 15 hex digits) and the key
+    import hashlib
+
+    def h64(s: str, seed: str) -> int:
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    keyed = []
+    for doc_id, w in rows:
+        uu = (h64(str(doc_id), "wsample") + 1) / _U_DENOM
+        keyed.append((round(-math.log(uu) / w, 9), doc_id))
+    want = [d for _k, d in sorted(keyed)[:k]]
+    assert got == want
