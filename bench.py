@@ -137,6 +137,7 @@ HEADLINE = [
     "weighted_sample",
     "user_trend",
     "quantile_transform",
+    "pmi_collocations",
 ]
 
 

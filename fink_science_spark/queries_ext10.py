@@ -1138,6 +1138,96 @@ def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# pmi_collocations: top bigram collocations by pointwise mutual
+# information — the corpus-analysis staple for multi-word-expression
+# mining. PMI = ln(P(a,b) / (P(a)P(b))) with a minimum-count floor.
+#
+# Scale shape: bigram and unigram counts are the only shuffles (both
+# map-combinable, vocabulary-sized outputs); the PMI algebra and top-k
+# run on the aggregate. Determinism: PMI's argument is a ratio of two
+# EXACT int64 products (c2·N² / B·ca·cb — bounds checked < 2^53, so the
+# doubles are exactly representable before the one ln+round); ties
+# break lexicographically.
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select(toks.alias("toks"))
+    pairs = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(toks)), j -> "
+                    "struct(element_at(toks, j - 1) AS a, "
+                    "element_at(toks, j) AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    c2 = pairs.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    n_big = c2.agg(F.sum("c2").alias("n_big"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
+    num = (F.col("c2") * F.col("n_tok") * F.col("n_tok")).cast("double")
+    den = (F.col("n_big") * F.col("ca") * F.col("cb")).cast("double")
+    return (
+        c2.filter(F.col("c2") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(n_big))
+        .select("a", "b", "c2", F.round(F.log(num / den), 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(_PMI_TOPK)
+    )
+
+
+ORACLE_PMI_COLLOCATIONS = f"""
+WITH toksrc AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT u['a'] AS a, u['b'] AS b
+  FROM (
+    SELECT unnest(list_transform(generate_series(2, len(toks)),
+                                 j -> {{'a': toks[j - 1], 'b': toks[j]}})) AS u
+    FROM toksrc WHERE len(toks) >= 2
+  )
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(toks) AS w FROM toksrc) GROUP BY w
+),
+n_tok AS (SELECT sum(c)::BIGINT AS n_tok FROM uni),
+c2 AS (SELECT a, b, count(*)::BIGINT AS c2 FROM pairs GROUP BY a, b),
+n_big AS (SELECT sum(c2)::BIGINT AS n_big FROM c2)
+SELECT c2.a, c2.b, c2.c2,
+       round(ln(CAST(c2.c2 * t.n_tok * t.n_tok AS DOUBLE)
+                / CAST(g.n_big * ua.c * ub.c AS DOUBLE)), 6) AS pmi
+FROM c2
+JOIN uni ua ON c2.a = ua.w
+JOIN uni ub ON c2.b = ub.w
+CROSS JOIN n_tok t CROSS JOIN n_big g
+WHERE c2.c2 >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, c2.a, c2.b
+LIMIT {_PMI_TOPK}
+"""
+
 ORACLE_QUANTILE_TRANSFORM = f"""
 WITH bounds AS (
   SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
@@ -1184,6 +1274,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "user_trend": q_user_trend,
     "quantile_transform": q_quantile_transform,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -1201,4 +1292,5 @@ ORACLES_EXT10: dict[str, str] = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "user_trend": ORACLE_USER_TREND,
     "quantile_transform": ORACLE_QUANTILE_TRANSFORM,
+    "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
 }
