@@ -138,6 +138,7 @@ HEADLINE = [
     "user_trend",
     "quantile_transform",
     "pmi_collocations",
+    "decontaminate_bloom",
 ]
 
 

@@ -14,6 +14,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fink_science_spark.queries_ext6 import ORACLE_DECONTAMINATE as _ORACLE_DECON
 from fink_science_spark.operators.sketches import (
     bloom_bits_for,
     bloom_might_contain,
@@ -1260,6 +1261,57 @@ ORDER BY b.l_orderkey, b.l_linenumber
 """
 
 # --------------------------------------------------------------------------
+# decontaminate_bloom: benchmark decontamination with a Bloom-pruned
+# first phase — identical semantics (and oracle) to `decontaminate`,
+# but the eval-suite n-gram set reaches the executors as a compact
+# bitset and only the surviving ~0.3% of training grams enter the
+# exact broadcast-join verify.
+#
+# Why it exists: the exact path broadcasts the full distinct eval-gram
+# hash set (8 B/gram in a hash table with overhead — tens of GB at a
+# 10⁹-gram eval suite). The bitset is 16 bits/gram (4–32× smaller) and
+# the probe is pure codegen on the scan, so the expensive join only
+# sees bloom survivors; false positives are eliminated by the exact
+# join that follows. Same two-phase shape as bloom_prune_join.
+# --------------------------------------------------------------------------
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.functions.text import tokens, word_shingles
+    from fink_science_spark.queries import _t
+    from fink_science_spark.queries_ext6 import _DECON_MOD, _DECON_N
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(word_shingles("toks", _DECON_N))
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", hash64("g").alias("h"))
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("h").distinct()
+    )
+    n_eval = eval_grams.count()
+    m_bits = bloom_bits_for(max(n_eval, 1))
+    bitset = build_bloom_bitset(eval_grams, "h", m_bits)
+    train_grams = grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+    candidates = train_grams.filter(bloom_might_contain("h", bitset, m_bits))
+    return (
+        candidates.join(F.broadcast(eval_grams), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .withColumn("contaminated", F.col("n_overlap") >= F.lit(1))
+    )
+
+
+# --------------------------------------------------------------------------
 
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
@@ -1275,6 +1327,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_trend": q_user_trend,
     "quantile_transform": q_quantile_transform,
     "pmi_collocations": q_pmi_collocations,
+    "decontaminate_bloom": q_decontaminate_bloom,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -1293,4 +1346,7 @@ ORACLES_EXT10: dict[str, str] = {
     "user_trend": ORACLE_USER_TREND,
     "quantile_transform": ORACLE_QUANTILE_TRANSFORM,
     "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+    # decontaminate_bloom: identical semantics to the exact path — the
+    # bloom only prunes; shares decontaminate's oracle.
+    "decontaminate_bloom": _ORACLE_DECON,
 }

@@ -614,3 +614,17 @@ def test_quantile_transform_monotone_and_total(spark, registry):
         pairs.sort()
         cdfs = [c for _, c in pairs]
         assert all(a <= b for a, b in zip(cdfs, cdfs[1:])), flag
+
+
+def test_decontaminate_bloom_equals_exact_path(spark, registry):
+    """The bloom-pruned two-phase decontamination must return EXACTLY
+    the broadcast-set path's answer (the bitset only prunes)."""
+    exact = sorted(
+        (r["doc_id"], r["n_overlap"], r["contaminated"])
+        for r in registry["decontaminate"](spark, SF).collect()
+    )
+    pruned = sorted(
+        (r["doc_id"], r["n_overlap"], r["contaminated"])
+        for r in registry["decontaminate_bloom"](spark, SF).collect()
+    )
+    assert exact == pruned and exact
