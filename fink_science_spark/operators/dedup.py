@@ -483,6 +483,111 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via PREFIX FILTERING (the PPJoin /
+    Vernica-et-al. MapReduce set-similarity-join shape) — the scale path
+    that needs NO doc-frequency cap.
+
+    Order every doc's shingle-hash set by (global doc-frequency asc, hash)
+    — rarest first — and emit only the first ``n - ceil(t*n) + 1`` tokens
+    (the *prefix*). Completeness lemma: J(A,B) >= t implies
+    |A∩B| >= ceil(t*max(|A|,|B|)), and two sets sharing >= α elements must
+    collide within their (len - α + 1)-prefixes under any common total
+    order — so every qualifying pair shares at least one *prefix* token.
+    Candidates are the prefix-token equi-join (plus the symmetric length
+    filter t*|B| <= |A| <= |B|/t); each candidate pair is then verified
+    with an exact set intersection of the full hash arrays.
+
+    Why this beats the posting-list C(k,2) expansion at 100 TB: a
+    stop-shingle shared by k docs contributes k² pairs there (hence the
+    ``max_doc_freq`` cap and its recall caveat) — but a ubiquitous token is
+    by construction LAST in the frequency order, so it almost never lands
+    in anyone's prefix. Candidate volume tracks the number of truly
+    similar pairs, not the token-frequency skew, and the result is still
+    exact. Cost: one extra shuffle to rank tokens by frequency.
+
+    Hash collisions (two distinct shingles, one 60-bit hash): within a doc
+    the collided pair would count once here (array semantics) vs twice in
+    the posting-list/oracle count — the same ~2^-60 risk class documented
+    on :func:`hash64`.
+    """
+    t = float(threshold)
+    sets = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(shingles_col)).alias("__s"),
+    )
+    inv = (
+        sets.select("__id", F.explode_outer("__s").alias("__g"))
+        .filter(F.col("__g").isNotNull())
+        .select("__id", hash64(F.col("__g")).alias("__g"))
+    )
+    dfreq = inv.groupBy("__g").agg(F.count("*").alias("__df"))
+
+    # One groupBy(id) materializes the frequency-ordered token array; the
+    # same array serves BOTH prefix emission and exact verification, so
+    # the tokenize/shingle subtree is never re-evaluated.
+    ordered = (
+        inv.join(dfreq, "__g")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "__g"))).alias("__o"))
+        .select(
+            "__id",
+            F.transform("__o", lambda s: s["__g"]).alias("__toks"),
+            F.size("__o").alias("__n"),
+        )
+    )
+
+    prefix_len = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")
+    prefix = ordered.select(
+        "__id", "__n", F.explode(F.slice("__toks", 1, prefix_len)).alias("__g")
+    )
+
+    a, b = prefix.alias("__l"), prefix.alias("__r")
+    # Length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
+    # The 1e-9 slack only ever ADDS candidates (verification removes them).
+    cand = (
+        a.join(
+            b,
+            (F.col("__l.__g") == F.col("__r.__g"))
+            & (F.col("__l.__id") < F.col("__r.__id"))
+            & (F.col("__l.__n") + F.lit(1e-9) >= F.col("__r.__n") * F.lit(t))
+            & (F.col("__r.__n") + F.lit(1e-9) >= F.col("__l.__n") * F.lit(t)),
+        )
+        .select(
+            F.col("__l.__id").alias("id_a"),
+            F.col("__r.__id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sa = ordered.select(
+        F.col("__id").alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("na"),
+    )
+    sb = ordered.select(
+        F.col("__id").alias("id_b"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("nb"),
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__ta", "__tb")))
+    )
+    jacc = F.col("__inter") / (F.col("na") + F.col("nb") - F.col("__inter"))
+    return (
+        verified.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def argmin_dedup(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
     """Keep exactly one row per key group: the first under ``order_by``
     (ties must be broken by a unique column for determinism) — the

@@ -14,7 +14,12 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fink_science_spark.queries_ext import (
+    ORACLE_DEDUP_NGRAM_JACCARD as _ORACLE_JACCARD,
+    _doc_shingles,
+)
 from fink_science_spark.queries_ext6 import ORACLE_DECONTAMINATE as _ORACLE_DECON
+from fink_science_spark.operators.dedup import jaccard_ppjoin_pairs
 from fink_science_spark.operators.sketches import (
     bloom_bits_for,
     bloom_might_contain,
@@ -1312,6 +1317,21 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedup_jaccard_ppjoin: the SAME exact-Jaccard-pairs answer as
+# dedup_ngram_jaccard, computed by prefix filtering (PPJoin) instead of
+# posting-list C(k,2) expansion — the variant whose candidate volume is
+# immune to stop-shingle skew, so it needs no max_doc_freq recall cap.
+# Shares dedup_ngram_jaccard's oracle verbatim (same answer by design).
+# --------------------------------------------------------------------------
+
+
+def q_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (threshold 0.5) via prefix-filtered
+    set-similarity join (operators/dedup.jaccard_ppjoin_pairs)."""
+    return jaccard_ppjoin_pairs(
+        _doc_shingles(spark, sf_dir), "doc_id", "shingles", threshold=0.5
+    )
+
 
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
@@ -1328,6 +1348,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_transform": q_quantile_transform,
     "pmi_collocations": q_pmi_collocations,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -1349,4 +1370,7 @@ ORACLES_EXT10: dict[str, str] = {
     # decontaminate_bloom: identical semantics to the exact path — the
     # bloom only prunes; shares decontaminate's oracle.
     "decontaminate_bloom": _ORACLE_DECON,
+    # dedup_jaccard_ppjoin: prefix filtering changes the candidate set,
+    # not the answer — shares the exact-Jaccard-pairs oracle.
+    "dedup_jaccard_ppjoin": _ORACLE_JACCARD,
 }

@@ -219,3 +219,10 @@ def test_heavy_hitters_null_and_blank_text(spark):
     )
     rows = {r["token"]: r["cnt"] for r in heavy_hitters(df, "text", m=3).collect()}
     assert rows == {"a": 5}
+
+
+def test_ppjoin_empty(spark, empty_docs):
+    from fink_science_spark.operators.dedup import jaccard_ppjoin_pairs
+
+    out = jaccard_ppjoin_pairs(empty_docs, "doc_id", "shingles")
+    assert out.count() == 0

@@ -686,3 +686,56 @@ def test_weighted_sample_matches_python_aes(spark, rows, k):
         keyed.append((round(-math.log(uu) / w, 9), doc_id))
     want = [d for _k, d in sorted(keyed)[:k]]
     assert got == want
+
+
+# Small word alphabet → real overlaps; every doc also gets a ubiquitous
+# stop token, the exact skew regime prefix filtering exists to survive.
+_ppjoin_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+
+
+@given(
+    st.lists(
+        st.lists(_ppjoin_words, min_size=1, max_size=6, unique=True),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+@_settings
+def test_ppjoin_matches_bruteforce_and_posting_list(spark, docsets, t):
+    """Prefix filtering must be COMPLETE (every pair with J >= t found)
+    and exact (same rounded Jaccard) — checked against a pure-Python
+    brute force over all pairs AND against the posting-list operator, on
+    token sets that all share a stop token (worst-case frequency skew)."""
+    from fink_science_spark.operators.dedup import (
+        jaccard_ppjoin_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, sorted(set(toks) | {"stop"})) for i, toks in enumerate(docsets)]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_ppjoin_pairs(
+            df, "doc_id", "shingles", threshold=t
+        ).collect()
+    }
+    posting = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "shingles", threshold=t
+        ).collect()
+    }
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                inter = len(set(a) & set(b))
+                jac = inter / (len(a) + len(b) - inter)
+                if jac >= t:
+                    want[(i, j)] = round(jac, 6)
+    assert got == want
+    assert posting == want
