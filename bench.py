@@ -139,6 +139,7 @@ HEADLINE = [
     "quantile_transform",
     "pmi_collocations",
     "decontaminate_bloom",
+    "dedup_jaccard_ppjoin",
 ]
 
 

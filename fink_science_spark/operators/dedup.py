@@ -531,6 +531,10 @@ def jaccard_ppjoin_pairs(
     # One groupBy(id) materializes the frequency-ordered token array; the
     # same array serves BOTH prefix emission and exact verification, so
     # the tokenize/shingle subtree is never re-evaluated.
+    # ordered feeds THREE consumers (prefix explode + both verification
+    # sides) — materialize it once (it IS the doc-signature table, the
+    # same artifact a persisted LSH index stores) instead of re-running
+    # tokenize→explode→frequency-join→collect three times.
     ordered = (
         inv.join(dfreq, "__g")
         .groupBy("__id")
@@ -540,6 +544,7 @@ def jaccard_ppjoin_pairs(
             F.transform("__o", lambda s: s["__g"]).alias("__toks"),
             F.size("__o").alias("__n"),
         )
+        .localCheckpoint(eager=False)
     )
 
     prefix_len = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")

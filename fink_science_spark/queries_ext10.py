@@ -1325,6 +1325,135 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# dup_span_profile: per-document duplicated-span metrics (the RefinedWeb /
+# Lee-et-al. "what fraction of this doc is copied from elsewhere in the
+# corpus" diagnostic that drives substring-level dedup decisions).
+#
+# A position's 5-gram is "duplicated" iff that gram occurs in >1 distinct
+# document. Per doc: fraction of gram positions that are duplicated, and
+# the longest CONSECUTIVE duplicated run (in tokens: run + 4), computed
+# with the gaps-and-islands window (pos - row_number is constant within a
+# run). Scale shape: the gram table is the standard posting-list explode;
+# the distinct + groupBy(h) are map-combinable; the islands window
+# partitions by doc (bounded partitions). The dup fraction is rounded
+# HALF_UP in exact integer arithmetic ((2e6*dup + n) DIV (2n)) — no
+# float-division boundary can diverge between engines.
+# --------------------------------------------------------------------------
+
+_SPAN_K = 5
+
+
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated 5-gram coverage + longest duplicated run per doc."""
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.functions.text import word_shingles
+    from fink_science_spark.queries_ext import _doc_tokens
+
+    k = _SPAN_K
+    docs = _doc_tokens(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.size("toks") - (k - 1), F.lit(0)).cast("long").alias("n_grams"),
+        word_shingles("toks", k).alias("__sh"),
+    )
+    grams = (
+        base.select("doc_id", F.posexplode_outer("__sh").alias("pos0", "__g"))
+        .filter(F.col("__g").isNotNull())
+        .select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), hash64("__g").alias("h")
+        )
+    )
+    gdf = (
+        grams.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("__ndocs"))
+    )
+    dups = grams.join(gdf, "h").filter(F.col("__ndocs") > 1)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dups.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "__grp")
+        .agg(F.count("*").alias("__run"))
+    )
+    per = runs.groupBy("doc_id").agg(
+        F.sum("__run").alias("n_dup"), F.max("__run").alias("__maxrun")
+    )
+    out = (
+        base.drop("__sh")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr(
+                    "CAST((2000000 * coalesce(n_dup, 0) + n_grams) "
+                    "DIV (2 * n_grams) AS DOUBLE) / 1000000.0"
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+            F.coalesce(F.col("__maxrun") + (k - 1), F.lit(0))
+            .cast("long")
+            .alias("longest_dup_tokens"),
+        )
+    )
+    return out
+
+
+def _oracle_dup_span_profile() -> str:
+    from fink_science_spark.functions.hashing import hash64_sql
+    from fink_science_spark.queries_ext import _DOCS_TOK_CTE
+
+    k = _SPAN_K
+    gram_hash = hash64_sql(f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')")
+    return f"""
+WITH {_DOCS_TOK_CTE},
+base AS (
+  SELECT doc_id, greatest(len(toks) - {k - 1}, 0)::BIGINT AS n_grams, toks
+  FROM tok
+),
+g AS (
+  SELECT doc_id, u['pos'] AS pos, u['h'] AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(toks) - {k - 1}, 0)),
+                                 i -> {{'pos': i, 'h': {gram_hash}}})) AS u
+    FROM base
+  )
+),
+gdf AS (
+  SELECT h, count(*) AS ndocs
+  FROM (SELECT DISTINCT h, doc_id FROM g) GROUP BY h
+),
+dups AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+  FROM g JOIN gdf ON g.h = gdf.h WHERE gdf.ndocs > 1
+),
+runs AS (
+  SELECT doc_id, grp, count(*)::BIGINT AS run FROM dups GROUP BY doc_id, grp
+),
+per AS (
+  SELECT doc_id, sum(run)::BIGINT AS n_dup, max(run)::BIGINT AS maxrun
+  FROM runs GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_grams,
+       coalesce(p.n_dup, 0)::BIGINT AS n_dup,
+       CASE WHEN b.n_grams > 0
+            THEN ((2000000 * coalesce(p.n_dup, 0) + b.n_grams)
+                  // (2 * b.n_grams))::DOUBLE / 1000000.0
+            ELSE 0.0 END AS dup_frac,
+       coalesce(p.maxrun + {k - 1}, 0)::BIGINT AS longest_dup_tokens
+FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
+"""
+
+
 def q_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs (threshold 0.5) via prefix-filtered
     set-similarity join (operators/dedup.jaccard_ppjoin_pairs)."""
@@ -1349,6 +1478,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "decontaminate_bloom": q_decontaminate_bloom,
     "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
+    "dup_span_profile": q_dup_span_profile,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -1373,4 +1503,5 @@ ORACLES_EXT10: dict[str, str] = {
     # dedup_jaccard_ppjoin: prefix filtering changes the candidate set,
     # not the answer — shares the exact-Jaccard-pairs oracle.
     "dedup_jaccard_ppjoin": _ORACLE_JACCARD,
+    "dup_span_profile": _oracle_dup_span_profile(),
 }

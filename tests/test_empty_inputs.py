@@ -226,3 +226,32 @@ def test_ppjoin_empty(spark, empty_docs):
 
     out = jaccard_ppjoin_pairs(empty_docs, "doc_id", "shingles")
     assert out.count() == 0
+
+
+def test_dup_span_profile_short_docs(spark):
+    """Docs shorter than the 5-gram window produce n_grams=0, frac 0.0."""
+    import fink_science_spark.queries_ext10 as x
+    from fink_science_spark.queries_ext import _doc_tokens
+
+    # monkeypatch-free: drive the query on a temp dir with tiny docs
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["one two", "a b c d e f g a b c d e f g"],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [7, 27],
+            }
+        ).to_parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r.asDict() for r in x.q_dup_span_profile(spark, d).collect()}
+    assert out[1]["n_grams"] == 0 and out[1]["dup_frac"] == 0.0
+    assert out[1]["longest_dup_tokens"] == 0
+    # doc 2 repeats its 7-token phrase but only WITHIN itself → not
+    # corpus-duplicated (cross-doc metric), so zero as well
+    assert out[2]["n_dup"] == 0
