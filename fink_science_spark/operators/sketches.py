@@ -100,6 +100,37 @@ def build_bloom_bitset(
     return bitset
 
 
+def _long_array_literal(values: list[int]) -> Column:
+    """ONE ArrayType(long) Literal from a large Python list, built fast.
+
+    ``F.lit(list)`` creates CreateArray with one child Literal per element
+    (slow plan processing), and ``F.lit(np.int64-array)`` folds to one
+    Literal but transfers element-by-element over py4j (~1.1 s at the
+    8192-long Bloom bitset size — a DRIVER-side constant paid on every
+    fresh plan). Fast path: ship the values as ONE py4j byte[] transfer
+    and let java.nio.LongBuffer bulk-fill a long[] JVM-side, then wrap
+    ``functions.lit(long[])`` (~10 ms). Engine-internal like the xxhash64
+    probes; falls back to the numpy literal when no py4j gateway exists
+    (e.g. Spark Connect).
+    """
+    import numpy as np
+
+    from pyspark.sql import SparkSession
+
+    arr = np.asarray(values, dtype=np.int64)
+    spark = SparkSession.getActiveSession()
+    try:
+        jvm = spark._jvm
+        gateway = spark._sc._gateway
+        bb = jvm.java.nio.ByteBuffer.wrap(bytearray(arr.tobytes()))
+        bb.order(jvm.java.nio.ByteOrder.LITTLE_ENDIAN)
+        jarr = gateway.new_array(jvm.long, len(arr))
+        bb.asLongBuffer().get(jarr)
+        return Column(jvm.org.apache.spark.sql.functions.lit(jarr))
+    except Exception:  # noqa: BLE001 - no py4j gateway (Connect) → slow path
+        return F.lit(arr)
+
+
 def bloom_might_contain(
     key_col: Column | str, bitset: list[int], m_bits: int, k: int = 4
 ) -> Column:
@@ -117,18 +148,13 @@ def bloom_might_contain(
     k literal copies cost plan bytes (≤ k × 256 KB at the size cap),
     which execution never feels.
     """
-    import numpy as np
-
     if k <= 0:
         # zero probes = no pruning information: pass everything (the
         # join downstream stays exact), matching the vacuous-forall
         # semantics of the original formulation.
         return F.lit(True)
     key = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("long")
-    # np.int64 array → ONE ArrayType Literal node. A plain Python list
-    # would become CreateArray with m/64 child Literals — a 5× slower
-    # plan-processing + codegen tree (measured on the sf0.1 fact scan).
-    arr = F.lit(np.asarray(bitset, dtype=np.int64))
+    arr = _long_array_literal(bitset)
     pred = None
     for j in range(k):
         slot, mask = _bloom_probe(key, m_bits, j)

@@ -1300,8 +1300,14 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g").isNotNull())
         .select("doc_id", hash64("g").alias("h"))
     )
+    # eval_grams feeds THREE consumers (the sizing count, the bitset
+    # build, and the exact-verify broadcast join) — materialize it once
+    # instead of re-running the corpus tokenize+shingle scan each time.
     eval_grams = (
-        grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("h").distinct()
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("h")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     n_eval = eval_grams.count()
     m_bits = bloom_bits_for(max(n_eval, 1))
