@@ -220,7 +220,10 @@ def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum("ll") / F.count("*"), 6).alias("nll"),
         )
     )
-    # per_doc feeds both the cutpoint sketch and the final projection.
+    # per_doc feeds both the cutpoint sketch and the final projection —
+    # materialize it once (doc-count-sized, tiny) so the train/score
+    # pipeline with its three broadcast builds doesn't run twice.
+    per_doc = per_doc.localCheckpoint(eager=False)
     # Evaluate the cutpoints EAGERLY (a 1-row result, the bounded-summary
     # contract of the bloom/PQ builds) and inline them as literals —
     # persist() would leave an unpersisted cache entry per invocation
