@@ -140,6 +140,8 @@ HEADLINE = [
     "pmi_collocations",
     "decontaminate_bloom",
     "dedup_jaccard_ppjoin",
+    "dup_span_profile",
+    "image_phash_dedup",
 ]
 
 

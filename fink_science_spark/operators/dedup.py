@@ -364,11 +364,33 @@ def simhash_pairs(
     sig = votes.select(
         "__id", F.when(guard.isNull(), sim).alias("__sim")
     ).persist()
-    # one row per (doc, chunk): a single aliased self-join on
-    # (chunk_id, chunk_value) replaces ``chunks`` separate joins — and
-    # because both sides are the same canonical plan, the shuffle exchange
-    # is computed once and reused (ReusedExchange), so the signature
-    # subtree is evaluated once, not 2×chunks times.
+    return hamming_pairs(
+        sig, "__id", "__sim", max_hamming=max_hamming, bits=bits, chunks=chunks
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+    chunks: int = 4,
+) -> DataFrame:
+    """All (id_a < id_b) pairs whose precomputed bit signatures differ in
+    ≤ ``max_hamming`` of the low ``bits`` bits — the pigeonhole banded
+    join shared by SimHash text dedup and perceptual-hash asset dedup.
+
+    Distance ≤ chunks−1 guarantees agreement on ≥1 of ``chunks`` equal
+    bit-ranges, so candidates come from ONE aliased self-equi-join on
+    (chunk_id, chunk_value) — both sides are the same canonical plan, so
+    the shuffle exchange is computed once and reused (ReusedExchange) —
+    then an exact XOR bit_count verify. For max_hamming ≥ chunks the
+    guarantee weakens to the usual production recall/cost trade-off;
+    callers size chunks = max_hamming+1 for exactness.
+    """
+    chunk_bits = bits // chunks
+    sig = df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("__sim"))
     chunk_rows = sig.select(
         "__id",
         "__sim",

@@ -225,6 +225,54 @@ def image_matrix_stats(
     return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
 
 
+def image_ahash(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    width: int = 8,
+    height: int = 8,
+    bits: int = 60,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual signature over a decoded pixel
+    matrix: bit j = (pixel_j > mean of all pixels), packed little-endian
+    into one BIGINT over the first ``bits`` pixels (60 keeps the engine's
+    portable signed-BIGINT hash convention; the mean still uses every
+    pixel). The canonical image near-dup primitive — real decoders slot
+    in via register_codec exactly as for image_matrix_stats; pixel bytes
+    never leave the Arrow kernel.
+
+    The mean is an exact sum/(width*height) in float64 — identical in
+    numpy and any SQL engine when width*height is a power of two, so the
+    strict > comparison is engine-portable (the DuckDB oracle reproduces
+    signatures bit-for-bit)."""
+    import numpy as np
+
+    n_px = width * height
+    out_schema = f"{id_col} long, ahash long"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None or len(blob) < n_px:
+                    continue
+                px = np.frombuffer(bytes(blob)[:n_px], dtype=np.uint8).astype(
+                    np.float64
+                )
+                mean = px.mean()
+                above = px[:bits] > mean
+                sig = 0
+                for j in np.nonzero(above)[0]:
+                    sig |= 1 << int(j)
+                ids.append(rid)
+                sigs.append(sig)
+            yield pd.DataFrame({id_col: ids, "ahash": sigs})
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str,

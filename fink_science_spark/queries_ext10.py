@@ -1471,6 +1471,97 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# image_phash_dedup: perceptual-hash near-duplicate detection over binary
+# image assets — decode (mapInPandas Arrow kernel, real decoders slot in
+# via register_codec) → 60-bit average-hash signature → pigeonhole banded
+# Hamming join (operators/dedup.hamming_pairs, shared with SimHash).
+#
+# The asset store is modeled deterministically: every document's blob is
+# a 64-byte (8×8) deterministic fake image, and every 7th asset also has
+# a "re-encoded" variant (one byte bumped +16) — the near-duplicate pair
+# the query must find. With a REAL image decoder the same plan clusters
+# visually-similar assets; with the md5-fake codec only planted variants
+# and exact content clones land within the Hamming radius (avalanche).
+# Pixel bytes never shuffle: only (asset_id, 8-byte signature) rows leave
+# the decode stage.
+# --------------------------------------------------------------------------
+
+_PHASH_VARIANT_BASE = 1_000_000
+_PHASH_MOD = 7
+
+
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash near-dup pairs (Hamming ≤ 3) over fake-decoded 8×8 assets."""
+    from fink_science_spark.operators.dedup import hamming_pairs
+    from fink_science_spark.operators.multimodal import image_ahash
+    from fink_science_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    hx = F.concat(
+        F.md5("text"),
+        F.md5(F.concat(F.col("text"), F.lit("a"))),
+        F.md5(F.concat(F.col("text"), F.lit("b"))),
+        F.md5(F.concat(F.col("text"), F.lit("c"))),
+    )
+    base = docs.select(F.col("doc_id").alias("asset_id"), hx.alias("hx"))
+    # re-encoded variant: byte 3 (hex chars 5-6) bumped +16 mod 256 —
+    # pure string surgery on the hex payload, decoded by the same kernel
+    b3 = F.conv(F.substring("hx", 5, 2), 16, 10).cast("int")
+    nhx = F.concat(
+        F.substring("hx", 1, 4),
+        F.lpad(F.lower(F.conv(((b3 + 16) % 256).cast("string"), 10, 16)), 2, "0"),
+        F.expr("substring(hx, 7)"),
+    )
+    variants = base.filter(F.col("asset_id") % _PHASH_MOD == 0).select(
+        (F.col("asset_id") + F.lit(_PHASH_VARIANT_BASE)).alias("asset_id"),
+        nhx.alias("hx"),
+    )
+    assets = base.unionByName(variants).select(
+        "asset_id", F.unhex("hx").alias("blob")
+    )
+    sigs = image_ahash(assets, "asset_id", "blob", width=8, height=8, bits=60)
+    return hamming_pairs(
+        sigs, "asset_id", "ahash", max_hamming=3, bits=60, chunks=4
+    )
+
+
+ORACLE_IMAGE_PHASH_DEDUP = f"""
+WITH hx AS (
+  SELECT doc_id AS asset_id,
+         md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+             AS hx
+  FROM documents
+),
+px0 AS (
+  SELECT asset_id,
+         [('0x' || substr(hx, 2*i - 1, 2))::INT
+          for i in generate_series(1, 64)] AS p
+  FROM hx
+),
+pxall AS (
+  SELECT asset_id, p FROM px0
+  UNION ALL
+  SELECT asset_id + {_PHASH_VARIANT_BASE} AS asset_id,
+         [CASE WHEN i = 3 THEN (p[i] + 16) % 256 ELSE p[i] END
+          for i in generate_series(1, 64)] AS p
+  FROM px0 WHERE asset_id % {_PHASH_MOD} = 0
+),
+m AS (SELECT asset_id, p, list_avg(p) AS mean FROM pxall),
+sig AS (
+  SELECT asset_id,
+         list_sum(list_transform(generate_series(1, 60),
+            i -> CASE WHEN p[i] > mean THEN 1::BIGINT << (i - 1)
+                 ELSE 0::BIGINT END))::BIGINT AS h
+  FROM m
+)
+SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       bit_count(xor(a.h, b.h)) AS hamming
+FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -1488,6 +1579,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
     "dup_span_profile": q_dup_span_profile,
+    "image_phash_dedup": q_image_phash_dedup,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -1513,4 +1605,5 @@ ORACLES_EXT10: dict[str, str] = {
     # not the answer — shares the exact-Jaccard-pairs oracle.
     "dedup_jaccard_ppjoin": _ORACLE_JACCARD,
     "dup_span_profile": _oracle_dup_span_profile(),
+    "image_phash_dedup": ORACLE_IMAGE_PHASH_DEDUP,
 }

@@ -1038,3 +1038,29 @@ def test_simhash_lane_capacity_enforced(spark):
     )
     out = simhash_pairs(ok, "id", "toks").collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_image_ahash_matches_reference(spark):
+    """aHash kernel vs a pure-Python bit-for-bit reference on adversarial
+    pixel payloads (all-equal pixels → no bit set; mean boundary strict)."""
+    import numpy as np
+
+    from fink_science_spark.operators.multimodal import image_ahash
+
+    rng = np.random.RandomState(7)
+    blobs = [bytes(rng.randint(0, 256, 64, dtype=np.uint8)) for _ in range(8)]
+    blobs.append(bytes([5] * 64))            # constant image: sig == 0
+    blobs.append(bytes(range(64)))           # ramp
+    blobs.append(bytes([0] * 63 + [255]))    # single bright pixel
+    rows = [(i, bytearray(b)) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "asset_id long, blob binary")
+    got = {
+        r["asset_id"]: r["ahash"]
+        for r in image_ahash(df, "asset_id", "blob").collect()
+    }
+    for i, b in enumerate(blobs):
+        px = np.frombuffer(b, dtype=np.uint8).astype(float)
+        mean = px.mean()
+        want = sum(1 << j for j in range(60) if px[j] > mean)
+        assert got[i] == want, i
+    assert got[8] == 0
