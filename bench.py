@@ -142,6 +142,7 @@ HEADLINE = [
     "dedup_jaccard_ppjoin",
     "dup_span_profile",
     "image_phash_dedup",
+    "semantic_dedup",
 ]
 
 

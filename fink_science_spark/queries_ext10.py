@@ -1526,6 +1526,101 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# semantic_dedup: SemDeDup-style semantic deduplication of the embedding
+# store — cluster with the TRAINED IVF coarse quantizer (the codebook is
+# shared with ann_ivf_topk via the per-dataset memo: train once, reuse
+# everywhere), then inside each cluster drop every vector that has an
+# earlier (smaller-id) neighbor with cosine >= tau. Keep-the-first is the
+# paper's keep-one-exemplar rule made deterministic.
+#
+# Scale shape: assignment is a pure-map Arrow kernel against the
+# broadcast codebook (vectors never shuffle for it); pruning shuffles
+# each vector ONCE to its cluster and is O(cell^2) per cell — the
+# SemDeDup contract is many clusters => small cells (same bounded-cell
+# caveat as cosine_pairs_bucketed's max_bucket, documented in
+# SCALING.md). Cosines are rounded to 9 decimals before every decision
+# on BOTH engine sides per the ANN determinism contract.
+# --------------------------------------------------------------------------
+
+_SEM_TAU = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster embeddings with the trained IVF codebook; greedily keep
+    the smallest-id exemplar among same-cluster vectors with cos >= tau."""
+    import numpy as np
+
+    from fink_science_spark.queries import _t
+    from fink_science_spark.queries_ext3 import _ivf_codebook
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    trained = _ivf_codebook(spark, sf_dir)
+    cent_ids = np.array([c for c, _ in trained], dtype=np.int64)
+    CENT = np.array([v for _, v in trained], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cent_ids, CENT))
+
+    def assign(batches):
+        import pandas as pd
+
+        ids_b, C = bc.value
+        nc = np.sqrt((C * C).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf["v"]), dtype=np.float64)
+            nm = np.sqrt((M * M).sum(axis=1))
+            S = np.round((M @ C.T) / (nm[:, None] * nc[None, :]), 9)
+            # argmax returns the FIRST max -> smallest cell id on ties,
+            # matching the oracle's (cos DESC, cell ASC) ranking
+            a = S.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cell": ids_b[a],
+                    "v": pdf["v"].values,
+                }
+            )
+
+    assigned = emb.mapInPandas(assign, "vec_id long, cell long, v array<double>")
+
+    def prune(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = np.array(list(pdf["v"]), dtype=np.float64)
+        nm = np.sqrt((M * M).sum(axis=1))
+        C = np.round((M @ M.T) / (nm[:, None] * nm[None, :]), 9)
+        dropped = np.triu(C >= _SEM_TAU, k=1).any(axis=0)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cell": pdf["cell"], "kept": ~dropped}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune, "vec_id long, cell long, kept boolean"
+    )
+
+
+def _oracle_semantic_dedup() -> str:
+    from fink_science_spark.queries_ext3 import _cos9_sql, _ivf_cells_cte_parts
+
+    parts = _ivf_cells_cte_parts()
+    parts.append(
+        f"""dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cos9_sql('a.v', 'b.v')} >= {_SEM_TAU!r})"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT c.vec_id, c.cell::BIGINT AS cell, (d.vec_id IS NULL) AS kept
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+    )
+
+
 ORACLE_IMAGE_PHASH_DEDUP = f"""
 WITH hx AS (
   SELECT doc_id AS asset_id,
@@ -1580,6 +1675,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
     "dup_span_profile": q_dup_span_profile,
     "image_phash_dedup": q_image_phash_dedup,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -1606,4 +1702,5 @@ ORACLES_EXT10: dict[str, str] = {
     "dedup_jaccard_ppjoin": _ORACLE_JACCARD,
     "dup_span_profile": _oracle_dup_span_profile(),
     "image_phash_dedup": ORACLE_IMAGE_PHASH_DEDUP,
+    "semantic_dedup": _oracle_semantic_dedup(),
 }

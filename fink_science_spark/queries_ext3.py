@@ -53,20 +53,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximin picks + unrolled Lloyd rounds in SQL) — cosines rounded to 9
     decimals before every argmax/argmin in both engines so assignment
     boundaries cannot flip on engine ulp noise."""
-    from fink_science_spark.operators.similarity import train_ivf_centroids
-
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     queries = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    trained = _IVF_CODEBOOKS.get(sf_dir)
-    if trained is None:
-        trained = train_ivf_centroids(
-            corpus, "cid", "cv", n_centroids=_IVF_CELLS, rounds=_IVF_ROUNDS,
-            oversample=_IVF_OVERSAMPLE,
-        )
-        _IVF_CODEBOOKS[sf_dir] = trained
+    trained = _ivf_codebook(spark, sf_dir)
     cents = spark.createDataFrame(
         trained, "centid long, centv array<double>"
     )
@@ -76,20 +68,41 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ann_ivf_topk() -> str:
-    """The trained-IVF oracle: k-means training unrolled round-by-round
-    as SQL CTEs (init = hash-ranked oversample + maximin greedy seed
-    picks unrolled one CTE per seed; per-dimension means rounded like
-    the engine's), then assignment, nprobe probing and in-cell exact
-    ranking."""
-    h = hash64_sql("vec_id::VARCHAR")
+def _ivf_codebook(spark: SparkSession, sf_dir: str) -> list:
+    """The trained coarse quantizer for ``sf_dir`` (process-memoized —
+    see _IVF_CODEBOOKS). Shared by every query that clusters the
+    embedding table with this codebook (ann_ivf_topk, semantic_dedup)."""
+    from fink_science_spark.operators.similarity import train_ivf_centroids
 
-    def cos9(a: str, b: str) -> str:
-        return (
-            f"round(list_inner_product({a}, {b}) / "
-            f"sqrt(list_inner_product({a}, {a}) * "
-            f"list_inner_product({b}, {b})), 9)"
+    trained = _IVF_CODEBOOKS.get(sf_dir)
+    if trained is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        corpus = emb.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
         )
+        trained = train_ivf_centroids(
+            corpus, "cid", "cv", n_centroids=_IVF_CELLS, rounds=_IVF_ROUNDS,
+            oversample=_IVF_OVERSAMPLE,
+        )
+        _IVF_CODEBOOKS[sf_dir] = trained
+    return trained
+
+
+def _cos9_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_inner_product({a}, {b}) / "
+        f"sqrt(list_inner_product({a}, {a}) * "
+        f"list_inner_product({b}, {b})), 9)"
+    )
+
+
+def _ivf_cells_cte_parts() -> list[str]:
+    """Oracle CTE chain replaying the full IVF training + final
+    assignment: ends with ``cells AS (vec_id, v, cell)`` and ``af`` (the
+    per-vector cell ranking). Shared prefix of every trained-codebook
+    oracle (ann_ivf_topk, semantic_dedup)."""
+    h = hash64_sql("vec_id::VARCHAR")
+    cos9 = _cos9_sql
 
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)",
@@ -140,6 +153,18 @@ def _oracle_ann_ivf_topk() -> str:
              ORDER BY {cos9('e.v', 'c.cv')} DESC, c.cell ASC) AS rn
   FROM e CROSS JOIN {prev} c)""",
         "cells AS (SELECT vec_id, v, cell FROM af WHERE rn = 1)",
+    ]
+    return parts
+
+
+def _oracle_ann_ivf_topk() -> str:
+    """The trained-IVF oracle: k-means training unrolled round-by-round
+    as SQL CTEs (init = hash-ranked oversample + maximin greedy seed
+    picks unrolled one CTE per seed; per-dimension means rounded like
+    the engine's), then assignment, nprobe probing and in-cell exact
+    ranking."""
+    parts = _ivf_cells_cte_parts()
+    parts += [
         f"qp AS (SELECT vec_id AS qid, cell FROM af "
         f"WHERE rn <= {_IVF_NPROBE} AND vec_id % 20 = 0)",
         "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 20 = 0)",

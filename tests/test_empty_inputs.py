@@ -255,3 +255,39 @@ def test_dup_span_profile_short_docs(spark):
     # doc 2 repeats its 7-token phrase but only WITHIN itself → not
     # corpus-duplicated (cross-doc metric), so zero as well
     assert out[2]["n_dup"] == 0
+
+
+def test_semantic_dedup_drops_planted_clone(spark):
+    """A vector and its exact clone (higher id) land in the same cell;
+    the clone must be dropped, the original kept."""
+    import numpy as np
+
+    from fink_science_spark.operators.similarity import train_ivf_centroids
+    from fink_science_spark.queries_ext10 import _SEM_TAU
+
+    assert _SEM_TAU < 1.0
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(32)]) for i in range(20)]
+    vecs.append((100, list(vecs[0][1])))  # exact clone of id 0
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    # miniature inline SemDeDup on a 2-cell codebook
+    import fink_science_spark.queries_ext10 as x
+    from unittest import mock
+
+    trained = train_ivf_centroids(
+        df.select(df.vec_id.alias("cid"), df.embedding.alias("cv")),
+        "cid", "cv", n_centroids=2, rounds=1,
+    )
+    with mock.patch(
+        "fink_science_spark.queries_ext3._ivf_codebook",
+        lambda _s, _d: trained,
+    ), mock.patch(
+        "fink_science_spark.queries._t", lambda _s, _d, _n: df
+    ):
+        out = {r["vec_id"]: r for r in x.q_semantic_dedup(spark, "unused").collect()}
+    # id 0 has no earlier neighbor, so it is always kept; its clone
+    # shares the cell and must be dropped
+    assert out[0]["kept"] is True
+    assert out[100]["kept"] is False
+    assert out[100]["cell"] == out[0]["cell"]
