@@ -57,6 +57,11 @@ QUERIES = [
     "lm_quality_buckets",
     "pq_compression",
     "pq_adc_topk",
+    # round-3 eighth wave: prefix-filter join, span profile, phash, semdedup
+    "dedup_jaccard_ppjoin",
+    "dup_span_profile",
+    "image_phash_dedup",
+    "semantic_dedup",
 ]
 
 OFFSET = 1 << 40
