@@ -113,14 +113,34 @@ COMMENTARY = {
         "vocabulary-sized shuffle of the naive groupBy never happens."
     ),
     "lm_quality_buckets": (
-        "LM tables broadcast back onto the exploded bigram stream; one "
-        "per-doc hash aggregation; tercile cutpoints from the histogram "
+        "The per-doc NLL table is localCheckpoint-materialized (it feeds "
+        "the cutpoint sketch AND the final projection), so the displayed "
+        "plan truncates to the checkpointed RDD. Upstream of it: LM "
+        "tables broadcast back onto the exploded bigram stream, one "
+        "per-doc hash aggregation, tercile cutpoints from the histogram "
         "sketch (1-row broadcast) instead of a single-partition ntile."
     ),
     "pq_adc_topk": (
         "Codes join a broadcast LUT — full vectors never appear in the "
         "scoring join; the per-query ranking window runs on 4-term "
         "exact-dyadic sums."
+    ),
+    "dedup_jaccard_ppjoin": (
+        "Prefix filtering: the candidate self-join reads only each doc's "
+        "frequency-ranked prefix tokens (explode of a slice), so stop-"
+        "shingle skew never reaches the join; the materialized signature "
+        "table (localCheckpoint) feeds prefix emission and both exact-"
+        "verify sides without re-running tokenize/shingle."
+    ),
+    "image_phash_dedup": (
+        "Arrow decode emits (id, 8-byte signature) — pixel blobs never "
+        "reach an exchange; the Hamming join is the shared pigeonhole "
+        "(chunk, value) equi-join with a ReusedExchange self-join."
+    ),
+    "semantic_dedup": (
+        "Cell assignment is a pure-map Arrow kernel against the broadcast "
+        "IVF codebook; vectors shuffle exactly once (to their cell) for "
+        "the per-cell prune kernel. No join, no second scan."
     ),
 }
 
