@@ -143,6 +143,7 @@ HEADLINE = [
     "dup_span_profile",
     "image_phash_dedup",
     "semantic_dedup",
+    "hll_distinct_portable",
 ]
 
 

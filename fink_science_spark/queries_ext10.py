@@ -1527,6 +1527,120 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# hll_distinct_portable: HyperLogLog cardinality WITH an exact cross-
+# engine oracle. Spark's approx_count_distinct is an engine-internal
+# sketch (rows-only checkable: approx_distinct); this operator is the
+# same mergeable-registers algorithm built from portable primitives so
+# DuckDB reproduces the ESTIMATE bit-for-bit:
+#   - register index / remainder from the md5-derived hash64
+#   - rank (leading-zero count) via bit-smear + bit_count — pure integer
+#     ops, no log2 (libm rounding differs across engines)
+#   - the 2^-max(rho) register sum carried as an exact BIGINT in the
+#     2^55-scaled integer domain (the dyadic-quantization contract)
+#   - the final estimate uses only IEEE-exact multiply/divide, no libm
+# Registers are max-mergeable => partial aggregation works map-side and
+# across shards/streams, the property that matters at 100 TB.
+# --------------------------------------------------------------------------
+
+_HLL_P = 6                      # 64 registers
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_WBITS = 60 - _HLL_P        # remainder bits in the 60-bit hash
+_HLL_SCALE = _HLL_WBITS + 1     # max rho = wbits+1 (all-zero remainder)
+
+
+def q_hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (user, day) pairs per event type via portable HLL."""
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.queries import _events_us
+
+    ev = _events_us(spark, sf_dir)
+    day_us = 24 * 3600 * 1_000_000
+    # integer epoch-day: the engine's timezone-free time convention
+    key = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.expr(f"ts_us DIV {day_us}").cast("string"),
+    )
+    h = hash64(key)
+    w = F.shiftright(h, _HLL_P)
+    # bit-smear: s = w | w>>1 | ... | w>>32  =>  bit_count(s) = bit_length(w)
+    s = w
+    for sh in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftright(s, sh))
+    rho = F.lit(_HLL_WBITS + 1) - F.bit_count(s)
+    regs = (
+        ev.select(
+            "event_type", F.pmod(h, F.lit(_HLL_M)).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    per = regs.groupBy("event_type").agg(
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(_HLL_SCALE) - F.col("mj")).cast("int"),
+            )
+        ).alias("s_obs"),
+        F.count("*").alias("n_obs"),
+    )
+    # registers never hit contribute 2^-0 = 1 (scaled: 2^SCALE each)
+    s_total = F.col("s_obs") + (F.lit(_HLL_M) - F.col("n_obs")) * F.lit(
+        1 << _HLL_SCALE
+    )
+    est = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)) / s_total
+    )
+    return per.select(
+        "event_type",
+        (F.lit(_HLL_M) - F.col("n_obs")).cast("int").alias("zero_regs"),
+        s_total.cast("long").alias("reg_sum_scaled"),
+        F.round(est, 2).alias("hll_estimate"),
+    )
+
+
+def _oracle_hll_distinct_portable() -> str:
+    from fink_science_spark.functions.hashing import hash64_sql
+
+    day_us = 24 * 3600 * 1_000_000
+    h = hash64_sql(f"user_id::VARCHAR || ':' || (ts_us // {day_us})::VARCHAR")
+    smear = "w"
+    for sh in (1, 2, 4, 8, 16, 32):
+        smear = f"({smear} | ({smear} >> {sh}))"
+    return f"""
+WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us FROM events),
+hx AS (SELECT event_type, {h} AS h FROM ev),
+wr AS (
+  SELECT event_type, h % {_HLL_M} AS reg, h >> {_HLL_P} AS w FROM hx
+),
+rho AS (
+  SELECT event_type, reg,
+         {_HLL_WBITS + 1} - bit_count({smear})::INT AS rho
+  FROM wr
+),
+regs AS (
+  SELECT event_type, reg, max(rho) AS mj FROM rho GROUP BY event_type, reg
+),
+per AS (
+  SELECT event_type,
+         sum((1::BIGINT << ({_HLL_SCALE} - mj)))::BIGINT AS s_obs,
+         count(*) AS n_obs
+  FROM regs GROUP BY event_type
+)
+SELECT event_type,
+       ({_HLL_M} - n_obs)::INT AS zero_regs,
+       (s_obs + ({_HLL_M} - n_obs) * (1::BIGINT << {_HLL_SCALE}))::BIGINT
+           AS reg_sum_scaled,
+       round({_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)!r}
+             / (s_obs + ({_HLL_M} - n_obs) * (1::BIGINT << {_HLL_SCALE})), 2)
+           AS hll_estimate
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # semantic_dedup: SemDeDup-style semantic deduplication of the embedding
 # store — cluster with the TRAINED IVF coarse quantizer (the codebook is
 # shared with ann_ivf_topk via the per-dataset memo: train once, reuse
@@ -1676,6 +1790,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_profile": q_dup_span_profile,
     "image_phash_dedup": q_image_phash_dedup,
     "semantic_dedup": q_semantic_dedup,
+    "hll_distinct_portable": q_hll_distinct_portable,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -1703,4 +1818,5 @@ ORACLES_EXT10: dict[str, str] = {
     "dup_span_profile": _oracle_dup_span_profile(),
     "image_phash_dedup": ORACLE_IMAGE_PHASH_DEDUP,
     "semantic_dedup": _oracle_semantic_dedup(),
+    "hll_distinct_portable": _oracle_hll_distinct_portable(),
 }

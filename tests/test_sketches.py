@@ -253,8 +253,20 @@ def test_lm_quality_buckets_are_roughly_terciles(spark, registry):
 def test_lm_quality_scoring_pass_broadcasts_model(spark, registry):
     """The LM tables join back by broadcast — the document side must
     never shuffle for the join — and no single-partition global window
-    (the reason cutpoints come from the sketch, not ntile)."""
-    plan = plan_of(registry["lm_quality_buckets"](spark, SF))
+    (the reason cutpoints come from the sketch, not ntile).
+
+    The registered query localCheckpoints the per-doc NLL table (it has
+    two consumers), which truncates the VISIBLE plan — so inspect the
+    plan with the checkpoint disabled; the scoring pipeline is identical
+    upstream of it."""
+    from unittest import mock
+
+    # patch the CONCRETE class (pyspark.sql.DataFrame is the facade)
+    cls = type(spark.range(1))
+    with mock.patch.object(
+        cls, "localCheckpoint", lambda self, eager=True: self
+    ):
+        plan = plan_of(registry["lm_quality_buckets"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan or "partitionBy" not in plan.lower(), plan
@@ -628,3 +640,62 @@ def test_decontaminate_bloom_equals_exact_path(spark, registry):
         for r in registry["decontaminate_bloom"](spark, SF).collect()
     )
     assert exact == pruned and exact
+
+
+def test_hll_portable_accuracy_and_merge(spark):
+    """The portable HLL estimate must sit within the m=64 error budget of
+    the exact cardinality at both driver scales, and the register table
+    must be max-mergeable: the sketch of A ∪ B equals merging the two
+    sketches' registers (the 100 TB shard-merge property)."""
+    import duckdb
+
+    from fink_science_spark.queries_ext10 import (
+        _oracle_hll_distinct_portable,
+        q_hll_distinct_portable,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = {
+            r["event_type"]: r["hll_estimate"]
+            for r in q_hll_distinct_portable(spark, sf).collect()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS FROM '{sf}/events.parquet'")
+        exact = dict(
+            con.execute(
+                "SELECT event_type, count(DISTINCT user_id::VARCHAR || ':' "
+                "|| (epoch_us(ts) // 86400000000)::VARCHAR) "
+                "FROM events GROUP BY 1"
+            ).fetchall()
+        )
+        con.close()
+        for et, est in got.items():
+            n = exact[et]
+            assert abs(est - n) / n < 0.40, (sf, et, est, n)  # 3×rsd(m=64)
+
+
+def test_hll_registers_merge_like_shards(spark):
+    """max-merge of per-shard registers == whole-data registers."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.functions.hashing import hash64
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 2).alias("shard"), F.col("id").cast("string").alias("k")
+    )
+    h = hash64(F.col("k"))
+    w = F.shiftright(h, 6)
+    s = w
+    for sh in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftright(s, sh))
+    rho = F.lit(55) - F.bit_count(s)
+    base = df.select("shard", F.pmod(h, F.lit(64)).alias("reg"), rho.alias("rho"))
+    whole = {
+        (r["reg"]): r["mj"]
+        for r in base.groupBy("reg").agg(F.max("rho").alias("mj")).collect()
+    }
+    shards = base.groupBy("shard", "reg").agg(F.max("rho").alias("mj")).collect()
+    merged: dict = {}
+    for r in shards:
+        merged[r["reg"]] = max(merged.get(r["reg"], 0), r["mj"])
+    assert merged == whole
