@@ -144,6 +144,7 @@ HEADLINE = [
     "image_phash_dedup",
     "semantic_dedup",
     "hll_distinct_portable",
+    "shard_manifest",
 ]
 
 

@@ -1527,6 +1527,64 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# shard_manifest: reproducible-training bookkeeping — one manifest row
+# per training shard with an ORDER-INDEPENDENT content checksum (bit_xor
+# of the 60-bit content hashes: any engine, any partitioning, any row
+# order produces the same fingerprint), token totals, and id bounds.
+# This is the artifact a training run pins so "the data changed" is a
+# one-row diff instead of a forensic exercise. Pure map + one
+# map-combinable aggregation; shard keys are md5-uniform (no skew).
+# --------------------------------------------------------------------------
+
+_MANIFEST_SHARDS = 8
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest: doc count, token total, xor content checksum."""
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.functions.text import token_count
+    from fink_science_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(
+            hash64(F.col("doc_id").cast("string"), seed="shuffle"),
+            F.lit(_MANIFEST_SHARDS),
+        ).cast("int").alias("shard"),
+        hash64("text").alias("__content"),
+        token_count("text").cast("long").alias("__ntok"),
+    )
+    return docs.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__ntok").alias("total_tokens"),
+        F.call_function("bit_xor", F.col("__content")).alias("content_checksum"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _oracle_shard_manifest() -> str:
+    from fink_science_spark.functions.hashing import hash64_sql
+    from fink_science_spark.functions.text import tokens_sql
+
+    h_shard = hash64_sql("doc_id::VARCHAR", seed="shuffle")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ({h_shard}) % {_MANIFEST_SHARDS} AS shard,
+         {hash64_sql('text')} AS content,
+         len({tokens_sql('text')})::BIGINT AS ntok
+  FROM documents
+)
+SELECT shard::INT AS shard, count(*) AS n_docs,
+       sum(ntok)::BIGINT AS total_tokens,
+       bit_xor(content) AS content_checksum,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM d GROUP BY shard
+"""
+
+
+# --------------------------------------------------------------------------
 # hll_distinct_portable: HyperLogLog cardinality WITH an exact cross-
 # engine oracle. Spark's approx_count_distinct is an engine-internal
 # sketch (rows-only checkable: approx_distinct); this operator is the
@@ -1791,6 +1849,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_phash_dedup": q_image_phash_dedup,
     "semantic_dedup": q_semantic_dedup,
     "hll_distinct_portable": q_hll_distinct_portable,
+    "shard_manifest": q_shard_manifest,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -1819,4 +1878,5 @@ ORACLES_EXT10: dict[str, str] = {
     "image_phash_dedup": ORACLE_IMAGE_PHASH_DEDUP,
     "semantic_dedup": _oracle_semantic_dedup(),
     "hll_distinct_portable": _oracle_hll_distinct_portable(),
+    "shard_manifest": _oracle_shard_manifest(),
 }

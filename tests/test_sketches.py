@@ -699,3 +699,32 @@ def test_hll_registers_merge_like_shards(spark):
     for r in shards:
         merged[r["reg"]] = max(merged.get(r["reg"], 0), r["mj"])
     assert merged == whole
+
+
+def test_shard_manifest_checksum_partitioning_independent(spark):
+    """The xor content checksum must be identical under adversarial
+    repartitionings — the property that makes the manifest comparable
+    across clusters and runs."""
+    from fink_science_spark.queries_ext10 import q_shard_manifest
+
+    base = {
+        r["shard"]: r["content_checksum"]
+        for r in q_shard_manifest(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    from unittest import mock
+
+    import fink_science_spark.queries as Q
+
+    orig_t = Q._t
+
+    def shuffled_t(s, d, name):
+        df = orig_t(s, d, name)
+        return df.repartition(13) if name == "documents" else df
+
+    with mock.patch("fink_science_spark.queries._t", shuffled_t):
+        shuffled = {
+            r["shard"]: r["content_checksum"]
+            for r in q_shard_manifest(spark, "/root/testdata/sf0.001").collect()
+        }
+    assert shuffled == base
