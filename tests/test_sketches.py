@@ -728,3 +728,35 @@ def test_shard_manifest_checksum_partitioning_independent(spark):
             for r in q_shard_manifest(spark, "/root/testdata/sf0.001").collect()
         }
     assert shuffled == base
+
+
+def test_long_array_literal_fast_and_fallback_paths_agree(spark):
+    """The JVM bulk-fill literal must equal F.lit(np array) element-wise,
+    and the numpy fallback must engage cleanly when no gateway exists."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.operators.sketches import _long_array_literal
+
+    vals = [0, 1, -1, (1 << 62), -(1 << 62), 123456789]
+    fast = _long_array_literal(vals)
+    slow = F.lit(np.asarray(vals, dtype=np.int64))
+    df = spark.range(1).select(fast.alias("a"), slow.alias("b"))
+    row = df.first()
+    assert list(row["a"]) == vals == list(row["b"])
+
+    # force the fallback by handing the builder a session stub with no
+    # usable gateway (the Connect-mode shape)
+    from unittest import mock
+
+    class _NoGateway:
+        @property
+        def _jvm(self):
+            raise RuntimeError("no py4j gateway")
+
+    with mock.patch(
+        "pyspark.sql.SparkSession.getActiveSession", staticmethod(_NoGateway)
+    ):
+        fb = _long_array_literal(vals)
+    assert list(spark.range(1).select(fb.alias("a")).first()["a"]) == vals
