@@ -554,9 +554,11 @@ def jaccard_ppjoin_pairs(
     # same array serves BOTH prefix emission and exact verification, so
     # the tokenize/shingle subtree is never re-evaluated.
     # ordered feeds THREE consumers (prefix explode + both verification
-    # sides) — materialize it once (it IS the doc-signature table, the
-    # same artifact a persisted LSH index stores) instead of re-running
-    # tokenize→explode→frequency-join→collect three times.
+    # sides), all inside ONE job — Spark's ReusedExchange computes the
+    # canonical groupBy(__id) subtree once and shares it, so an explicit
+    # localCheckpoint here is pure overhead (measured +0.4 s at sf0.1).
+    # Checkpointing only pays when consumers are separate ACTIONS, as in
+    # decontaminate_bloom's count()/bitset-build/join sequence.
     ordered = (
         inv.join(dfreq, "__g")
         .groupBy("__id")
@@ -566,7 +568,6 @@ def jaccard_ppjoin_pairs(
             F.transform("__o", lambda s: s["__g"]).alias("__toks"),
             F.size("__o").alias("__n"),
         )
-        .localCheckpoint(eager=False)
     )
 
     prefix_len = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")

@@ -128,9 +128,10 @@ COMMENTARY = {
     "dedup_jaccard_ppjoin": (
         "Prefix filtering: the candidate self-join reads only each doc's "
         "frequency-ranked prefix tokens (explode of a slice), so stop-"
-        "shingle skew never reaches the join; the materialized signature "
-        "table (localCheckpoint) feeds prefix emission and both exact-"
-        "verify sides without re-running tokenize/shingle."
+        "shingle skew never reaches the join; the signature subtree is "
+        "shared by prefix emission and both exact-verify sides via "
+        "ReusedExchange (one computation, no checkpoint needed within "
+        "a single job)."
     ),
     "image_phash_dedup": (
         "Arrow decode emits (id, 8-byte signature) — pixel blobs never "
