@@ -145,6 +145,7 @@ HEADLINE = [
     "semantic_dedup",
     "hll_distinct_portable",
     "shard_manifest",
+    "stream_dedup_lsh",
 ]
 
 

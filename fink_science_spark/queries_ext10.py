@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fink_science_spark.queries_ext import (
+    ORACLE_DEDUP_MINHASH_LSH as _ORACLE_MINHASH,
     ORACLE_DEDUP_NGRAM_JACCARD as _ORACLE_JACCARD,
     _doc_shingles,
 )
@@ -1527,6 +1528,148 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# stream_dedup_lsh: NEAR-duplicate detection on the streaming surface —
+# the MinHash band index lives in streaming STATE instead of a stored
+# table. Each micro-batch computes its own band rows (shingle + md5
+# signature per row — a narrow map, no aggregation before the stateful
+# operator); state keyed by (band, band_hash) holds the ids seen in
+# that bucket; a new arrival emits candidate pairs against the bucket's
+# history plus within-batch pairs, then joins the bucket. The final
+# pair SET is independent of how the stream is chunked (every
+# same-bucket pair is emitted exactly when its later element arrives),
+# so the verified output equals the batch dedup_minhash_lsh answer and
+# SHARES ITS ORACLE. State size = the band index itself — the same
+# artifact dedup_incremental persists to parquet, here owned by the
+# state store (RocksDB in production).
+# --------------------------------------------------------------------------
+
+
+def q_stream_dedup_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    source_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup pairs == batch dedup_minhash_lsh.
+
+    ``source_dir``/``max_files_per_trigger`` let tests stream the same
+    documents from a multi-file split one file per trigger, proving the
+    band-index state survives micro-batch boundaries; the registered
+    form streams the single sf parquet (one availableNow batch)."""
+    import hashlib
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from fink_science_spark.functions.hashing import (
+        MINHASH_PRIME,
+        minhash_perm_coeffs,
+    )
+    from fink_science_spark.functions.text import tokens, word_shingles
+    from fink_science_spark.queries_ext import _MH_BANDS, _MH_NUM, _doc_shingles
+    from fink_science_spark.streaming.shell import scoped_shuffle_partitions
+
+    rpb = _MH_NUM // _MH_BANDS
+    coeffs = minhash_perm_coeffs(_MH_NUM)
+
+    def band_rows(batches):
+        # Python twin of the hash28→min-perm signature (bit-identical to
+        # the JVM/oracle family — pinned by test_properties), computed
+        # per row because the stateful operator below must be the ONLY
+        # aggregation in the streaming query.
+        for pdf in batches:
+            ids, bands, keys = [], [], []
+            for rid, shingles in zip(pdf["doc_id"], pdf["shingles"]):
+                hs = [
+                    int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+                    for s in shingles
+                ]
+                sig = [
+                    min((a * h + b) % MINHASH_PRIME for h in hs)
+                    for (a, b) in coeffs
+                ]
+                for bnd in range(_MH_BANDS):
+                    ids.append(rid)
+                    bands.append(bnd)
+                    keys.append(
+                        ",".join(
+                            str(x) for x in sig[bnd * rpb : (bnd + 1) * rpb]
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": keys})
+
+    def update(key, pdfs, state: GroupState):
+        seen = list(state.get[0]) if state.exists else []
+        new_ids: list[int] = []
+        for pdf in pdfs:
+            for x in pdf["doc_id"]:
+                xi = int(x)
+                if xi not in seen and xi not in new_ids:
+                    new_ids.append(xi)
+        a_out, b_out = [], []
+        for i, nid in enumerate(new_ids):
+            for old in seen + new_ids[i + 1 :]:
+                lo, hi = (old, nid) if old < nid else (nid, old)
+                a_out.append(lo)
+                b_out.append(hi)
+        state.update((seen + new_ids,))
+        yield pd.DataFrame({"id_a": a_out, "id_b": b_out})
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    with scoped_shuffle_partitions(spark, 8):
+        reader = spark.readStream.schema(schema).format("parquet")
+        if source_dir is None:
+            reader = reader.option("pathGlobFilter", "documents.parquet")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = reader.load(source_dir or sf_dir)
+        docs = stream.select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokens("text"), 3)).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+        rows = docs.mapInPandas(
+            band_rows, schema="doc_id long, band int, band_hash string"
+        )
+        cands = rows.groupBy("band", "band_hash").applyInPandasWithState(
+            update,
+            outputStructType="id_a long, id_b long",
+            stateStructType="ids array<long>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"sdl_{uuid.uuid4().hex[:8]}"
+        q = (
+            cands.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    pair_rows = spark.table(name).dropDuplicates(["id_a", "id_b"]).collect()
+    spark.catalog.dropTempView(name)
+    pairs = spark.createDataFrame(
+        [(r["id_a"], r["id_b"]) for r in pair_rows] or [],
+        "id_a long, id_b long",
+    )
+    sets = _doc_shingles(spark, sf_dir).select("doc_id", "shingles")
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jacc = inter / (F.size("__sa") + F.size("__sb") - inter)
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
 # shard_manifest: reproducible-training bookkeeping — one manifest row
 # per training shard with an ORDER-INDEPENDENT content checksum (bit_xor
 # of the 60-bit content hashes: any engine, any partitioning, any row
@@ -1850,6 +1993,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "hll_distinct_portable": q_hll_distinct_portable,
     "shard_manifest": q_shard_manifest,
+    "stream_dedup_lsh": q_stream_dedup_lsh,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -1879,4 +2023,8 @@ ORACLES_EXT10: dict[str, str] = {
     "semantic_dedup": _oracle_semantic_dedup(),
     "hll_distinct_portable": _oracle_hll_distinct_portable(),
     "shard_manifest": _oracle_shard_manifest(),
+    # stream_dedup_lsh: the chunk-independent candidate emission makes
+    # the verified streaming answer equal the batch LSH pairs — shares
+    # dedup_minhash_lsh's oracle.
+    "stream_dedup_lsh": _ORACLE_MINHASH,
 }

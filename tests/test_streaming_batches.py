@@ -545,3 +545,43 @@ def test_append_finalization_across_batches(spark):
     assert "2024-01-02" in starts, starts
     # open windows at termination are never emitted
     assert "2024-01-19" not in starts and "2024-01-20" not in starts, starts
+
+
+def test_stream_dedup_lsh_across_batches(spark):
+    """The streaming LSH band index must accumulate across micro-batches:
+    documents split into 3 files and streamed one file per trigger give
+    EXACTLY the batch dedup_minhash_lsh pair set (pairs that span batches
+    only exist if the bucket state survives the trigger boundary)."""
+    from fink_science_spark.operators.dedup import minhash_lsh_pairs
+    from fink_science_spark.queries_ext import _MH_BANDS, _MH_NUM, _doc_shingles
+    from fink_science_spark.queries_ext10 import q_stream_dedup_lsh
+
+    src = os.path.join(SCRATCH, "stream_lsh_multibatch_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    docs.withColumn("__p", (F.col("doc_id") % 3).cast("int")).repartition(
+        3, "__p"
+    ).drop("__p").write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            _doc_shingles(spark, SF),
+            "doc_id",
+            tokens_col="shingles",
+            num_hashes=_MH_NUM,
+            bands=_MH_BANDS,
+            jaccard_threshold=0.5,
+            shingles_col="shingles",
+        ).collect()
+    }
+    assert batch, "fixture must contain near-dup pairs"
+
+    streamed = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in q_stream_dedup_lsh(
+            spark, SF, source_dir=src, max_files_per_trigger=1
+        ).collect()
+    }
+    assert streamed == batch
