@@ -146,6 +146,7 @@ HEADLINE = [
     "hll_distinct_portable",
     "shard_manifest",
     "stream_dedup_lsh",
+    "temperature_mix_sample",
 ]
 
 

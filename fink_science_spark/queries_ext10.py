@@ -1528,6 +1528,94 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# temperature_mix_sample: the multilingual temperature-sampling recipe —
+# resample languages toward p_l^alpha / sum(p^alpha) with alpha = 0.5,
+# flattening the head (en) and boosting the tail, with per-doc keep
+# rates DERIVED FROM THE CORPUS (two-phase: one tiny count aggregation,
+# rates broadcast back, then the same md5-uniform per-row draw as
+# domain_mix_sample — no RNG state, no second shuffle).
+#
+# Determinism contract: alpha = 0.5 so the exponent is sqrt — correctly
+# rounded by IEEE in every engine (general pow is libm and diverges);
+# each sqrt share is floor-quantized to a 2^-40 dyadic BEFORE the
+# cross-language sum, so the normalizer is an exact small-integer sum in
+# the double domain, not an order-dependent float fold.
+# --------------------------------------------------------------------------
+
+_TMIX_KEEP = 0.5  # target kept fraction of the corpus
+_TMIX_Q = float(1 << 40)
+
+
+def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature resampling over the lang column."""
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.queries import _t
+    from fink_science_spark.queries_ext6 import _U_DENOM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = counts.agg(F.sum("n_l").alias("n_tot"))
+    q_share = F.floor(
+        F.sqrt(F.col("n_l") / F.col("n_tot")) * F.lit(_TMIX_Q)
+    )  # exact 2^-40 dyadic numerator
+    shares = counts.join(F.broadcast(tot)).select(
+        "lang", "n_l", "n_tot", q_share.alias("__q")
+    )
+    norm = shares.agg(F.sum("__q").alias("__qsum"))  # exact integer sum
+    rates = shares.join(F.broadcast(norm)).select(
+        "lang",
+        "n_l",
+        F.least(
+            F.lit(1.0),
+            (F.col("__q") / F.col("__qsum"))
+            * F.lit(_TMIX_KEEP)
+            * (F.col("n_tot") / F.col("n_l")),
+        ).alias("keep_rate"),
+    )
+    u = F.round(
+        hash64(F.col("doc_id").cast("string"), seed="tmix") / F.lit(_U_DENOM), 9
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("keep_rate"))
+        .select(
+            "doc_id", "lang", F.round("keep_rate", 9).alias("keep_rate"), "u"
+        )
+    )
+
+
+def _oracle_temperature_mix_sample() -> str:
+    from fink_science_spark.functions.hashing import hash64_sql
+    from fink_science_spark.queries_ext6 import _U_DENOM
+
+    return f"""
+WITH counts AS (SELECT lang, count(*)::BIGINT AS n_l FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_l)::BIGINT AS n_tot FROM counts),
+shares AS (
+  SELECT lang, n_l, n_tot,
+         floor(sqrt(n_l / n_tot::DOUBLE) * {_TMIX_Q!r}) AS q
+  FROM counts CROSS JOIN tot
+),
+norm AS (SELECT sum(q) AS qsum FROM shares),
+rates AS (
+  SELECT lang, n_l,
+         least(1.0, (q / qsum) * {_TMIX_KEEP!r} * (n_tot / n_l::DOUBLE))
+             AS keep_rate
+  FROM shares CROSS JOIN norm
+),
+draws AS (
+  SELECT d.doc_id, d.lang, r.keep_rate,
+         round({hash64_sql('doc_id::VARCHAR', seed='tmix')} / {_U_DENOM!r}, 9)
+             AS u
+  FROM documents d JOIN rates r USING (lang)
+)
+SELECT doc_id, lang, round(keep_rate, 9) AS keep_rate, u
+FROM draws WHERE u < keep_rate
+"""
+
+
+# --------------------------------------------------------------------------
 # stream_dedup_lsh: NEAR-duplicate detection on the streaming surface —
 # the MinHash band index lives in streaming STATE instead of a stored
 # table. Each micro-batch computes its own band rows (shingle + md5
@@ -1994,6 +2082,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_portable": q_hll_distinct_portable,
     "shard_manifest": q_shard_manifest,
     "stream_dedup_lsh": q_stream_dedup_lsh,
+    "temperature_mix_sample": q_temperature_mix_sample,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -2027,4 +2116,5 @@ ORACLES_EXT10: dict[str, str] = {
     # the verified streaming answer equal the batch LSH pairs — shares
     # dedup_minhash_lsh's oracle.
     "stream_dedup_lsh": _ORACLE_MINHASH,
+    "temperature_mix_sample": _oracle_temperature_mix_sample(),
 }
