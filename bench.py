@@ -147,6 +147,7 @@ HEADLINE = [
     "shard_manifest",
     "stream_dedup_lsh",
     "temperature_mix_sample",
+    "hard_negatives",
 ]
 
 

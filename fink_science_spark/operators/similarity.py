@@ -156,6 +156,7 @@ def cosine_topk_blocked(
     k: int = 5,
     nbits: int | None = None,
     dim: int | None = None,
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors per query via a vectorized block kernel —
     the scale path for brute-force AND bucketed ANN.
@@ -168,6 +169,9 @@ def cosine_topk_blocked(
     #partitions × #queries × (k+1) rows instead of |corpus| × |queries|.
     With ``nbits`` set, both sides are bucketed by sign-random-projection
     LSH and scores are masked to same-bucket pairs (the approximate path).
+    With ``band = (lo, hi)`` only pairs with lo <= cos < hi (on the
+    9-decimal-rounded score, matching the rank quantization) are ranked —
+    the hard-negative-mining shape: "similar but not near-duplicate".
 
     At 100 TB: corpus scan is embarrassingly parallel, no shuffle until
     the tiny top-k merge; this is the standard distributed ANN shape.
@@ -212,6 +216,9 @@ def cosine_topk_blocked(
             if H is not None:
                 cbucket = ((C @ H.T) > 0).astype(np.int64) @ (1 << np.arange(len(H)))
                 S = np.where(cbucket[:, None] == qbucket[None, :], S, -np.inf)
+            if band is not None:
+                Sr = np.round(S, 9)
+                S = np.where((Sr >= band[0]) & (Sr < band[1]), S, -np.inf)
             yield _local_topk_frame(S, qids, cids, local_k)
 
     candidates = corpus.select(corpus_id, corpus_vec).mapInPandas(

@@ -1528,6 +1528,65 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# hard_negatives: contrastive-training pair mining — for each anchor,
+# the top-k corpus vectors inside the "similar but NOT near-duplicate"
+# cosine band [lo, hi). Positives come from the dedup family
+# (semantic_dedup / dedup_embedding_cosine); this supplies the hard
+# negatives that make the embedding model actually learn margins.
+#
+# Scale shape: the anchor batch is the bounded side (the ANN contract,
+# SCALING.md) — it broadcasts onto one corpus scan; the band filter
+# sits below the per-anchor top-k window so out-of-band rows never
+# reach the rank exchange. Cosines round to 9 decimals before the rank
+# (ties -> smallest corpus id), per the ANN determinism contract.
+# --------------------------------------------------------------------------
+
+_HN_LO, _HN_HI, _HN_K = 0.15, 0.30, 3
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 in-band (0.15 <= cos < 0.30) negatives per anchor vector,
+    via the ANN block kernel with band masking (one corpus scan, local
+    top-k per partition, tiny merge)."""
+    from fink_science_spark.operators.similarity import cosine_topk_blocked
+    from fink_science_spark.queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = cosine_topk_blocked(
+        corpus, anchors, "cid", "cv", "aid", "av",
+        k=_HN_K, band=(_HN_LO, _HN_HI),
+    )
+    return out.select("aid", F.col("cid").alias("neg_id"), "rank", "cos")
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+a AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT a.aid, e.vec_id,
+         round(list_inner_product(a.av, e.v) /
+               sqrt(list_inner_product(a.av, a.av) *
+                    list_inner_product(e.v, e.v)), 9) AS cosr
+  FROM a JOIN e ON e.vec_id != a.aid
+),
+banded AS (
+  SELECT aid, vec_id, cosr,
+         row_number() OVER (PARTITION BY aid
+             ORDER BY cosr DESC, vec_id ASC) AS rank
+  FROM scored WHERE cosr >= {_HN_LO!r} AND cosr < {_HN_HI!r}
+)
+SELECT aid, vec_id AS neg_id, rank, round(cosr, 6) AS cos
+FROM banded WHERE rank <= {_HN_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # temperature_mix_sample: the multilingual temperature-sampling recipe —
 # resample languages toward p_l^alpha / sum(p^alpha) with alpha = 0.5,
 # flattening the head (en) and boosting the tail, with per-doc keep
@@ -2083,6 +2142,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "stream_dedup_lsh": q_stream_dedup_lsh,
     "temperature_mix_sample": q_temperature_mix_sample,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -2117,4 +2177,5 @@ ORACLES_EXT10: dict[str, str] = {
     # dedup_minhash_lsh's oracle.
     "stream_dedup_lsh": _ORACLE_MINHASH,
     "temperature_mix_sample": _oracle_temperature_mix_sample(),
+    "hard_negatives": ORACLE_HARD_NEGATIVES,
 }
