@@ -2119,6 +2119,128 @@ WHERE bit_count(xor(a.h, b.h)) <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# dsir_select: Data Selection via Importance Resampling (Xie et al. 2023)
+# — score every document by how much its hashed-unigram profile looks
+# like a TARGET domain (here: lang='en') relative to the raw corpus,
+# then keep the top-K. The standard "pick pretraining data that matches
+# the downstream distribution" move.
+#
+#   feature b(tok)   = hash64(tok) mod B          (B tiny, e.g. 64)
+#   weight  lw_b     = ln( p_target(b) / q_raw(b) )   (Laplace +1)
+#   score(doc)       = sum over tokens of lw_{b(tok)}
+#
+# Scale shape: the token stream is the ONLY large flow and it feeds two
+# map-combinable hash aggregates — (bucket) counts for the weight table
+# (B rows, broadcast back) and (doc_id, bucket) counts for scoring; the
+# final top-K is a tiny global sort. No join ever carries the corpus.
+# Determinism: weights are dyadically quantized integers (2^-20 lanes),
+# so the per-doc score is an EXACT int64 sum — engine/order independent
+# — divided by a power of two only at output.
+# --------------------------------------------------------------------------
+
+_DSIR_B = 64  # hashed-feature buckets
+_DSIR_K = 25  # selected documents
+_DSIR_TARGET_LANG = "en"
+_DSIR_Q = float(1 << 20)  # dyadic weight-quantization lanes
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.functions.hashing import hash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(toks).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(hash64(F.col("w"), seed="dsir"), F.lit(_DSIR_B)).alias("bucket"),
+    )
+    # weight table: B rows — target (lang='en') vs raw bucket counts
+    wt = tok.groupBy("bucket").agg(
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = wt.agg(F.sum("ct").alias("__nt"), F.sum("cr").alias("__nr"))
+    # ln((ct+1)/(nt+B) / ((cr+1)/(nr+B))) as an exact int64 lane value
+    lw_q = F.floor(
+        F.log(
+            ((F.col("ct") + F.lit(1)) * (F.col("__nr") + F.lit(_DSIR_B))).cast(
+                "double"
+            )
+            / ((F.col("cr") + F.lit(1)) * (F.col("__nt") + F.lit(_DSIR_B))).cast(
+                "double"
+            )
+        )
+        * F.lit(_DSIR_Q)
+        + F.lit(0.5)
+    ).cast("long")
+    weights = wt.join(F.broadcast(tot)).select("bucket", lw_q.alias("lw_q"))
+    per_doc = (
+        tok.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("lw_q")).alias("score_q"),
+            F.sum("c").alias("n_tok"),
+        )
+    )
+    score = F.floor(
+        F.col("score_q").cast("double") / F.lit(_DSIR_Q) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tok", score.alias("dsir_score"))
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(_DSIR_K)
+    )
+
+
+ORACLE_DSIR_SELECT = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir:' || w), 1, 15))::BIGINT % {_DSIR_B} AS bucket
+  FROM (
+    SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS w
+    FROM documents
+  )
+),
+wt AS (
+  SELECT bucket,
+         count(*) FILTER (lang = '{_DSIR_TARGET_LANG}')::BIGINT AS ct,
+         count(*)::BIGINT AS cr
+  FROM tok GROUP BY bucket
+),
+tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM wt),
+weights AS (
+  SELECT bucket,
+         CAST(floor(ln(CAST((ct + 1) * (nr + {_DSIR_B}) AS DOUBLE)
+                       / CAST((cr + 1) * (nt + {_DSIR_B}) AS DOUBLE))
+                    * {_DSIR_Q!r} + 0.5) AS BIGINT) AS lw_q
+  FROM wt, tot
+),
+per_doc AS (
+  SELECT t.doc_id, sum(t.c * w.lw_q)::BIGINT AS score_q,
+         sum(t.c)::BIGINT AS n_tok
+  FROM (SELECT doc_id, bucket, count(*)::BIGINT AS c
+        FROM tok GROUP BY doc_id, bucket) t
+  JOIN weights w USING (bucket)
+  GROUP BY t.doc_id
+)
+SELECT p.doc_id, d.lang, p.n_tok,
+       floor(CAST(p.score_q AS DOUBLE) / {_DSIR_Q!r} * 1e6 + 0.5) / 1e6
+         AS dsir_score
+FROM per_doc p JOIN documents d USING (doc_id)
+ORDER BY dsir_score DESC, p.doc_id
+LIMIT {_DSIR_K}
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -2143,6 +2265,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_lsh": q_stream_dedup_lsh,
     "temperature_mix_sample": q_temperature_mix_sample,
     "hard_negatives": q_hard_negatives,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -2178,4 +2301,5 @@ ORACLES_EXT10: dict[str, str] = {
     "stream_dedup_lsh": _ORACLE_MINHASH,
     "temperature_mix_sample": _oracle_temperature_mix_sample(),
     "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "dsir_select": ORACLE_DSIR_SELECT,
 }
