@@ -46,17 +46,23 @@ def tokens_sql(expr: str) -> str:
 
 def word_shingles(tok: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles of a token array: space-joined windows of n
-    consecutive tokens. Empty array when fewer than n tokens."""
+    consecutive tokens. Empty array when fewer than n tokens.
+
+    Implementation: n bulk ``slice`` copies zipped with cheap string
+    concats — measured ~5× faster than the per-window
+    ``transform(sequence, i -> concat_ws(slice(t, i, n)))`` form (one
+    interpreted array alloc per shingle) and byte-identical to it.
+    ``zip_with`` folds right-associated: (t1, (t2, (... tn)))."""
     t = F.col(tok) if isinstance(tok, str) else tok
     count = F.size(t) - (n - 1)
-    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
-    # guard short docs explicitly (duckdb's generate_series is empty there).
-    return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(t, i, n))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    shifted = [F.slice(t, i + 1, count) for i in range(n)]
+    joined = shifted[-1]
+    for s in reversed(shifted[:-1]):
+        joined = F.zip_with(s, joined, lambda x, y: F.concat(x, F.lit(" "), y))
+    # NB: the count >= 1 guard keeps short docs empty (and keeps the
+    # negative-length slices above unevaluated — CaseWhen branches are
+    # lazy); duckdb's generate_series twin is empty there too.
+    return F.when(count >= 1, joined).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles_sql(tokens_expr: str, n: int = 3) -> str:

@@ -1726,27 +1726,58 @@ def q_stream_dedup_lsh(
         # Python twin of the hash28→min-perm signature (bit-identical to
         # the JVM/oracle family — pinned by test_properties), computed
         # per row because the stateful operator below must be the ONLY
-        # aggregation in the streaming query.
+        # aggregation in the streaming query. Vectorized: md5 once per
+        # UNIQUE shingle (batch-level cache), all 16 affine permutations
+        # as one numpy broadcast, per-doc mins via minimum.reduceat —
+        # exact int64 arithmetic, no per-token Python loop (the naive
+        # row-loop form measured ~17 s at sf0.1; this is ~1 s).
+        import numpy as np
+
+        arr_a = np.array([a for a, _ in coeffs], dtype=np.int64)
+        arr_b = np.array([b for _, b in coeffs], dtype=np.int64)
+        cache: dict[str, int] = {}
+
+        def h28(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+                cache[s] = v
+            return v
+
         for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"doc_id": [], "band": [], "band_hash": []}
+                ).astype({"doc_id": "int64", "band": "int32"})
+                continue
+            sh_lists = pdf["shingles"].tolist()
+            lens = np.array([len(s) for s in sh_lists], dtype=np.int64)
+            hs = np.array(
+                [h28(s) for lst in sh_lists for s in lst], dtype=np.int64
+            )
+            offsets = np.zeros(len(sh_lists), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            # (num_hashes, total_tokens) permuted hashes; a,h < 2^28 so
+            # a*h + b < 2^57 — exact in int64
+            perms = (arr_a[:, None] * hs[None, :] + arr_b[:, None]) % MINHASH_PRIME
+            sig = np.minimum.reduceat(perms, offsets, axis=1)  # (16, n_docs)
+            n_docs = sig.shape[1]
+            doc_ids = pdf["doc_id"].to_numpy()
             ids, bands, keys = [], [], []
-            for rid, shingles in zip(pdf["doc_id"], pdf["shingles"]):
-                hs = [
-                    int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
-                    for s in shingles
-                ]
-                sig = [
-                    min((a * h + b) % MINHASH_PRIME for h in hs)
-                    for (a, b) in coeffs
-                ]
-                for bnd in range(_MH_BANDS):
-                    ids.append(rid)
-                    bands.append(bnd)
-                    keys.append(
-                        ",".join(
-                            str(x) for x in sig[bnd * rpb : (bnd + 1) * rpb]
-                        )
-                    )
-            yield pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": keys})
+            for bnd in range(_MH_BANDS):
+                part = sig[bnd * rpb : (bnd + 1) * rpb]
+                ids.append(doc_ids)
+                bands.append(np.full(n_docs, bnd, dtype=np.int32))
+                keys.extend(
+                    ",".join(str(x) for x in part[:, j]) for j in range(n_docs)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "band": np.concatenate(bands),
+                    "band_hash": keys,
+                }
+            )
 
     def update(key, pdfs, state: GroupState):
         seen = list(state.get[0]) if state.exists else []
@@ -1766,7 +1797,12 @@ def q_stream_dedup_lsh(
         yield pd.DataFrame({"id_a": a_out, "id_b": b_out})
 
     schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
-    with scoped_shuffle_partitions(spark, 8):
+    # the stateful stage's cost is per-GROUP Python overhead (~20k
+    # (band, band_hash) groups at sf0.1), so width = all cores, unlike
+    # the low-cardinality streaming aggs that scope partitions DOWN to
+    # cut micro-batch task overhead (8 → 32 measured 9.8 → 5.9 s).
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    with scoped_shuffle_partitions(spark, n_part):
         reader = spark.readStream.schema(schema).format("parquet")
         if source_dir is None:
             reader = reader.option("pathGlobFilter", "documents.parquet")
@@ -2241,6 +2277,138 @@ LIMIT {_DSIR_K}
 """
 
 
+# --------------------------------------------------------------------------
+# funnel_steps: multi-step conversion funnel (view → click → purchase,
+# strictly increasing timestamps) — the product-analytics staple
+# (ClickHouse windowFunnel / Amplitude funnels). Earliest-chain greedy
+# semantics: a step-k event qualifies iff some qualified step-(k-1)
+# event happened STRICTLY earlier; per-user chains never leave their
+# window partition.
+#
+# Scale shape: ONE shuffle (events hash-partitioned by user_id); all
+# three step qualifications are chained running-mins over the same
+# window spec, so Catalyst plans a single sort + single exchange; the
+# output is a 3-row summary from one map-combinable distinct-count agg.
+# Determinism: window order is (ts_us, event_id) — a total order; rates
+# are floor-quantized from exact int64 counts.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.queries import _events_us
+
+    s1, s2, s3 = _FUNNEL_STEPS
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_us")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t1p = F.min(F.when(F.col("event_type") == s1, F.col("ts_us"))).over(w)
+    step2 = ev.withColumn(
+        "q2_ts",
+        F.when(
+            (F.col("event_type") == s2) & (t1p < F.col("ts_us")), F.col("ts_us")
+        ),
+    )
+    t2p = F.min("q2_ts").over(w)
+    step3 = step2.withColumn(
+        "q3",
+        (F.col("event_type") == s3) & (t2p < F.col("ts_us")),
+    )
+    # per-user step flags first: the groupBy reuses the window's
+    # user_id hash partitioning (no new exchange, no 3-way Expand from a
+    # multi-countDistinct); the global agg then sums |users| tiny rows.
+    per_user = step3.groupBy("user_id").agg(
+        F.max(F.col("event_type") == s1).alias("r1"),
+        F.max(F.col("q2_ts").isNotNull()).alias("r2"),
+        F.max(F.col("q3")).alias("r3"),
+    )
+    agg = per_user.agg(
+        F.sum(F.col("r1").cast("long")).alias("u1"),
+        F.sum(F.col("r2").cast("long")).alias("u2"),
+        F.sum(F.col("r3").cast("long")).alias("u3"),
+    )
+    def rate(u: str) -> F.Column:
+        return F.floor(
+            F.col(u).cast("double") / F.col("u1").cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        ) / F.lit(1e6)
+
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"),
+                    F.lit(s1).alias("event_type"),
+                    F.col("u1").alias("users"),
+                    rate("u1").alias("conv_rate"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"),
+                    F.lit(s2).alias("event_type"),
+                    F.col("u2").alias("users"),
+                    rate("u2").alias("conv_rate"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"),
+                    F.lit(s3).alias("event_type"),
+                    F.col("u3").alias("users"),
+                    rate("u3").alias("conv_rate"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.step", "r.event_type", "r.users", "r.conv_rate")
+
+
+ORACLE_FUNNEL_STEPS = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s2 AS (
+  SELECT *,
+         CASE WHEN event_type = '{_FUNNEL_STEPS[1]}'
+                   AND min(CASE WHEN event_type = '{_FUNNEL_STEPS[0]}'
+                                THEN ts_us END)
+                       OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       < ts_us
+              THEN ts_us END AS q2_ts
+  FROM ev
+),
+s3 AS (
+  SELECT *,
+         (event_type = '{_FUNNEL_STEPS[2]}'
+          AND min(q2_ts)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              < ts_us) AS q3
+  FROM s2
+),
+agg AS (
+  SELECT count(DISTINCT CASE WHEN event_type = '{_FUNNEL_STEPS[0]}'
+                             THEN user_id END)::BIGINT AS u1,
+         count(DISTINCT CASE WHEN q2_ts IS NOT NULL
+                             THEN user_id END)::BIGINT AS u2,
+         count(DISTINCT CASE WHEN q3 THEN user_id END)::BIGINT AS u3
+  FROM s3
+)
+SELECT u.step, u.event_type, u.users,
+       floor(CAST(u.users AS DOUBLE) / CAST(a.u1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS conv_rate
+FROM agg a,
+     LATERAL (VALUES (1, '{_FUNNEL_STEPS[0]}', a.u1),
+                     (2, '{_FUNNEL_STEPS[1]}', a.u2),
+                     (3, '{_FUNNEL_STEPS[2]}', a.u3))
+       AS u(step, event_type, users)
+ORDER BY u.step
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -2266,6 +2434,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix_sample": q_temperature_mix_sample,
     "hard_negatives": q_hard_negatives,
     "dsir_select": q_dsir_select,
+    "funnel_steps": q_funnel_steps,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -2302,4 +2471,5 @@ ORACLES_EXT10: dict[str, str] = {
     "temperature_mix_sample": _oracle_temperature_mix_sample(),
     "hard_negatives": ORACLE_HARD_NEGATIVES,
     "dsir_select": ORACLE_DSIR_SELECT,
+    "funnel_steps": ORACLE_FUNNEL_STEPS,
 }

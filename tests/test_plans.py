@@ -465,3 +465,25 @@ def test_doc_chunks_is_pure_map_no_shuffle(spark, registry):
     plan = plan_of(registry["doc_chunks"](spark, SF))
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+def test_funnel_steps_single_user_shuffle_no_expand(spark, registry):
+    """The 3-step funnel shuffles the event table ONCE (window hash by
+    user_id); the per-user flag rollup reuses that partitioning and the
+    final summary aggregates |users| rows. A multi-countDistinct would
+    plan a 3-way Expand tripling the 100 TB row flow."""
+    plan = plan_of(registry["funnel_steps"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "Expand" not in plan
+    # both step qualifications ride the same window partitioning:
+    # exactly one hashpartitioning on user_id
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+
+
+def test_dsir_select_weight_table_broadcast(spark, registry):
+    """DSIR: the B-row bucket weight table must come back as a broadcast
+    — the corpus-sized (doc_id, bucket) flow never joins by shuffle."""
+    plan = plan_of(registry["dsir_select"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the token stream aggregates map-side: no bucket-keyed shuffle join
+    assert not re.search(r"SortMergeJoin.*\bbucket\b", plan)
