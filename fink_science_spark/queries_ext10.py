@@ -2409,6 +2409,167 @@ ORDER BY u.step
 """
 
 
+# --------------------------------------------------------------------------
+# retention_cohorts: weekly cohort retention matrix — users grouped by
+# the ISO week of their FIRST event; each later week's active share of
+# that cohort. Week starts are computed in pure integer day arithmetic
+# (epoch day 0 = Thursday ⇒ Monday-start via (day+3) mod 7), so no
+# engine week-mode/timezone surface exists at all.
+#
+# Scale shape: events shuffle ONCE by user_id (first-event agg); the
+# join back reuses that partitioning; the per-(cohort, week, user)
+# dedup agg is map-combinable; cohort sizes are a |users|-row aggregate
+# broadcast back onto the |cohorts × weeks| matrix. Rates are
+# floor-quantized from exact int64 counts.
+# --------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.queries import _events_us
+
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us")
+    day = F.floor(F.col("ts_us") / F.lit(_US_PER_DAY))
+    week = (day - F.pmod(day + F.lit(3), F.lit(7))).alias("week_day")
+    evw = ev.select("user_id", week)
+    firsts = evw.groupBy("user_id").agg(F.min("week_day").alias("cohort_day"))
+    active = (
+        evw.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            ((F.col("week_day") - F.col("cohort_day")) / F.lit(7))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    rate = F.floor(
+        F.col("active_users").cast("double")
+        / F.col("cohort_size").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        active.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("cohort_day").cast("int")).alias(
+                "cohort_week"
+            ),
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            rate.alias("retention_rate"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_RETENTION_COHORTS = f"""
+WITH evw AS (
+  SELECT user_id,
+         d - ((d + 3) % 7) AS week_day
+  FROM (SELECT user_id,
+               CAST(floor(epoch_us(ts) / {_US_PER_DAY}) AS BIGINT) AS d
+        FROM events)
+),
+firsts AS (
+  SELECT user_id, min(week_day) AS cohort_day FROM evw GROUP BY user_id
+),
+active AS (
+  SELECT cohort_day, week_offset, count(*)::BIGINT AS active_users
+  FROM (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           CAST((e.week_day - f.cohort_day) / 7 AS BIGINT) AS week_offset
+    FROM evw e JOIN firsts f USING (user_id)
+  ) GROUP BY cohort_day, week_offset
+),
+sizes AS (
+  SELECT cohort_day, count(*)::BIGINT AS cohort_size FROM firsts
+  GROUP BY cohort_day
+)
+SELECT DATE '1970-01-01' + CAST(a.cohort_day AS INT) AS cohort_week,
+       a.week_offset, a.active_users, s.cohort_size,
+       floor(CAST(a.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS retention_rate
+FROM active a JOIN sizes s USING (cohort_day)
+ORDER BY cohort_week, week_offset
+"""
+
+
+# --------------------------------------------------------------------------
+# rolling_range_window: time-INTERVAL window frame (RANGE BETWEEN 7 DAYS
+# PRECEDING AND CURRENT ROW) — the rolling-metric surface rows-based
+# frames (trailing_mean) can't express when events are irregularly
+# spaced. One shuffle (user_id window hash); values are dyadically
+# quantized (2^-20) BEFORE the frame sum so the moving aggregate is an
+# exact int64 total under any add/evict order in either engine.
+# --------------------------------------------------------------------------
+
+_RRW_DAYS = 7
+_RRW_Q = float(1 << 20)
+
+
+def q_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.queries import _events_us
+
+    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "ts_us", "value")
+    vq = F.floor(F.col("value") * F.lit(_RRW_Q) + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_RRW_DAYS * _US_PER_DAY, 0)
+    )
+    base = ev.select("event_id", "user_id", "ts_us", vq.alias("__vq"))
+    roll_sum = F.sum("__vq").over(w)
+    roll_n = F.count(F.lit(1)).over(w)
+    out_sum = F.floor(
+        roll_sum.cast("double") / F.lit(_RRW_Q) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    out_avg = F.floor(
+        roll_sum.cast("double") / roll_n.cast("double") / F.lit(_RRW_Q) * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return base.select(
+        "event_id",
+        "user_id",
+        out_sum.alias("sum_7d"),
+        roll_n.alias("n_7d"),
+        out_avg.alias("avg_7d"),
+    ).orderBy("event_id")
+
+
+ORACLE_ROLLING_RANGE_WINDOW = f"""
+WITH b AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * {_RRW_Q!r} + 0.5) AS BIGINT) AS vq
+  FROM events
+),
+r AS (
+  SELECT event_id, user_id,
+         sum(vq) OVER w AS roll_sum,
+         count(*) OVER w AS roll_n
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN {_RRW_DAYS * _US_PER_DAY} PRECEDING
+                         AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       floor(CAST(roll_sum AS DOUBLE) / {_RRW_Q!r} * 1e6 + 0.5) / 1e6 AS sum_7d,
+       roll_n::BIGINT AS n_7d,
+       floor(CAST(roll_sum AS DOUBLE) / CAST(roll_n AS DOUBLE) / {_RRW_Q!r}
+             * 1e6 + 0.5) / 1e6 AS avg_7d
+FROM r
+ORDER BY event_id
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -2435,6 +2596,8 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "dsir_select": q_dsir_select,
     "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
+    "rolling_range_window": q_rolling_range_window,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -2472,4 +2635,6 @@ ORACLES_EXT10: dict[str, str] = {
     "hard_negatives": ORACLE_HARD_NEGATIVES,
     "dsir_select": ORACLE_DSIR_SELECT,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "rolling_range_window": ORACLE_ROLLING_RANGE_WINDOW,
 }

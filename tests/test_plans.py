@@ -487,3 +487,22 @@ def test_dsir_select_weight_table_broadcast(spark, registry):
     assert "BroadcastHashJoin" in plan
     # the token stream aggregates map-side: no bucket-keyed shuffle join
     assert not re.search(r"SortMergeJoin.*\bbucket\b", plan)
+
+
+def test_retention_cohorts_single_event_shuffle(spark, registry):
+    """Cohort matrix: events shuffle once by user_id; the firsts join
+    reuses that partitioning and cohort sizes come back as a broadcast."""
+    plan = plan_of(registry["retention_cohorts"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the cohort matrix aggregate combines map-side before its exchange
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 3
+
+
+def test_rolling_range_window_is_one_window_exchange(spark, registry):
+    """RANGE-frame rolling agg: exactly one user_id hash exchange; both
+    frame aggregates share the single Window node."""
+    plan = plan_of(registry["rolling_range_window"](spark, SF))
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
