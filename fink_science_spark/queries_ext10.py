@@ -2570,6 +2570,120 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# table_profile: per-column data-quality profile (null count, exact
+# distinct count, min/max as strings) — the data-card / catalog-page
+# staple, computed in ONE scan of the fact table.
+#
+# Scale shape: nulls/min/max are plain map-combinable aggregates; the
+# exact multi-column distinct uses Spark's single Expand (k× the row
+# flow for k profiled columns). At 100 TB swap the exact distincts for
+# the HLL register sketch already in the registry
+# (hll_distinct_portable / approx_distinct) — the profile schema and
+# the rest of the pass are unchanged; exact is kept here because the
+# oracle is exact.
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return (
+        one.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )
+
+
+def _oracle_table_profile() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,\n"
+            f"       count(*) FILTER ({c} IS NULL)::BIGINT AS n_nulls,\n"
+            f"       count(DISTINCT {c})::BIGINT AS n_distinct,\n"
+            f"       min({c}::VARCHAR) AS min_val, max({c}::VARCHAR) AS max_val\n"
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+# --------------------------------------------------------------------------
+# event_transitions: first-order Markov transition matrix over the
+# per-user event sequence — (current type → next type) counts and
+# row-normalized probabilities. One shuffle (user_id window for lead),
+# then a vocabulary-sized count agg; probabilities floor-quantized from
+# exact int64 counts. Window order (ts_us, event_id) is a total order.
+# --------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.queries import _events_us
+
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.groupBy("event_type").agg(F.sum("c").alias("__t"))
+    prob = F.floor(
+        F.col("c").cast("double") / F.col("__t").cast("double") * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        pairs.join(F.broadcast(tot), "event_type")
+        .select("event_type", "next_type", "c", prob.alias("p"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type, next_type, count(*)::BIGINT AS c
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (SELECT event_type, sum(c)::BIGINT AS t FROM pairs GROUP BY event_type)
+SELECT p.event_type, p.next_type, p.c,
+       floor(CAST(p.c AS DOUBLE) / CAST(t.t AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p
+FROM pairs p JOIN tot t USING (event_type)
+ORDER BY p.event_type, p.next_type
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -2598,6 +2712,8 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "rolling_range_window": q_rolling_range_window,
+    "table_profile": q_table_profile,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -2637,4 +2753,6 @@ ORACLES_EXT10: dict[str, str] = {
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "rolling_range_window": ORACLE_ROLLING_RANGE_WINDOW,
+    "table_profile": _oracle_table_profile(),
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
 }
