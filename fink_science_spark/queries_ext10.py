@@ -2684,6 +2684,136 @@ ORDER BY p.event_type, p.next_type
 """
 
 
+# --------------------------------------------------------------------------
+# contingency_chi2: lang × source contingency table + Pearson chi-square
+# independence statistic. Observed counts are one map-combinable agg;
+# expected = row_tot * col_tot / N is a ratio of exact int64 products
+# (< 2^53, exactly representable); each cell's (O−E)²/E term is
+# floor-quantized to 2^-20 before the final sum, so the statistic is an
+# exact dyadic total in either engine. Margins join back as broadcasts
+# (vocabulary-sized).
+# --------------------------------------------------------------------------
+
+_CHI2_Q = float(1 << 20)
+
+
+def q_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row_tot = obs.groupBy("lang").agg(F.sum("o").alias("__rt"))
+    col_tot = obs.groupBy("source").agg(F.sum("o").alias("__ct"))
+    n_tot = obs.agg(F.sum("o").alias("__n"))
+    e = (F.col("__rt") * F.col("__ct")).cast("double") / F.col("__n").cast("double")
+    term_q = F.floor(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+        * F.lit(_CHI2_Q)
+        + F.lit(0.5)
+    ).cast("long")
+    cells = (
+        obs.join(F.broadcast(row_tot), "lang")
+        .join(F.broadcast(col_tot), "source")
+        .join(F.broadcast(n_tot))
+        .select("lang", "source", "o", term_q.alias("__tq"))
+    )
+    chi2 = F.floor(
+        F.sum("__tq").cast("double") / F.lit(_CHI2_Q) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("o").alias("n_docs"),
+        chi2.alias("chi2"),
+    )
+
+
+ORACLE_CONTINGENCY_CHI2 = f"""
+WITH obs AS (
+  SELECT lang, source, count(*)::BIGINT AS o FROM documents
+  GROUP BY lang, source
+),
+rt AS (SELECT lang, sum(o)::BIGINT AS rt FROM obs GROUP BY lang),
+ct AS (SELECT source, sum(o)::BIGINT AS ct FROM obs GROUP BY source),
+n AS (SELECT sum(o)::BIGINT AS n FROM obs),
+cells AS (
+  SELECT obs.o,
+         CAST(floor((CAST(obs.o AS DOUBLE)
+                     - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                    * (CAST(obs.o AS DOUBLE)
+                       - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                    / (CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                    * {_CHI2_Q!r} + 0.5) AS BIGINT) AS tq
+  FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+)
+SELECT count(*)::BIGINT AS n_cells, sum(o)::BIGINT AS n_docs,
+       floor(CAST(sum(tq) AS DOUBLE) / {_CHI2_Q!r} * 1e6 + 0.5) / 1e6 AS chi2
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------------
+# triangle_count: triangles in the near-duplicate similarity graph (the
+# standard cluster-density / transitivity check on a dedup pass). Edges
+# are the MinHash-LSH verified pairs (a < b, already distinct); the
+# count is the canonical two-join oriented enumeration a<b<c — each
+# triangle counted exactly once, no orientation dedup needed.
+#
+# Scale shape: both joins are equi-joins on vertex keys; the edge list
+# is pairs-sized (≪ corpus). Per-vertex degree caps (count b per a)
+# bound the join fan-out exactly like the posting-list max_doc_freq
+# family; transitivity = 3·triangles / open wedges from exact counts.
+# --------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.operators.dedup import minhash_lsh_pairs
+    from fink_science_spark.queries_ext import _doc_shingles
+
+    edges = minhash_lsh_pairs(
+        _doc_shingles(spark, sf_dir),
+        "doc_id",
+        "shingles",
+        jaccard_threshold=0.5,
+        shingles_col="shingles",
+    ).select("id_a", "id_b")
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # open wedges centered at each vertex: C(deg, 2) over full degrees
+    deg = (
+        edges.select(F.col("id_a").alias("v"))
+        .unionAll(edges.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedge_tot = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wedges")
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).alias("triangles"))
+        .join(wedge_tot)
+        .select("triangles", "wedges")
+    )
+
+
+def _oracle_triangle_count() -> str:
+    return f"""
+WITH edges AS (SELECT id_a, id_b FROM ({_ORACLE_MINHASH}) __mh),
+tri AS (
+  SELECT count(*)::BIGINT AS triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.id_b = e2.id_a
+  JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+deg AS (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT id_a AS v FROM edges UNION ALL SELECT id_b AS v FROM edges
+  ) GROUP BY v
+),
+w AS (SELECT sum(d * (d - 1) / 2)::BIGINT AS wedges FROM deg)
+SELECT tri.triangles, w.wedges FROM tri, w
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -2714,6 +2844,8 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_range_window": q_rolling_range_window,
     "table_profile": q_table_profile,
     "event_transitions": q_event_transitions,
+    "contingency_chi2": q_contingency_chi2,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -2755,4 +2887,6 @@ ORACLES_EXT10: dict[str, str] = {
     "rolling_range_window": ORACLE_ROLLING_RANGE_WINDOW,
     "table_profile": _oracle_table_profile(),
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "contingency_chi2": ORACLE_CONTINGENCY_CHI2,
+    "triangle_count": _oracle_triangle_count(),
 }
