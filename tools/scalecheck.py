@@ -62,6 +62,15 @@ QUERIES = [
     "dup_span_profile",
     "image_phash_dedup",
     "semantic_dedup",
+    # round-3 ninth wave: selection / analytics / profiling families
+    "dsir_select",
+    "funnel_steps",
+    "retention_cohorts",
+    "rolling_range_window",
+    "table_profile",
+    "event_transitions",
+    "contingency_chi2",
+    "triangle_count",
 ]
 
 OFFSET = 1 << 40
