@@ -148,6 +148,15 @@ HEADLINE = [
     "stream_dedup_lsh",
     "temperature_mix_sample",
     "hard_negatives",
+    # round-3 ninth wave: selection / analytics / profiling
+    "dsir_select",
+    "funnel_steps",
+    "retention_cohorts",
+    "rolling_range_window",
+    "table_profile",
+    "event_transitions",
+    "contingency_chi2",
+    "triangle_count",
 ]
 
 
