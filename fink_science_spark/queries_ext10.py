@@ -20,6 +20,7 @@ from fink_science_spark.queries_ext import (
     _doc_shingles,
 )
 from fink_science_spark.queries_ext6 import ORACLE_DECONTAMINATE as _ORACLE_DECON
+from fink_science_spark.queries_ext9 import ORACLE_UDTF_SESSIONS as _ORACLE_UDTF_SESSIONS
 from fink_science_spark.operators.dedup import jaccard_ppjoin_pairs
 from fink_science_spark.operators.sketches import (
     bloom_bits_for,
@@ -2810,6 +2811,139 @@ SELECT tri.triangles, w.wedges FROM tri, w
 """
 
 
+# --------------------------------------------------------------------------
+# sessions_native: gaps-and-islands sessionization in pure window
+# functions — the SCALE-PATH twin of udtf_sessions (same answer, same
+# oracle): lag() flags gap breaks, a running sum numbers the islands,
+# one groupBy collapses them. Two chained ops on ONE user_id window
+# partitioning + a groupBy that reuses it ⇒ a single shuffle, all
+# codegen, no Python — versus the UDTF's per-row Python eval. This pair
+# is the engine's standing demo that the UDTF surface exists AND that
+# hot paths get the native form.
+# --------------------------------------------------------------------------
+
+
+def q_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.queries import _events_us
+    from fink_science_spark.queries_ext9 import _SESS_GAP_US
+
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    brk = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) > _SESS_GAP_US, F.lit(1)
+    ).otherwise(F.lit(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    sid = (F.lit(1) + F.sum(brk).over(wrun)).cast("int")
+    return (
+        ev.select("user_id", "ts_us", sid.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# cusum_changepoints: CUSUM drift detection over each user's event
+# value series — the classic sequential change detector, made
+# window-native via the prefix-sum identity
+#   S_i = max(0, S_{i-1} + d_i)  ==  P_i − min_{j ≤ i} P_j
+# (P = running sum of deviations d), so the recursive max becomes a
+# cumsum plus a running min: two chained frames on ONE user_id window
+# partitioning, no iteration, no Python. Deviations are dyadically
+# quantized int64 (exact under any partial-sum order); the drift flag
+# fires when the statistic exceeds h·σ-equivalents in quantized units.
+# --------------------------------------------------------------------------
+
+_CUSUM_Q = 1 << 20
+_CUSUM_K_NUM = 1  # slack k = 0.5 (K_NUM/K_DEN) in value units
+_CUSUM_K_DEN = 2
+_CUSUM_H = 5.0  # alarm threshold in value units
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.queries import _events_us
+
+    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "ts_us", "value")
+    vq = F.floor(F.col("value") * F.lit(float(_CUSUM_Q)) + F.lit(0.5)).cast("long")
+    # per-user mean of the quantized series as the reference level,
+    # floor-divided exactly (integer mu so d_i stays exact int64)
+    wu = Window.partitionBy("user_id")
+    mu = F.floor(F.sum(vq).over(wu) / F.count(F.lit(1)).over(wu)).cast("long")
+    k = F.lit(_CUSUM_K_NUM * _CUSUM_Q // _CUSUM_K_DEN).cast("long")
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    # two projection levels: p is a window result, so its running min is
+    # a second Window pass on the SAME partitioning (one shuffle total)
+    with_p = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.sum(vq - mu - k).over(wrun).alias("__p"),
+    )
+    # S_i = max(0, S_{i-1}+d_i) == P_i − min(0, min_{j≤i} P_j): the
+    # least(…, 0) seeds the running min with the empty prefix
+    stat = F.col("__p") - F.least(
+        F.min("__p").over(wrun), F.lit(0).cast("long")
+    )
+    h = F.lit(int(_CUSUM_H * _CUSUM_Q)).cast("long")
+    out_stat = F.floor(
+        stat.cast("double") / F.lit(float(_CUSUM_Q)) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return with_p.select(
+        "event_id",
+        "user_id",
+        out_stat.alias("cusum"),
+        (stat > h).alias("drift_flag"),
+    ).orderBy("event_id")
+
+
+ORACLE_CUSUM_CHANGEPOINTS = f"""
+WITH b AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * {float(_CUSUM_Q)!r} + 0.5) AS BIGINT) AS vq
+  FROM events
+),
+m AS (
+  SELECT *,
+         CAST(floor(CAST(sum(vq) OVER (PARTITION BY user_id) AS DOUBLE)
+                    / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE))
+              AS BIGINT) AS mu
+  FROM b
+),
+d AS (
+  SELECT event_id, user_id, ts_us,
+         vq - mu - {_CUSUM_K_NUM * _CUSUM_Q // _CUSUM_K_DEN} AS dd
+  FROM m
+),
+pp AS (
+  SELECT event_id, user_id, ts_us,
+         sum(dd) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM d
+),
+r AS (
+  SELECT event_id, user_id, p,
+         least(min(p) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW), 0) AS pmin
+  FROM pp
+)
+SELECT event_id, user_id,
+       floor(CAST(p - pmin AS DOUBLE) / {float(_CUSUM_Q)!r} * 1e6 + 0.5) / 1e6
+         AS cusum,
+       (p - pmin) > {int(_CUSUM_H * _CUSUM_Q)} AS drift_flag
+FROM r
+ORDER BY event_id
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -2842,6 +2976,8 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "contingency_chi2": q_contingency_chi2,
     "triangle_count": q_triangle_count,
+    "sessions_native": q_sessions_native,
+    "cusum_changepoints": q_cusum_changepoints,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -2885,4 +3021,8 @@ ORACLES_EXT10: dict[str, str] = {
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "contingency_chi2": ORACLE_CONTINGENCY_CHI2,
     "triangle_count": _oracle_triangle_count(),
+    # sessions_native: the gaps-and-islands scale twin of udtf_sessions —
+    # same answer, shares its oracle.
+    "sessions_native": _ORACLE_UDTF_SESSIONS,
+    "cusum_changepoints": ORACLE_CUSUM_CHANGEPOINTS,
 }

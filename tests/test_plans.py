@@ -506,3 +506,14 @@ def test_rolling_range_window_is_one_window_exchange(spark, registry):
     plan = plan_of(registry["rolling_range_window"](spark, SF))
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_sessions_native_and_cusum_single_user_shuffle(spark, registry):
+    """Gaps-and-islands sessionization and CUSUM both chain their window
+    passes on ONE user_id partitioning: a single hash exchange each,
+    no Python anywhere (the UDTF twin is the API demo; these are the
+    scale paths)."""
+    for name in ("sessions_native", "cusum_changepoints"):
+        plan = plan_of(registry[name](spark, SF))
+        assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, name
+        assert "EvalPython" not in plan, name
