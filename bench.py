@@ -157,6 +157,8 @@ HEADLINE = [
     "event_transitions",
     "contingency_chi2",
     "triangle_count",
+    "sessions_native",
+    "cusum_changepoints",
 ]
 
 

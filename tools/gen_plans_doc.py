@@ -143,6 +143,18 @@ COMMENTARY = {
         "IVF codebook; vectors shuffle exactly once (to their cell) for "
         "the per-cell prune kernel. No join, no second scan."
     ),
+    "funnel_steps": (
+        "Strict-order 3-step funnel: ONE event shuffle (user_id window), "
+        "both step qualifications as chained running-mins on the same "
+        "window spec, per-user flag rollup reusing the partitioning — no "
+        "multi-countDistinct Expand tripling the row flow."
+    ),
+    "dsir_select": (
+        "DSIR selection: the token stream feeds two map-combinable hash "
+        "aggregates; the B-row log-ratio weight table comes back as a "
+        "BroadcastHashJoin; scores are exact int64 lane sums. The corpus "
+        "never joins by shuffle."
+    ),
 }
 
 
