@@ -159,6 +159,7 @@ HEADLINE = [
     "triangle_count",
     "sessions_native",
     "cusum_changepoints",
+    "correlated_subquery",
 ]
 
 

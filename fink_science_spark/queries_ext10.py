@@ -2944,6 +2944,66 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# correlated_subquery: TPC-H Q17-shaped correlated SCALAR subquery —
+# "lineitems below 20% of their part's average quantity" — exercising
+# Catalyst's subquery DECORRELATION: the optimizer must rewrite the
+# per-row correlated aggregate into an aggregate-then-join (one
+# per-part avg + one equi-join), not a re-executed subquery per row.
+# The plan test pins exactly that. Revenue is summed in exact cents
+# (int64) so the total is order/engine independent; the 0.2·avg
+# threshold is the same two IEEE ops in both engines.
+# --------------------------------------------------------------------------
+
+_CSQ_BRANDS = ("Brand#1", "Brand#2")
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "__csq_lineitem"
+    )
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+        "__csq_part"
+    )
+    brands = ", ".join(f"'{b}'" for b in _CSQ_BRANDS)
+    return spark.sql(
+        f"""
+        SELECT p.p_brand,
+               count(*) AS n_small,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS small_revenue
+        FROM __csq_lineitem l
+        JOIN __csq_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ({brands})
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM __csq_lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """
+    )
+
+
+ORACLE_CORRELATED_SUBQUERY = f"""
+SELECT p.p_brand,
+       count(*)::BIGINT AS n_small,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS small_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand IN ({", ".join(f"'{b}'" for b in _CSQ_BRANDS)})
+  AND l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+  )
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -2978,6 +3038,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "sessions_native": q_sessions_native,
     "cusum_changepoints": q_cusum_changepoints,
+    "correlated_subquery": q_correlated_subquery,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -3025,4 +3086,5 @@ ORACLES_EXT10: dict[str, str] = {
     # same answer, shares its oracle.
     "sessions_native": _ORACLE_UDTF_SESSIONS,
     "cusum_changepoints": ORACLE_CUSUM_CHANGEPOINTS,
+    "correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
 }

@@ -517,3 +517,13 @@ def test_sessions_native_and_cusum_single_user_shuffle(spark, registry):
         plan = plan_of(registry[name](spark, SF))
         assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, name
         assert "EvalPython" not in plan, name
+
+
+def test_correlated_subquery_decorrelates_to_join(spark, registry):
+    """Catalyst must rewrite the per-row correlated scalar aggregate into
+    aggregate-then-join — a re-executed per-row subquery would be a
+    100 TB × |parts| disaster. No nested-loop artifacts allowed."""
+    plan = plan_of(registry["correlated_subquery"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\) \w*Join", plan)) >= 2  # part dim + avg join
+    assert "partial_avg" in plan or "partial_sum" in plan
