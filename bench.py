@@ -160,6 +160,8 @@ HEADLINE = [
     "sessions_native",
     "cusum_changepoints",
     "correlated_subquery",
+    "grouping_sets_id",
+    "set_ops_multiplicity",
 ]
 
 

@@ -3004,6 +3004,97 @@ ORDER BY p.p_brand
 """
 
 
+# --------------------------------------------------------------------------
+# grouping_sets_id: explicit GROUPING SETS with grouping_id() —
+# completes the multi-granularity aggregation family (rollup_counts /
+# cube_counts cover the derived forms): arbitrary set lists in ONE scan
+# via the same Expand, with grouping_id disambiguating NULL-as-ALL from
+# NULL-as-value. Map-combinable before the single exchange.
+# --------------------------------------------------------------------------
+
+
+def q_grouping_sets_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "__gs_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+ORACLE_GROUPING_SETS_ID = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS BIGINT) AS gid,
+       count(*)::BIGINT AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# set_ops_multiplicity: INTERSECT ALL / EXCEPT ALL — the bag-semantics
+# set operators (the plain anti-join/union family in §2.6 is set-
+# semantics). Spark plans both as a single hash aggregate computing
+# per-key multiplicities then replaying min/difference counts — one
+# shuffle each, no join. Inputs: customers with open vs fulfilled
+# orders, a real "same key on both sides with multiplicity" workload.
+# --------------------------------------------------------------------------
+
+
+def q_set_ops_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = a.intersectAll(b).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    only_open = a.exceptAll(b).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_only")
+    )
+    return (
+        both.join(only_open, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+            F.coalesce("n_only", F.lit(0)).alias("n_only"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_SET_OPS_MULTIPLICITY = """
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+both_m AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_both
+  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+  GROUP BY o_custkey
+),
+only_m AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_only
+  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+  GROUP BY o_custkey
+)
+SELECT COALESCE(both_m.o_custkey, only_m.o_custkey) AS o_custkey,
+       COALESCE(n_both, 0)::BIGINT AS n_both,
+       COALESCE(n_only, 0)::BIGINT AS n_only
+FROM both_m FULL OUTER JOIN only_m USING (o_custkey)
+ORDER BY o_custkey
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -3039,6 +3130,8 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions_native": q_sessions_native,
     "cusum_changepoints": q_cusum_changepoints,
     "correlated_subquery": q_correlated_subquery,
+    "grouping_sets_id": q_grouping_sets_id,
+    "set_ops_multiplicity": q_set_ops_multiplicity,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -3087,4 +3180,6 @@ ORACLES_EXT10: dict[str, str] = {
     "sessions_native": _ORACLE_UDTF_SESSIONS,
     "cusum_changepoints": ORACLE_CUSUM_CHANGEPOINTS,
     "correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
+    "grouping_sets_id": ORACLE_GROUPING_SETS_ID,
+    "set_ops_multiplicity": ORACLE_SET_OPS_MULTIPLICITY,
 }
