@@ -3095,6 +3095,84 @@ ORDER BY o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# cogroup_reconcile: cross-source reconciliation via the COGROUPED
+# Arrow surface (groupBy().cogroup().applyInPandas — the one PySpark
+# UDF entry point the registry didn't yet exercise): events and orders
+# are co-partitioned by key and each key's two record batches arrive in
+# ONE Python call, which emits the per-key count/amount reconciliation
+# row (the "do the two systems agree" data-quality report).
+#
+# Scale shape: both sides shuffle once on the key (the cogroup's
+# required partitioning — same cost as the equivalent join) and the
+# kernel is O(rows in key). Amounts are exact int64 cents summed inside
+# the kernel; keys present on either side survive (3-arg form).
+# --------------------------------------------------------------------------
+
+
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("k"), "value"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        sv = int(np.floor(left["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
+        sp = int(
+            np.floor(right["o_totalprice"].to_numpy() * 100 + 0.5)
+            .astype("int64")
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "k": [int(key[0])],
+                "n_events": [len(left)],
+                "n_orders": [len(right)],
+                "event_cents": [sv],
+                "order_cents": [sp],
+            }
+        )
+
+    out = (
+        ev.groupBy("k")
+        .cogroup(orders.groupBy("k"))
+        .applyInPandas(
+            reconcile,
+            schema="k long, n_events long, n_orders long, "
+            "event_cents long, order_cents long",
+        )
+    )
+    return out.orderBy("k")
+
+
+ORACLE_COGROUP_RECONCILE = """
+WITH e AS (
+  SELECT user_id AS k, count(*)::BIGINT AS n_events,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS event_cents
+  FROM events GROUP BY user_id
+),
+o AS (
+  SELECT o_custkey AS k, count(*)::BIGINT AS n_orders,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS order_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(e.k, o.k) AS k,
+       COALESCE(n_events, 0)::BIGINT AS n_events,
+       COALESCE(n_orders, 0)::BIGINT AS n_orders,
+       COALESCE(event_cents, 0)::BIGINT AS event_cents,
+       COALESCE(order_cents, 0)::BIGINT AS order_cents
+FROM e FULL OUTER JOIN o ON e.k = o.k
+ORDER BY k
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -3132,6 +3210,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlated_subquery": q_correlated_subquery,
     "grouping_sets_id": q_grouping_sets_id,
     "set_ops_multiplicity": q_set_ops_multiplicity,
+    "cogroup_reconcile": q_cogroup_reconcile,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -3182,4 +3261,5 @@ ORACLES_EXT10: dict[str, str] = {
     "correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
     "grouping_sets_id": ORACLE_GROUPING_SETS_ID,
     "set_ops_multiplicity": ORACLE_SET_OPS_MULTIPLICITY,
+    "cogroup_reconcile": ORACLE_COGROUP_RECONCILE,
 }
