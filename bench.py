@@ -162,6 +162,7 @@ HEADLINE = [
     "correlated_subquery",
     "grouping_sets_id",
     "set_ops_multiplicity",
+    "cogroup_reconcile",
 ]
 
 
