@@ -739,3 +739,24 @@ def test_ppjoin_matches_bruteforce_and_posting_list(spark, docsets, t):
                     want[(i, j)] = round(jac, 6)
     assert got == want
     assert posting == want
+
+
+@given(
+    st.lists(st.text(alphabet="ab c1.", max_size=30), min_size=1, max_size=10),
+    st.integers(min_value=2, max_value=5),
+)
+@_settings
+def test_shingle_content_matches_python_reference(spark, texts, n):
+    """word_shingles (bulk-slice + zip_with form) must equal the plain
+    Python sliding-window join for every doc and every n — the guard
+    that the 5x-faster formulation stays byte-identical."""
+    import re as _re
+
+    from fink_science_spark.functions.text import tokens, word_shingles
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select("text", word_shingles(tokens("text"), n).alias("sh")).collect()
+    for r in rows:
+        toks = [t for t in _re.sub("[^a-z0-9]+", " ", r["text"].lower()).strip().split(" ") if t]
+        want = [" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))]
+        assert list(r["sh"]) == want, (r["text"], n)
