@@ -3119,29 +3119,51 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("k"), "o_totalprice"
     )
+    # cogroup by HASH BUCKET, not by raw key: FlatMapCoGroupsInPandas
+    # makes one Python call per group, so per-key cogrouping pays the
+    # call+Arrow constant |keys| times (measured 21.7 s at sf0.1 for
+    # 15k keys). Bucketing amortizes that to a fixed 64 calls and the
+    # per-key logic vectorizes as pandas groupby+merge inside the
+    # kernel — the production cogroup pattern at any key cardinality.
+    nb = 64
+    evb = ev.withColumn("__b", F.pmod("k", F.lit(nb)))
+    orb = orders.withColumn("__b", F.pmod("k", F.lit(nb)))
 
-    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        sv = int(np.floor(left["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
-        sp = int(
-            np.floor(right["o_totalprice"].to_numpy() * 100 + 0.5)
-            .astype("int64")
-            .sum()
+        lv = pd.DataFrame(
+            {
+                "k": left["k"],
+                "cents": np.floor(left["value"].to_numpy() * 100 + 0.5).astype(
+                    "int64"
+                ),
+            }
         )
+        rv = pd.DataFrame(
+            {
+                "k": right["k"],
+                "cents": np.floor(
+                    right["o_totalprice"].to_numpy() * 100 + 0.5
+                ).astype("int64"),
+            }
+        )
+        la = lv.groupby("k").agg(n_events=("cents", "size"), event_cents=("cents", "sum"))
+        ra = rv.groupby("k").agg(n_orders=("cents", "size"), order_cents=("cents", "sum"))
+        m = la.join(ra, how="outer").fillna(0).reset_index()
         return pd.DataFrame(
             {
-                "k": [int(key[0])],
-                "n_events": [len(left)],
-                "n_orders": [len(right)],
-                "event_cents": [sv],
-                "order_cents": [sp],
+                "k": m["k"].astype("int64"),
+                "n_events": m["n_events"].astype("int64"),
+                "n_orders": m["n_orders"].astype("int64"),
+                "event_cents": m["event_cents"].astype("int64"),
+                "order_cents": m["order_cents"].astype("int64"),
             }
         )
 
     out = (
-        ev.groupBy("k")
-        .cogroup(orders.groupBy("k"))
+        evb.groupBy("__b")
+        .cogroup(orb.groupBy("__b"))
         .applyInPandas(
             reconcile,
             schema="k long, n_events long, n_orders long, "
