@@ -752,7 +752,8 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wrong at exact multiples — the weekly_counts lesson).
 # --------------------------------------------------------------------------
 
-_RS_DAY_US = 86_400_000_000  # 1 day in microseconds — the purchase
+_US_PER_DAY = 86_400_000_000  # 1 day in microseconds (module-wide)
+_RS_DAY_US = _US_PER_DAY  # alias kept for the resample family — the purchase
 # series is sparse at daily resolution, so the fill path is exercised
 # (a WEEKLY grid had zero empty buckets in every fixture)
 
@@ -2183,6 +2184,8 @@ _DSIR_Q = float(1 << 20)  # dyadic weight-quantization lanes
 
 
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     from fink_science_spark.functions.hashing import hash64
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2196,12 +2199,39 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.pmod(hash64(F.col("w"), seed="dsir"), F.lit(_DSIR_B)).alias("bucket"),
     )
-    # weight table: B rows — target (lang='en') vs raw bucket counts
-    wt = tok.groupBy("bucket").agg(
-        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+    # ONE corpus aggregate — (doc_id, lang, bucket) counts (lang is
+    # functionally dependent on doc_id, so the key adds no cardinality).
+    # Both the weight table and the scoring branch derive from THIS
+    # exchange, which ReusedExchange computes once: the tokenize+explode
+    # pass over the 100 TB corpus is paid exactly once (the earlier
+    # two-independent-groupBys form re-ran it per branch).
+    tok_counts = tok.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    tot = wt.agg(F.sum("ct").alias("__nt"), F.sum("cr").alias("__nr"))
+    # materialize once: the weight table is the BROADCAST side of the
+    # scoring join, and broadcast builds run as a separate job that
+    # exchange-reuse never connects to (same finding as the MinHash
+    # signature table, operators/dedup.py) — without this the
+    # tokenize+explode+agg pass over the corpus runs twice. The cached
+    # table is (doc_id, lang, bucket, c) — ≤ 64 rows/doc, disk-spillable.
+    tok_counts = tok_counts.persist()
+    # weight table: B rows — target (lang='en') vs raw bucket counts;
+    # the corpus totals are a window over those same B rows (no second
+    # lineage of the corpus aggregate)
+    wt = tok_counts.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("c")).otherwise(0)).alias(
+            "ct"
+        ),
+        F.sum("c").alias("cr"),
+    )
+    wall = Window.partitionBy()
+    wt = wt.select(
+        "bucket",
+        "ct",
+        "cr",
+        F.sum("ct").over(wall).alias("__nt"),
+        F.sum("cr").over(wall).alias("__nr"),
+    )
     # ln((ct+1)/(nt+B) / ((cr+1)/(nr+B))) as an exact int64 lane value
     lw_q = F.floor(
         F.log(
@@ -2215,11 +2245,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(_DSIR_Q)
         + F.lit(0.5)
     ).cast("long")
-    weights = wt.join(F.broadcast(tot)).select("bucket", lw_q.alias("lw_q"))
+    weights = wt.select("bucket", lw_q.alias("lw_q"))
     per_doc = (
-        tok.groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .join(F.broadcast(weights), "bucket")
+        tok_counts.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("c") * F.col("lw_q")).alias("score_q"),
@@ -2329,16 +2357,24 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("q2_ts").isNotNull()).alias("r2"),
         F.max(F.col("q3")).alias("r3"),
     )
+    # coalesce: sum over ZERO rows is NULL in Spark but the oracle's
+    # count over empty input is 0 — and 0/0 is NaN in Spark vs NULL in
+    # DuckDB, so the rate is explicitly NULL-gated on u1 > 0
     agg = per_user.agg(
-        F.sum(F.col("r1").cast("long")).alias("u1"),
-        F.sum(F.col("r2").cast("long")).alias("u2"),
-        F.sum(F.col("r3").cast("long")).alias("u3"),
+        F.coalesce(F.sum(F.col("r1").cast("long")), F.lit(0)).alias("u1"),
+        F.coalesce(F.sum(F.col("r2").cast("long")), F.lit(0)).alias("u2"),
+        F.coalesce(F.sum(F.col("r3").cast("long")), F.lit(0)).alias("u3"),
     )
+
     def rate(u: str) -> F.Column:
-        return F.floor(
-            F.col(u).cast("double") / F.col("u1").cast("double") * F.lit(1e6)
-            + F.lit(0.5)
-        ) / F.lit(1e6)
+        return F.when(
+            F.col("u1") > 0,
+            F.floor(
+                F.col(u).cast("double") / F.col("u1").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        )
 
     return agg.select(
         F.explode(
@@ -2399,8 +2435,10 @@ agg AS (
   FROM s3
 )
 SELECT u.step, u.event_type, u.users,
-       floor(CAST(u.users AS DOUBLE) / CAST(a.u1 AS DOUBLE) * 1e6 + 0.5) / 1e6
-         AS conv_rate
+       CASE WHEN a.u1 > 0
+            THEN floor(CAST(u.users AS DOUBLE) / CAST(a.u1 AS DOUBLE)
+                       * 1e6 + 0.5) / 1e6
+       END AS conv_rate
 FROM agg a,
      LATERAL (VALUES (1, '{_FUNNEL_STEPS[0]}', a.u1),
                      (2, '{_FUNNEL_STEPS[1]}', a.u2),
@@ -2424,7 +2462,6 @@ ORDER BY u.step
 # floor-quantized from exact int64 counts.
 # --------------------------------------------------------------------------
 
-_US_PER_DAY = 86_400_000_000
 
 
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2684,8 +2721,9 @@ ORDER BY p.event_type, p.next_type
 # --------------------------------------------------------------------------
 # contingency_chi2: lang × source contingency table + Pearson chi-square
 # independence statistic. Observed counts are one map-combinable agg;
-# expected = row_tot * col_tot / N is a ratio of exact int64 products
-# (< 2^53, exactly representable); each cell's (O−E)²/E term is
+# expected = row_tot · col_tot / N is computed in doubles (the margins
+# are cast BEFORE the product — rt·ct reaches N², past int64 at ~3e9
+# rows; identical IEEE ops in both engines); each cell's (O−E)²/E term is
 # floor-quantized to 2^-20 before the final sum, so the statistic is an
 # exact dyadic total in either engine. Margins join back as broadcasts
 # (vocabulary-sized).
@@ -2700,7 +2738,13 @@ def q_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_tot = obs.groupBy("lang").agg(F.sum("o").alias("__rt"))
     col_tot = obs.groupBy("source").agg(F.sum("o").alias("__ct"))
     n_tot = obs.agg(F.sum("o").alias("__n"))
-    e = (F.col("__rt") * F.col("__ct")).cast("double") / F.col("__n").cast("double")
+    # cast each margin to double BEFORE the product: rt·ct reaches N² —
+    # an int64 multiply would wrap silently (Spark) or error (DuckDB)
+    # past ~3e9 rows; the double product is the same IEEE op in both
+    # engines at every scale
+    e = (
+        F.col("__rt").cast("double") * F.col("__ct").cast("double")
+    ) / F.col("__n").cast("double")
     term_q = F.floor(
         (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
         * F.lit(_CHI2_Q)
@@ -2733,10 +2777,10 @@ n AS (SELECT sum(o)::BIGINT AS n FROM obs),
 cells AS (
   SELECT obs.o,
          CAST(floor((CAST(obs.o AS DOUBLE)
-                     - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                     - (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(n.n AS DOUBLE))
                     * (CAST(obs.o AS DOUBLE)
-                       - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
-                    / (CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+                       - (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(n.n AS DOUBLE))
+                    / ((CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(n.n AS DOUBLE))
                     * {_CHI2_Q!r} + 0.5) AS BIGINT) AS tq
   FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
 )
@@ -2754,28 +2798,40 @@ FROM cells
 # triangle counted exactly once, no orientation dedup needed.
 #
 # Scale shape: both joins are equi-joins on vertex keys; the edge list
-# is pairs-sized (≪ corpus). Per-vertex degree caps (count b per a)
-# bound the join fan-out exactly like the posting-list max_doc_freq
-# family; transitivity = 3·triangles / open wedges from exact counts.
+# is pairs-sized (≪ corpus). A hub-degree cap (_TRI_MAX_DEGREE, the
+# graph analogue of max_doc_freq) drops edges incident to vertices
+# above the cap BEFORE enumeration, bounding the e1⋈e2 fan-out at
+# O(cap · |edges|) under any skew — one shared-boilerplate template
+# matched by d docs would otherwise create O(d²) intermediate rows.
+# Applied identically in the oracle; at the test SFs no vertex reaches
+# the cap, so the guard is exercised structurally without changing the
+# answer. Transitivity = 3·triangles / open wedges from exact counts.
 # --------------------------------------------------------------------------
 
+_TRI_MAX_DEGREE = 64
 
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fink_science_spark.operators.dedup import minhash_lsh_pairs
-    from fink_science_spark.queries_ext import _doc_shingles
 
-    edges = minhash_lsh_pairs(
-        _doc_shingles(spark, sf_dir),
-        "doc_id",
-        "shingles",
-        jaccard_threshold=0.5,
-        shingles_col="shingles",
-    ).select("id_a", "id_b")
+def triangle_stats(raw: DataFrame, max_degree: int = _TRI_MAX_DEGREE) -> DataFrame:
+    """Capped triangle/wedge counts over an (id_a < id_b) edge list —
+    edges incident to vertices with degree > ``max_degree`` are dropped
+    before enumeration (the hub guard; see the block comment above)."""
+    raw = raw.persist()  # degree pass + capped enumeration share it
+    full_deg = (
+        raw.select(F.col("id_a").alias("v"))
+        .unionAll(raw.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hubs = full_deg.filter(F.col("d") > max_degree).select("v")
+    edges = (
+        raw.join(F.broadcast(hubs), raw.id_a == hubs.v, "left_anti")
+        .join(F.broadcast(hubs), raw.id_b == hubs.v, "left_anti")
+    )
     e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    # open wedges centered at each vertex: C(deg, 2) over full degrees
+    # open wedges centered at each vertex: C(deg, 2) over capped degrees
     deg = (
         edges.select(F.col("id_a").alias("v"))
         .unionAll(edges.select(F.col("id_b").alias("v")))
@@ -2792,9 +2848,34 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.operators.dedup import minhash_lsh_pairs
+    from fink_science_spark.queries_ext import _doc_shingles
+
+    raw = minhash_lsh_pairs(
+        _doc_shingles(spark, sf_dir),
+        "doc_id",
+        "shingles",
+        jaccard_threshold=0.5,
+        shingles_col="shingles",
+    ).select("id_a", "id_b")
+    return triangle_stats(raw)
+
+
 def _oracle_triangle_count() -> str:
     return f"""
-WITH edges AS (SELECT id_a, id_b FROM ({_ORACLE_MINHASH}) __mh),
+WITH raw_edges AS (SELECT id_a, id_b FROM ({_ORACLE_MINHASH}) __mh),
+full_deg AS (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT id_a AS v FROM raw_edges UNION ALL SELECT id_b AS v FROM raw_edges
+  ) GROUP BY v
+),
+hubs AS (SELECT v FROM full_deg WHERE d > {_TRI_MAX_DEGREE}),
+edges AS (
+  SELECT id_a, id_b FROM raw_edges
+  WHERE id_a NOT IN (SELECT v FROM hubs)
+    AND id_b NOT IN (SELECT v FROM hubs)
+),
 tri AS (
   SELECT count(*)::BIGINT AS triangles
   FROM edges e1
@@ -3150,14 +3231,18 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         la = lv.groupby("k").agg(n_events=("cents", "size"), event_cents=("cents", "sum"))
         ra = rv.groupby("k").agg(n_orders=("cents", "size"), order_cents=("cents", "sum"))
-        m = la.join(ra, how="outer").fillna(0).reset_index()
+        # nullable Int64 BEFORE the outer join: a plain join would
+        # promote one-sided keys' columns to float64, rounding any cent
+        # total past 2^53 — Int64 keeps missing as <NA>, exact at all
+        # magnitudes, then fills to plain int64
+        m = la.astype("Int64").join(ra.astype("Int64"), how="outer").reset_index()
         return pd.DataFrame(
             {
                 "k": m["k"].astype("int64"),
-                "n_events": m["n_events"].astype("int64"),
-                "n_orders": m["n_orders"].astype("int64"),
-                "event_cents": m["event_cents"].astype("int64"),
-                "order_cents": m["order_cents"].astype("int64"),
+                "n_events": m["n_events"].fillna(0).astype("int64"),
+                "n_orders": m["n_orders"].fillna(0).astype("int64"),
+                "event_cents": m["event_cents"].fillna(0).astype("int64"),
+                "order_cents": m["order_cents"].fillna(0).astype("int64"),
             }
         )
 

@@ -1064,3 +1064,23 @@ def test_image_ahash_matches_reference(spark):
         want = sum(1 << j for j in range(60) if px[j] > mean)
         assert got[i] == want, i
     assert got[8] == 0
+
+
+def test_triangle_hub_cap_drops_skew(spark):
+    """A star hub above the degree cap must be excluded from triangle
+    enumeration (the O(d²) skew guard), while triangles among normal
+    vertices survive."""
+    from fink_science_spark.queries_ext10 import triangle_stats
+
+    hub = 1000
+    edges = [(1, 2), (2, 3), (1, 3)]  # one clean triangle
+    edges += [(i, hub) for i in range(1, 100)]  # degree-99 hub
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    row = triangle_stats(df, max_degree=64).collect()[0]
+    # the hub's 99 edges are dropped: no hub triangles, wedges only from
+    # the surviving 3-cycle (3 vertices of degree 2 -> 3 wedges)
+    assert row["triangles"] == 1
+    assert row["wedges"] == 3
+    # without the cap the hub dominates: C(99,2) wedges appear
+    row2 = triangle_stats(df, max_degree=1000).collect()[0]
+    assert row2["wedges"] > 4000
