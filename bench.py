@@ -163,6 +163,7 @@ HEADLINE = [
     "grouping_sets_id",
     "set_ops_multiplicity",
     "cogroup_reconcile",
+    "cdc_apply",
 ]
 
 

@@ -3280,6 +3280,97 @@ ORDER BY k
 """
 
 
+# --------------------------------------------------------------------------
+# cdc_apply: change-data-capture log compaction + apply — the lakehouse
+# MERGE staple: an ordered change log (upserts + deletes) collapses to
+# its last-writer-wins row per key, then merges onto the base snapshot.
+# The log here is derived deterministically from events (purchase ⇒
+# upsert of the account balance, error ⇒ delete), keyed onto supplier.
+#
+# Scale shape: compaction is ONE window shuffle on the log's key
+# (row_number over (key, seq desc) → keep first) — the log, not the
+# snapshot, is the high-churn side; the merge is a key-co-partitioned
+# full-outer equi-join with the compacted log changed-keys-sized.
+# Balances in exact int64 cents.
+# --------------------------------------------------------------------------
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.queries import _events_us
+
+    snap = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        "s_name",
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
+    )
+    n_keys = 100  # supplier key domain is 0..99 at every SF
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    log = ev.select(
+        F.pmod("user_id", F.lit(n_keys)).alias("key"),
+        F.col("ts_us").alias("seq"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("new_cents"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("seq").desc(), F.col("event_id").desc()
+    )
+    compacted = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "op", "new_cents")
+    )
+    # full-outer joins cannot broadcast in Spark (hint would be
+    # ignored): the merge shuffles both sides on the key — at scale the
+    # snapshot pays one co-partitioned pass, the compacted log is
+    # changed-keys-sized
+    merged = snap.join(compacted, snap.s_suppkey == compacted.key, "full_outer")
+    return (
+        merged.filter(F.coalesce(F.col("op"), F.lit("K")) != "D")
+        .select(
+            F.coalesce("s_suppkey", "key").alias("s_suppkey"),
+            "s_name",
+            F.when(F.col("op") == "U", F.col("new_cents"))
+            .otherwise(F.col("bal_cents"))
+            .alias("bal_cents"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH log AS (
+  SELECT user_id % 100 AS key, epoch_us(ts) AS seq, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS new_cents
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+compacted AS (
+  SELECT key, op, new_cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY key
+                                 ORDER BY seq DESC, event_id DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+),
+snap AS (
+  SELECT s_suppkey, s_name,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM supplier
+)
+SELECT COALESCE(s.s_suppkey, c.key) AS s_suppkey, s.s_name,
+       CASE WHEN c.op = 'U' THEN c.new_cents ELSE s.bal_cents END AS bal_cents
+FROM snap s FULL OUTER JOIN compacted c ON s.s_suppkey = c.key
+WHERE COALESCE(c.op, 'K') <> 'D'
+ORDER BY s_suppkey
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -3318,6 +3409,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_id": q_grouping_sets_id,
     "set_ops_multiplicity": q_set_ops_multiplicity,
     "cogroup_reconcile": q_cogroup_reconcile,
+    "cdc_apply": q_cdc_apply,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -3369,4 +3461,5 @@ ORACLES_EXT10: dict[str, str] = {
     "grouping_sets_id": ORACLE_GROUPING_SETS_ID,
     "set_ops_multiplicity": ORACLE_SET_OPS_MULTIPLICITY,
     "cogroup_reconcile": ORACLE_COGROUP_RECONCILE,
+    "cdc_apply": ORACLE_CDC_APPLY,
 }
