@@ -164,6 +164,7 @@ HEADLINE = [
     "set_ops_multiplicity",
     "cogroup_reconcile",
     "cdc_apply",
+    "interval_overlap_join",
 ]
 
 

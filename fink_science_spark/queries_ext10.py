@@ -3371,6 +3371,107 @@ ORDER BY s_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# interval_overlap_join: which user sessions intersect the weekly
+# maintenance windows (Sundays 00:00-06:00 UTC, derived from the data's
+# own date range) and by how much — the batch interval-join staple
+# (blackout-impact audit, calendar conflicts, genomics ranges).
+#
+# Scale shape: the window list is tiny and BROADCAST — the session side
+# streams through a BroadcastNestedLoopJoin with the overlap predicate
+# (s ≤ we ∧ ws ≤ e); no shuffle of the big side beyond the one the
+# sessionization already pays. A self-overlap formulation must bucket
+# by time cell instead (the sky-grid pattern) — rejected here because
+# month-long sessions make every pair overlap: output itself would be
+# quadratic, which no plan fixes. Day arithmetic is pure integer
+# (epoch day 0 = Thursday ⇒ Sunday = day mod 7 == 3).
+# --------------------------------------------------------------------------
+
+_IOJ_WINDOW_US = 6 * 3_600_000_000  # maintenance window length: 6 h
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = q_sessions_native(spark, sf_dir).select(
+        "user_id", "session_id", "start_us", "end_us"
+    )
+    from fink_science_spark.queries import _events_us
+
+    ev = _events_us(spark, sf_dir)
+    bounds = ev.agg(
+        F.floor(F.min("ts_us") / F.lit(_US_PER_DAY)).alias("__d0"),
+        F.floor(F.max("ts_us") / F.lit(_US_PER_DAY)).alias("__d1"),
+    )
+    windows = (
+        bounds.select(
+            F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias("day")
+        )
+        .filter(F.pmod("day", F.lit(7)) == 3)  # Sundays
+        .select(
+            "day",
+            (F.col("day") * F.lit(_US_PER_DAY)).alias("ws"),
+            (F.col("day") * F.lit(_US_PER_DAY) + F.lit(_IOJ_WINDOW_US)).alias(
+                "we"
+            ),
+        )
+    )
+    hit = iv.join(
+        F.broadcast(windows),
+        (F.col("start_us") <= F.col("we")) & (F.col("ws") <= F.col("end_us")),
+    )
+    overlap = F.least(F.col("end_us"), F.col("we")) - F.greatest(
+        F.col("start_us"), F.col("ws")
+    )
+    return hit.select(
+        "user_id",
+        "session_id",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("day").cast("int")).alias(
+            "window_day"
+        ),
+        overlap.alias("overlap_us"),
+    ).orderBy("user_id", "session_id", "window_day")
+
+
+def _oracle_interval_overlap_join() -> str:
+    from fink_science_spark.queries_ext9 import _SESS_GAP_US
+
+    return f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+d AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+g AS (
+  SELECT user_id, ts_us,
+         1 + sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+),
+iv AS (
+  SELECT user_id, CAST(session_id AS INT) AS session_id,
+         min(ts_us) AS start_us, max(ts_us) AS end_us
+  FROM g GROUP BY user_id, session_id
+),
+bounds AS (
+  SELECT CAST(floor(min(ts_us) / {_US_PER_DAY}) AS BIGINT) AS d0,
+         CAST(floor(max(ts_us) / {_US_PER_DAY}) AS BIGINT) AS d1
+  FROM ev
+),
+win AS (
+  SELECT day, day * {_US_PER_DAY} AS ws,
+         day * {_US_PER_DAY} + {_IOJ_WINDOW_US} AS we
+  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds)
+  WHERE day % 7 = 3
+)
+SELECT iv.user_id, iv.session_id,
+       DATE '1970-01-01' + CAST(win.day AS INT) AS window_day,
+       least(iv.end_us, win.we) - greatest(iv.start_us, win.ws) AS overlap_us
+FROM iv JOIN win ON iv.start_us <= win.we AND win.ws <= iv.end_us
+ORDER BY iv.user_id, iv.session_id, window_day
+"""
+
+
 QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_join": q_bloom_prune_join,
     "sketch_quantiles": q_sketch_quantiles,
@@ -3410,6 +3511,7 @@ QUERIES_EXT10: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_multiplicity": q_set_ops_multiplicity,
     "cogroup_reconcile": q_cogroup_reconcile,
     "cdc_apply": q_cdc_apply,
+    "interval_overlap_join": q_interval_overlap_join,
 }
 
 ORACLES_EXT10: dict[str, str] = {
@@ -3462,4 +3564,5 @@ ORACLES_EXT10: dict[str, str] = {
     "set_ops_multiplicity": ORACLE_SET_OPS_MULTIPLICITY,
     "cogroup_reconcile": ORACLE_COGROUP_RECONCILE,
     "cdc_apply": ORACLE_CDC_APPLY,
+    "interval_overlap_join": _oracle_interval_overlap_join(),
 }
