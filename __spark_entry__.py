@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext8 import QUERIES_EXT8
     from fink_science_spark.queries_ext9 import QUERIES_EXT9
     from fink_science_spark.queries_ext10 import QUERIES_EXT10
+    from fink_science_spark.queries_ext11 import QUERIES_EXT11
 
     return {
         **QUERIES,
@@ -49,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT8,
         **QUERIES_EXT9,
         **QUERIES_EXT10,
+        **QUERIES_EXT11,
     }
 
 
@@ -64,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext8 import ORACLES_EXT8
     from fink_science_spark.queries_ext9 import ORACLES_EXT9
     from fink_science_spark.queries_ext10 import ORACLES_EXT10
+    from fink_science_spark.queries_ext11 import ORACLES_EXT11
 
     return {
         **ORACLES,
@@ -77,4 +80,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT8,
         **ORACLES_EXT9,
         **ORACLES_EXT10,
+        **ORACLES_EXT11,
     }

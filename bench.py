@@ -165,6 +165,12 @@ HEADLINE = [
     "cogroup_reconcile",
     "cdc_apply",
     "interval_overlap_join",
+    "part_affinity",
+    "sliding_distinct_users",
+    "last_touch_attribution",
+    "ewma_user_value",
+    "robust_outliers",
+    "phrase_match",
 ]
 
 
