@@ -171,6 +171,9 @@ HEADLINE = [
     "ewma_user_value",
     "robust_outliers",
     "phrase_match",
+    "containment_pairs",
+    "winsorized_stats",
+    "session_paths",
 ]
 
 

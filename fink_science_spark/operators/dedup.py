@@ -505,6 +505,112 @@ def ngram_jaccard_pairs(
     )
 
 
+def _freq_ordered_sets(df: DataFrame, id_col: str, shingles_col: str) -> DataFrame:
+    """(id, tokens-hashed-and-ordered-rarest-first, set size) — the shared
+    substrate of the prefix-filtered similarity joins.
+
+    One groupBy(id) materializes the frequency-ordered token array; the
+    same array serves BOTH prefix emission and exact verification, so
+    the tokenize/shingle subtree is never re-evaluated.
+    The result feeds multiple consumers (prefix explode + verification
+    sides), all inside ONE job — Spark's ReusedExchange computes the
+    canonical groupBy(__id) subtree once and shares it, so an explicit
+    localCheckpoint here is pure overhead (measured +0.4 s at sf0.1).
+    Checkpointing only pays when consumers are separate ACTIONS, as in
+    decontaminate_bloom's count()/bitset-build/join sequence."""
+    sets = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(shingles_col)).alias("__s"),
+    )
+    inv = (
+        sets.select("__id", F.explode_outer("__s").alias("__g"))
+        .filter(F.col("__g").isNotNull())
+        .select("__id", hash64(F.col("__g")).alias("__g"))
+    )
+    dfreq = inv.groupBy("__g").agg(F.count("*").alias("__df"))
+    return (
+        inv.join(dfreq, "__g")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "__g"))).alias("__o"))
+        .select(
+            "__id",
+            F.transform("__o", lambda s: s["__g"]).alias("__toks"),
+            F.size("__o").alias("__n"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT asymmetric-containment pairs: C(A→B) = |A∩B| / |A| ≥ t —
+    the quote / subset / excerpt detector (the relation LSH-Ensemble
+    approximates; here exact via prefix filtering).
+
+    Unlike Jaccard, containment is direction-sensitive: a short document
+    wholly quoted inside a long one scores 1.0 regardless of the length
+    ratio, which is precisely what Jaccard's symmetric denominator
+    hides. Returns (id_a, id_b, containment) with id_a the CONTAINED
+    side, both orientations possible.
+
+    Prefix lemma (probe side only): |A∩B| ≥ ceil(t·|A|) means A cannot
+    miss every token of its (|A| − ceil(t·|A|) + 1)-prefix in B, under
+    any common total order — so probing with A's prefix against B's
+    FULL posting list finds every qualifying pair. The shared global
+    order is rarest-first, so prefixes hold rare tokens and the full
+    index's skewed (stop-token) postings are joined only against the
+    few probes whose prefix reaches them; candidate volume tracks true
+    containment, not token skew. The only extra filter is |B| ≥ t·|A|
+    (|A∩B| ≤ |B|). Verification is an exact array intersection.
+    """
+    t = float(threshold)
+    ordered = _freq_ordered_sets(df, id_col, shingles_col)
+    prefix_len = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")
+    probe = ordered.select(
+        "__id", "__n", F.explode(F.slice("__toks", 1, prefix_len)).alias("__g")
+    )
+    index = ordered.select(
+        F.col("__id").alias("__ib"),
+        F.col("__n").alias("__nb"),
+        F.explode("__toks").alias("__g"),
+    )
+    cand = (
+        probe.join(
+            index,
+            (probe["__g"] == index["__g"])
+            & (probe["__id"] != index["__ib"])
+            & (index["__nb"] + F.lit(1e-9) >= probe["__n"] * F.lit(t)),
+        )
+        .select(
+            probe["__id"].alias("id_a"),
+            index["__ib"].alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = ordered.select(
+        F.col("__id").alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("na"),
+    )
+    sb = ordered.select(
+        F.col("__id").alias("id_b"), F.col("__toks").alias("__tb")
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__ta", "__tb")))
+    )
+    cont = F.col("__inter") / F.col("na")
+    return (
+        verified.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def jaccard_ppjoin_pairs(
     df: DataFrame,
     id_col: str,
@@ -539,36 +645,7 @@ def jaccard_ppjoin_pairs(
     on :func:`hash64`.
     """
     t = float(threshold)
-    sets = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(F.col(shingles_col)).alias("__s"),
-    )
-    inv = (
-        sets.select("__id", F.explode_outer("__s").alias("__g"))
-        .filter(F.col("__g").isNotNull())
-        .select("__id", hash64(F.col("__g")).alias("__g"))
-    )
-    dfreq = inv.groupBy("__g").agg(F.count("*").alias("__df"))
-
-    # One groupBy(id) materializes the frequency-ordered token array; the
-    # same array serves BOTH prefix emission and exact verification, so
-    # the tokenize/shingle subtree is never re-evaluated.
-    # ordered feeds THREE consumers (prefix explode + both verification
-    # sides), all inside ONE job — Spark's ReusedExchange computes the
-    # canonical groupBy(__id) subtree once and shares it, so an explicit
-    # localCheckpoint here is pure overhead (measured +0.4 s at sf0.1).
-    # Checkpointing only pays when consumers are separate ACTIONS, as in
-    # decontaminate_bloom's count()/bitset-build/join sequence.
-    ordered = (
-        inv.join(dfreq, "__g")
-        .groupBy("__id")
-        .agg(F.array_sort(F.collect_list(F.struct("__df", "__g"))).alias("__o"))
-        .select(
-            "__id",
-            F.transform("__o", lambda s: s["__g"]).alias("__toks"),
-            F.size("__o").alias("__n"),
-        )
-    )
+    ordered = _freq_ordered_sets(df, id_col, shingles_col)
 
     prefix_len = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")
     prefix = ordered.select(

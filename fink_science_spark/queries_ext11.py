@@ -544,6 +544,233 @@ ORDER BY doc_id
 ORACLE_PHRASE_MATCH = _oracle_phrase_match()
 
 
+# --------------------------------------------------------------------------
+# containment_pairs: asymmetric set containment |A∩B|/|A| ≥ 0.8 over
+# 3-gram shingles — the quote / excerpt / subset detector that
+# symmetric Jaccard structurally misses (a short doc fully quoted in a
+# long one has tiny Jaccard but containment 1.0). Exact, via
+# probe-prefix × full-index prefix filtering (the relation LSH-Ensemble
+# approximates) — operators/dedup.containment_pairs for the lemma.
+# --------------------------------------------------------------------------
+
+_CT_T = 0.8
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.operators.dedup import containment_pairs
+    from fink_science_spark.queries_ext import _doc_shingles
+
+    return containment_pairs(
+        _doc_shingles(spark, sf_dir), "doc_id", "shingles", threshold=_CT_T
+    )
+
+
+def _oracle_containment() -> str:
+    from fink_science_spark.functions.hashing import hash64_sql
+    from fink_science_spark.queries_ext import _DOCS_TOK_CTE
+
+    return f"""
+WITH {_DOCS_TOK_CTE},
+raw AS (SELECT doc_id, len(shingles) n, unnest(shingles) g0 FROM sh),
+inv AS (SELECT doc_id, n, {hash64_sql('g0')} AS g FROM raw),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, a.n na, count(*) inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, round(inter * 1.0 / na, 6) AS containment
+FROM pairs
+WHERE inter * 1.0 / na >= {_CT_T!r}
+"""
+
+
+ORACLE_CONTAINMENT_PAIRS = _oracle_containment()
+
+# --------------------------------------------------------------------------
+# winsorized_stats: per-event-type stats after clipping to the exact
+# [p05, p95] band — the standard tail-robust preprocessing twin of
+# robust_outliers (clip instead of flag). Percentile cutpoints are
+# exact (F.percentile ≡ quantile_cont, broadcast back, 5 rows); the
+# clipped values are dyadically quantized BEFORE the mean's sum, so
+# the aggregate is exact int64 (order-independent).
+# --------------------------------------------------------------------------
+
+_WZ_Q = float(1 << 14)
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.queries import _events_us
+
+    ev = _events_us(spark, sf_dir).select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "cv"
+        ),
+        (F.col("value") < F.col("lo")).cast("long").alias("is_lo"),
+        (F.col("value") > F.col("hi")).cast("long").alias("is_hi"),
+        "lo",
+        "hi",
+    )
+    cq = F.floor(F.col("cv") * F.lit(_WZ_Q) + F.lit(0.5)).cast("long")
+    mean_w = F.floor(
+        F.sum(cq).cast("double")
+        / F.count(F.lit(1)).cast("double")
+        / F.lit(_WZ_Q)
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("lo"), 6).alias("p05"),
+            F.round(F.first("hi"), 6).alias("p95"),
+            mean_w.alias("winsorized_mean"),
+            F.sum("is_lo").alias("n_clipped_lo"),
+            F.sum("is_hi").alias("n_clipped_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_WINSORIZED_STATS = f"""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT e.event_type,
+         CAST(floor(least(greatest(e.value, t.lo), t.hi) * {_WZ_Q!r} + 0.5)
+              AS BIGINT) AS cq,
+         CASE WHEN e.value < t.lo THEN 1 ELSE 0 END AS is_lo,
+         CASE WHEN e.value > t.hi THEN 1 ELSE 0 END AS is_hi,
+         t.lo, t.hi
+  FROM events e JOIN cuts t ON e.event_type = t.event_type
+)
+SELECT event_type, count(*) AS n,
+       round(any_value(lo), 6) AS p05,
+       round(any_value(hi), 6) AS p95,
+       floor(sum(cq) / CAST(count(*) AS DOUBLE) / {_WZ_Q!r} * 1e6 + 0.5) / 1e6
+         AS winsorized_mean,
+       sum(is_lo)::BIGINT AS n_clipped_lo,
+       sum(is_hi)::BIGINT AS n_clipped_hi
+FROM c
+GROUP BY 1
+ORDER BY 1
+"""
+
+# --------------------------------------------------------------------------
+# session_paths: entry-path analysis — the first 5 event types of every
+# session (1-day gap sessionization, same contract as sessions_native)
+# concatenated into a path, with session counts per path. The classic
+# product-analytics "how do users start" rollup.
+#
+# Scale shape: ONE user_id window shuffle derives session ids
+# (gaps-and-islands) AND orders events within the session (row_number
+# on the same window spec); the path build keeps only rank ≤ 5 rows —
+# so the second (user, session) aggregation sees ≤ 5 rows per session.
+# The final path rollup is a tiny distinct-path-sized agg. Ordering is
+# total (ts_us, event_id) → deterministic paths on both engines.
+# --------------------------------------------------------------------------
+
+_SP_DEPTH = 5
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.queries import _events_us
+    from fink_science_spark.queries_ext9 import _SESS_GAP_US
+
+    ev = _events_us(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    brk = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) > _SESS_GAP_US, F.lit(1)
+    ).otherwise(F.lit(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    sid = F.sum(brk).over(wrun).cast("int")
+    # rank within session via one more pass over the SAME window
+    # partitioning: row_number over (user) minus the session's first
+    # row_number would need a join; instead rank within (user, session)
+    # directly — Spark plans both window specs on one user_id exchange.
+    seq = ev.select(
+        "user_id", "ts_us", "event_id", "event_type", sid.alias("session_id")
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    ranked = seq.select(
+        "*", F.row_number().over(ws).alias("rk")
+    ).filter(F.col("rk") <= _SP_DEPTH)
+    paths = (
+        ranked.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+    return paths
+
+
+def _oracle_session_paths() -> str:
+    from fink_science_spark.queries_ext9 import _SESS_GAP_US
+
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+),
+b AS (
+  SELECT *,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM b
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts_us, event_id) AS rk
+  FROM s
+),
+p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rk) AS path
+  FROM r WHERE rk <= {_SP_DEPTH}
+  GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+ORACLE_SESSION_PATHS = _oracle_session_paths()
+
+
 QUERIES_EXT11: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_affinity": q_part_affinity,
     "sliding_distinct_users": q_sliding_distinct_users,
@@ -551,6 +778,9 @@ QUERIES_EXT11: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_user_value": q_ewma_user_value,
     "robust_outliers": q_robust_outliers,
     "phrase_match": q_phrase_match,
+    "containment_pairs": q_containment_pairs,
+    "winsorized_stats": q_winsorized_stats,
+    "session_paths": q_session_paths,
 }
 
 ORACLES_EXT11: dict[str, str] = {
@@ -560,4 +790,7 @@ ORACLES_EXT11: dict[str, str] = {
     "ewma_user_value": ORACLE_EWMA_USER_VALUE,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "phrase_match": ORACLE_PHRASE_MATCH,
+    "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
+    "winsorized_stats": ORACLE_WINSORIZED_STATS,
+    "session_paths": ORACLE_SESSION_PATHS,
 }

@@ -71,6 +71,16 @@ QUERIES = [
     "event_transitions",
     "contingency_chi2",
     "triangle_count",
+    # round-3 wave 12: affinity / rolling-reach / attribution / smoothing
+    "part_affinity",
+    "sliding_distinct_users",
+    "last_touch_attribution",
+    "ewma_user_value",
+    "robust_outliers",
+    "phrase_match",
+    "containment_pairs",
+    "winsorized_stats",
+    "session_paths",
 ]
 
 OFFSET = 1 << 40
