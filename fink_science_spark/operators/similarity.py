@@ -103,7 +103,14 @@ def cosine_topk(
             / F.sqrt(F.col("__qn") * F.col("__cn"))
         ).alias("__cos"),
     )
-    w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid").asc())
+    # rank on the 9-decimal-quantized cosine: numpy BLAS and any SQL
+    # engine can disagree on the last ulp of near-equal cosines, and an
+    # ulp flip at a rank boundary would flip top-k membership between
+    # engines (cross-engine determinism contract; same rule as the IVF
+    # centroid assignment).
+    w = Window.partitionBy("__qid").orderBy(
+        F.round(F.col("__cos"), 9).desc(), F.col("__cid").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -111,7 +118,10 @@ def cosine_topk(
             F.col("__qid").alias(query_id),
             F.col("__cid").alias(corpus_id),
             "rank",
-            F.round("__cos", 6).alias("cos"),
+            # round6(round9(x)) — the oracles emit round(cosr, 6) where
+            # cosr is already 9-rounded; compose the same way so a value
+            # at a 1e-6 half-boundary can't split the engines
+            F.round(F.round("__cos", 9), 6).alias("cos"),
         )
     )
 
@@ -224,7 +234,14 @@ def cosine_topk_blocked(
     candidates = corpus.select(corpus_id, corpus_vec).mapInPandas(
         block, schema="__qid long, __cid long, __cos double"
     )
-    w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid").asc())
+    # rank on the 9-decimal-quantized cosine: numpy BLAS and any SQL
+    # engine can disagree on the last ulp of near-equal cosines, and an
+    # ulp flip at a rank boundary would flip top-k membership between
+    # engines (cross-engine determinism contract; same rule as the IVF
+    # centroid assignment).
+    w = Window.partitionBy("__qid").orderBy(
+        F.round(F.col("__cos"), 9).desc(), F.col("__cid").asc()
+    )
     return (
         candidates.filter(F.col("__cid") != F.col("__qid"))
         .withColumn("rank", F.row_number().over(w))
@@ -233,7 +250,10 @@ def cosine_topk_blocked(
             F.col("__qid").alias(query_id),
             F.col("__cid").alias(corpus_id),
             "rank",
-            F.round("__cos", 6).alias("cos"),
+            # round6(round9(x)) — the oracles emit round(cosr, 6) where
+            # cosr is already 9-rounded; compose the same way so a value
+            # at a 1e-6 half-boundary can't split the engines
+            F.round(F.round("__cos", 9), 6).alias("cos"),
         )
     )
 
@@ -448,7 +468,14 @@ def ivf_topk_blocked(
     candidates = corpus.select(corpus_id, corpus_vec).mapInPandas(
         block, schema="__qid long, __cid long, __cos double"
     )
-    w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid").asc())
+    # rank on the 9-decimal-quantized cosine: numpy BLAS and any SQL
+    # engine can disagree on the last ulp of near-equal cosines, and an
+    # ulp flip at a rank boundary would flip top-k membership between
+    # engines (cross-engine determinism contract; same rule as the IVF
+    # centroid assignment).
+    w = Window.partitionBy("__qid").orderBy(
+        F.round(F.col("__cos"), 9).desc(), F.col("__cid").asc()
+    )
     return (
         candidates.filter(F.col("__cid") != F.col("__qid"))
         .withColumn("rank", F.row_number().over(w))
@@ -457,7 +484,10 @@ def ivf_topk_blocked(
             F.col("__qid").alias(query_id),
             F.col("__cid").alias(corpus_id),
             "rank",
-            F.round("__cos", 6).alias("cos"),
+            # round6(round9(x)) — the oracles emit round(cosr, 6) where
+            # cosr is already 9-rounded; compose the same way so a value
+            # at a 1e-6 half-boundary can't split the engines
+            F.round(F.round("__cos", 9), 6).alias("cos"),
         )
     )
 
@@ -625,7 +655,14 @@ def lsh_bucketed_topk(
             / F.sqrt(F.col("__qn") * F.col("__cn"))
         ).alias("__cos"),
     )
-    w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid").asc())
+    # rank on the 9-decimal-quantized cosine: numpy BLAS and any SQL
+    # engine can disagree on the last ulp of near-equal cosines, and an
+    # ulp flip at a rank boundary would flip top-k membership between
+    # engines (cross-engine determinism contract; same rule as the IVF
+    # centroid assignment).
+    w = Window.partitionBy("__qid").orderBy(
+        F.round(F.col("__cos"), 9).desc(), F.col("__cid").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -633,6 +670,9 @@ def lsh_bucketed_topk(
             F.col("__qid").alias(query_id),
             F.col("__cid").alias(corpus_id),
             "rank",
-            F.round("__cos", 6).alias("cos"),
+            # round6(round9(x)) — the oracles emit round(cosr, 6) where
+            # cosr is already 9-rounded; compose the same way so a value
+            # at a 1e-6 half-boundary can't split the engines
+            F.round(F.round("__cos", 9), 6).alias("cos"),
         )
     )

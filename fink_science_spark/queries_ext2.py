@@ -576,7 +576,10 @@ FROM agg
 # Sink/source roundtrip (§2.1): parquet sink, CSV sink+source
 # --------------------------------------------------------------------------
 
-_SCRATCH = "/root/repo/_scratch"
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_scratch"
+)
+os.makedirs(_SCRATCH, exist_ok=True)
 
 
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

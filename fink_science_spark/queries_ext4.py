@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from fink_science_spark.operators.remote import local_table_resolver, service_xmatch
 from fink_science_spark.queries import _events_us, _t
 
-_SCRATCH = "/root/repo/_scratch"
+from fink_science_spark.queries_ext2 import _SCRATCH
 _XMATCH_RADIUS = 10.0
 
 
