@@ -231,25 +231,36 @@ def main() -> None:
 
     # median-of-N per query (default 3): single runs on a shared host
     # carry 2-4× scheduling noise; the median is robust to one bad run in
-    # either direction, so round-over-round regressions are attributable
+    # either direction, so round-over-round regressions are attributable.
+    # Rounds are INTERLEAVED (whole suite once per round, median taken
+    # across rounds) rather than back-to-back per query: a sustained
+    # external-load window on a shared host would otherwise inflate ALL
+    # samples of whichever few queries it overlaps — observed as a 10×
+    # phantom regression on consecutive-sample medians — while under
+    # interleaving the same window touches each query at most once.
     import statistics
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        samples: list[float] = []
-        try:
-            for _ in range(runs):
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    failed: dict[str, str] = {}
+    for _ in range(runs):
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None or name in failed:
+                continue
+            try:
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
-            timings[name] = round(statistics.median(samples), 3)
-        except Exception as exc:  # noqa: BLE001 - a failed query must not hide the rest
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 - a failed query must not hide the rest
+                failed[name] = str(exc)
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in failed:
             timings[name] = -1.0
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        elif samples[name]:
+            timings[name] = round(statistics.median(samples[name]), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     rows_per_s = {}

@@ -1693,6 +1693,12 @@ FROM draws WHERE u < keep_rate
 # --------------------------------------------------------------------------
 
 
+# physical stateful groups per band for stream_dedup_lsh: enough to
+# spread across executors (4 bands × 64 = 256 groups), few enough that
+# per-group Python overhead is amortized over ~hundreds of band_hashes
+_SDL_STATE_BUCKETS = 64
+
+
 def q_stream_dedup_lsh(
     spark: SparkSession,
     sf_dir: str,
@@ -1782,28 +1788,52 @@ def q_stream_dedup_lsh(
             )
 
     def update(key, pdfs, state: GroupState):
-        seen = list(state.get[0]) if state.exists else []
-        new_ids: list[int] = []
-        for pdf in pdfs:
-            for x in pdf["doc_id"]:
-                xi = int(x)
-                if xi not in seen and xi not in new_ids:
-                    new_ids.append(xi)
+        # Bucket-level state (the cogroup_reconcile lesson): the physical
+        # group is (band, bucket) — ~hundreds of groups — and the state
+        # holds EVERY band_hash of the bucket as a dict encoded in three
+        # parallel arrays (hashes, flat ids, cumulative offsets). The
+        # per-group Python/state-ser overhead that dominated the
+        # per-(band, band_hash) form (~20k groups ≈ 6 s at sf0.1) is
+        # amortized ~80×; the logical semantics — a new id pairs with all
+        # ids previously seen under the same band_hash — are unchanged.
+        if state.exists:
+            hashes, flat, offs = state.get
+            seen_map: dict[str, list[int]] = {}
+            prev = 0
+            for h, end in zip(hashes, offs):
+                seen_map[h] = [int(x) for x in flat[prev:end]]
+                prev = end
+        else:
+            seen_map = {}
         a_out, b_out = [], []
-        for i, nid in enumerate(new_ids):
-            for old in seen + new_ids[i + 1 :]:
-                lo, hi = (old, nid) if old < nid else (nid, old)
-                a_out.append(lo)
-                b_out.append(hi)
-        state.update((seen + new_ids,))
+        for pdf in pdfs:
+            for h, x in zip(pdf["band_hash"], pdf["doc_id"]):
+                xi = int(x)
+                lst = seen_map.setdefault(h, [])
+                if xi in lst:
+                    continue
+                for old in lst:
+                    lo, hi = (old, xi) if old < xi else (xi, old)
+                    a_out.append(lo)
+                    b_out.append(hi)
+                lst.append(xi)
+        hashes_out = list(seen_map)
+        flat_out: list[int] = []
+        offs_out: list[int] = []
+        for h in hashes_out:
+            flat_out.extend(seen_map[h])
+            offs_out.append(len(flat_out))
+        state.update((hashes_out, flat_out, offs_out))
         yield pd.DataFrame({"id_a": a_out, "id_b": b_out})
 
     schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
-    # the stateful stage's cost is per-GROUP Python overhead (~20k
-    # (band, band_hash) groups at sf0.1), so width = all cores, unlike
-    # the low-cardinality streaming aggs that scope partitions DOWN to
-    # cut micro-batch task overhead (8 → 32 measured 9.8 → 5.9 s).
-    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    # stateful-stage width: with bucket-level state there are only
+    # bands × _SDL_STATE_BUCKETS (= 256) physical groups and the
+    # per-partition cost is dominated by state-store instance overhead
+    # (commit files, provider setup), not Python work — 8 partitions
+    # measured 4.0 s vs 32 partitions 9-12 s at sf0.1. On a real cluster
+    # scale this with group count, not core count.
+    n_part = 8
     with scoped_shuffle_partitions(spark, n_part):
         reader = spark.readStream.schema(schema).format("parquet")
         if source_dir is None:
@@ -1817,11 +1847,20 @@ def q_stream_dedup_lsh(
         ).filter(F.size("shingles") > 0)
         rows = docs.mapInPandas(
             band_rows, schema="doc_id long, band int, band_hash string"
+        ).withColumn(
+            # physical-group key: hash-bucket of the band_hash. Grouping
+            # stays deterministic and batch-order-independent; only the
+            # packing of logical band_hash groups into Python calls
+            # changes.
+            "bucket",
+            F.pmod(F.xxhash64("band_hash"), F.lit(_SDL_STATE_BUCKETS)),
         )
-        cands = rows.groupBy("band", "band_hash").applyInPandasWithState(
+        cands = rows.groupBy("band", "bucket").applyInPandasWithState(
             update,
             outputStructType="id_a long, id_b long",
-            stateStructType="ids array<long>",
+            stateStructType=(
+                "hashes array<string>, flat array<long>, offs array<int>"
+            ),
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -1845,9 +1884,12 @@ def q_stream_dedup_lsh(
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))
     jacc = inter / (F.size("__sa") + F.size("__sb") - inter)
+    # candidate pairs are the collected LSH collisions (hundreds of rows)
+    # and stay pair-sized after picking up each side's shingles — pin the
+    # broadcasts so the corpus-sized shingle sets never shuffle
+    half = sa.join(F.broadcast(pairs), "id_a")
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        sb.join(F.broadcast(half), "id_b")
         .withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -2815,7 +2857,16 @@ def triangle_stats(raw: DataFrame, max_degree: int = _TRI_MAX_DEGREE) -> DataFra
     """Capped triangle/wedge counts over an (id_a < id_b) edge list —
     edges incident to vertices with degree > ``max_degree`` are dropped
     before enumeration (the hub guard; see the block comment above)."""
-    raw = raw.persist()  # degree pass + capped enumeration share it
+    # eager localCheckpoint, not persist(): the edge list is consumed by
+    # FIVE downstream legs (degree pass, e1/e2/e3, capped degrees) and a
+    # lazily-persisted upstream (here: the whole LSH pipeline) races its
+    # own materialization across those legs — measured 3.8-8.8 s vs 1.6 s
+    # at sf0.1. The checkpoint also cuts the lineage, so repeated calls
+    # don't stack cache entries ("already cached" warnings in bench).
+    # Post-LSH edge lists are tiny relative to the corpus, so the
+    # materialization is cheap at any scale (same policy as graph.py's
+    # contraction rounds).
+    raw = raw.localCheckpoint(eager=True)
     full_deg = (
         raw.select(F.col("id_a").alias("v"))
         .unionAll(raw.select(F.col("id_b").alias("v")))
@@ -2826,6 +2877,7 @@ def triangle_stats(raw: DataFrame, max_degree: int = _TRI_MAX_DEGREE) -> DataFra
     edges = (
         raw.join(F.broadcast(hubs), raw.id_a == hubs.v, "left_anti")
         .join(F.broadcast(hubs), raw.id_b == hubs.v, "left_anti")
+        .localCheckpoint(eager=True)
     )
     e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
