@@ -612,7 +612,13 @@ def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     _build_input_once(path, _build)
-    df = spark.read.format("avro_replay").option("path", path).load()
+    df = (
+        spark.read.format("avro_replay")
+        .option("path", path)
+        # small container: bound Python-DataSource task-setup overhead
+        .option("max_partitions", "8")
+        .load()
+    )
     return df.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -671,7 +677,10 @@ def q_stream_avro_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _build_input_once(path, _build)
     with scoped_shuffle_partitions(spark, 8):
         stream = (
-            spark.readStream.format("avro_replay").option("path", path).load()
+            spark.readStream.format("avro_replay")
+            .option("path", path)
+            .option("max_partitions", "8")
+            .load()
         )
         counts = stream.groupBy("source").agg(
             F.count("*").alias("n_docs"),
@@ -792,7 +801,10 @@ def q_stream_avro_alert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with scoped_shuffle_partitions(spark, 8):
         stream = (
-            spark.readStream.format("avro_replay").option("path", path).load()
+            spark.readStream.format("avro_replay")
+            .option("path", path)
+            .option("max_partitions", "8")
+            .load()
         )
         df = concat_col(stream, "value")
         enriched = df.select(

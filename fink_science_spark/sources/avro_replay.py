@@ -45,6 +45,33 @@ class _BlockPartition(InputPartition):
     offset: int
 
 
+@dataclass
+class _BlockRunPartition(InputPartition):
+    """A contiguous run of blocks decoded by one task. Python-DataSource
+    tasks carry ~100-200 ms of per-task worker overhead, so a small file
+    split per-block pays more in task setup than in decode — packing
+    runs bounds that while keeping per-block parallelism available for
+    large files (``max_partitions`` unset)."""
+
+    items: tuple  # ((path, offset), ...)
+
+
+def _pack_runs(blocks, max_partitions: int):
+    """Pack an ordered block list into at most ``max_partitions``
+    contiguous runs (0 or negative → one partition per block)."""
+    keys = [(f, off) for f, _c, _s, off, _n, _sz in blocks]
+    if max_partitions <= 0 or len(keys) <= max_partitions:
+        return [_BlockRunPartition((k,)) for k in keys]
+    n = max_partitions
+    size, rem = divmod(len(keys), n)
+    runs, i = [], 0
+    for j in range(n):
+        step = size + (1 if j < rem else 0)
+        runs.append(_BlockRunPartition(tuple(keys[i : i + step])))
+        i += step
+    return runs
+
+
 def _source_files(path: str) -> list[str]:
     """A single container file, or every ``*.avro`` in a directory
     (sorted — deterministic plan order), mirroring spark-avro's
@@ -129,23 +156,20 @@ class AvroReplayReader(DataSourceReader):
             raise ValueError("avro_replay: 'path' option is required")
         self.avro_schema, self.blocks = _index_files(self.path)
         self.spark_type = to_spark_type(self.avro_schema)
+        self.max_partitions = int(options.get("max_partitions", "0"))
         self._codecs = {
             (f, off): (codec, sync)
             for f, codec, sync, off, _n, _size in self.blocks
         }
 
     def partitions(self):
-        return [
-            _BlockPartition(f, off)
-            for f, _codec, _sync, off, _n, _size in self.blocks
-        ]
+        return _pack_runs(self.blocks, self.max_partitions)
 
-    def read(self, partition: _BlockPartition):
-        codec, sync = self._codecs[(partition.path, partition.offset)]
-        for rec in read_block(
-            partition.path, self.avro_schema, codec, sync, partition.offset,
-        ):
-            yield _flatten(rec, self.spark_type)
+    def read(self, partition: _BlockRunPartition):
+        for path, off in partition.items:
+            codec, sync = self._codecs[(path, off)]
+            for rec in read_block(path, self.avro_schema, codec, sync, off):
+                yield _flatten(rec, self.spark_type)
 
 
 class AvroReplayStreamReader(DataSourceStreamReader):
@@ -164,6 +188,7 @@ class AvroReplayStreamReader(DataSourceStreamReader):
         self.avro_schema, self.blocks = _index_files(self.path)
         self.spark_type = to_spark_type(self.avro_schema)
         self.blocks_per_trigger = int(options.get("blocks_per_trigger", "0"))
+        self.max_partitions = int(options.get("max_partitions", "0"))
         self._target = 0
         self._codecs = {
             (f, off): (codec, sync)
@@ -189,17 +214,15 @@ class AvroReplayStreamReader(DataSourceStreamReader):
         # monotonic w.r.t. the recovered offset or already-processed
         # blocks get re-delivered (caught by code review)
         self._target = max(self._target, start["block"], end["block"])
-        return [
-            _BlockPartition(self.blocks[i][0], self.blocks[i][3])
-            for i in range(start["block"], end["block"])
-        ]
+        return _pack_runs(
+            self.blocks[start["block"] : end["block"]], self.max_partitions
+        )
 
-    def read(self, partition: _BlockPartition):
-        codec, sync = self._codecs[(partition.path, partition.offset)]
-        for rec in read_block(
-            partition.path, self.avro_schema, codec, sync, partition.offset,
-        ):
-            yield _flatten(rec, self.spark_type)
+    def read(self, partition: _BlockRunPartition):
+        for path, off in partition.items:
+            codec, sync = self._codecs[(path, off)]
+            for rec in read_block(path, self.avro_schema, codec, sync, off):
+                yield _flatten(rec, self.spark_type)
 
     def commit(self, end: dict) -> None:
         self._target = max(self._target, end["block"])

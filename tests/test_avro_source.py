@@ -235,7 +235,8 @@ def test_avro_stream_offsets_are_blocks(tmp_path):
     assert r.latestOffset() == {"block": 2}
     assert r.latestOffset() == {"block": 4}
     parts = r.partitions({"block": 2}, {"block": 4})
-    assert [p.offset for p in parts] == [b[3] for b in r.blocks[2:4]]
+    offsets = [off for p in parts for (_path, off) in p.items]
+    assert offsets == [b[3] for b in r.blocks[2:4]]
     assert r.latestOffset() == {"block": 6}
     assert r.latestOffset() == {"block": 6}  # caught up, stays
 
