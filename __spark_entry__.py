@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext9 import QUERIES_EXT9
     from fink_science_spark.queries_ext10 import QUERIES_EXT10
     from fink_science_spark.queries_ext11 import QUERIES_EXT11
+    from fink_science_spark.queries_ext12 import QUERIES_EXT12
 
     return {
         **QUERIES,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT9,
         **QUERIES_EXT10,
         **QUERIES_EXT11,
+        **QUERIES_EXT12,
     }
 
 
@@ -67,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext9 import ORACLES_EXT9
     from fink_science_spark.queries_ext10 import ORACLES_EXT10
     from fink_science_spark.queries_ext11 import ORACLES_EXT11
+    from fink_science_spark.queries_ext12 import ORACLES_EXT12
 
     return {
         **ORACLES,
@@ -81,4 +84,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT9,
         **ORACLES_EXT10,
         **ORACLES_EXT11,
+        **ORACLES_EXT12,
     }

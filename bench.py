@@ -174,6 +174,10 @@ HEADLINE = [
     "containment_pairs",
     "winsorized_stats",
     "session_paths",
+    # round 3, wave 13: skyline / overlap / diversity
+    "skyline_frontier",
+    "segment_overlap",
+    "mmr_diverse_topk",
 ]
 
 

@@ -1,0 +1,405 @@
+"""Query registry, wave 13: Pareto skyline, segment overlap, and
+MMR-diversified retrieval.
+
+Three operators from the catalog/analytics edge the earlier waves did
+not cover: multi-objective dominance filtering (the SKYLINE operator),
+audience-overlap combinatorics compressed onto a bitmask histogram, and
+maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) on
+top of the ANN candidate stage — the "diverse top-k" step a retrieval
+pipeline runs between recall and the LLM context window.
+
+Scale shapes, per the engine contract:
+- skyline: per-partition local frontier (vectorized numpy kernel, no
+  shuffle) → tiny union → exact single-task refine. Local pruning is
+  sound because partition-local dominance implies global dominance.
+- segment_overlap: ONE user-keyed shuffle with a map-combinable bit_or;
+  all pair combinatorics run on the ≤ 2^|types| mask histogram.
+- mmr: candidates come from the bounded-query ANN kernel; the greedy
+  loop joins only candidate-sized relations (broadcast), never the
+  corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fink_science_spark.queries import _t
+
+
+def _halfup6(col: F.Column) -> F.Column:
+    """round-half-up at 6 decimals via the shared floor idiom (identical
+    text on the DuckDB side) — engine-agnostic for ratios of exact ints."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+# --------------------------------------------------------------------------
+# skyline_frontier: the SKYLINE / Pareto-dominance operator (Börzsönyi
+# et al., ICDE 2001) over the part catalog — "no other part is both
+# cheaper and larger". x dominates y iff x.price <= y.price AND
+# x.size >= y.size with at least one strict; the frontier is the
+# non-dominated set (duplicate (price, size) points all survive —
+# neither strictly dominates its twin).
+#
+# Scale shape: the classic distributed skyline — each partition computes
+# its LOCAL frontier with a fully vectorized kernel (sort by price,
+# per-price-group max via maximum.reduceat, exclusive prefix max across
+# groups), which is sound because a point dominated inside one partition
+# is dominated globally. Locals union into one task for the exact global
+# refine; the refine input is frontier-sized (anti-chain), orders of
+# magnitude below the scan. No shuffle touches the full table.
+# --------------------------------------------------------------------------
+
+
+def _skyline_kernel(batches):
+    """Vectorized 2-D skyline (minimize price, maximize size) over Arrow
+    batches: keep row iff size == max size at its price group AND size >
+    max size over all strictly-cheaper groups."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            yield pdf
+            continue
+        price = pdf["price"].to_numpy(dtype=np.float64)
+        size = pdf["size"].to_numpy(dtype=np.int64)
+        order = np.argsort(price, kind="stable")
+        p_s, s_s = price[order], size[order]
+        uniq, inv = np.unique(p_s, return_inverse=True)
+        starts = np.searchsorted(p_s, uniq)
+        gmax = np.maximum.reduceat(s_s, starts)
+        run = np.empty(len(uniq), dtype=np.int64)
+        run[0] = np.iinfo(np.int64).min
+        if len(uniq) > 1:
+            np.maximum.accumulate(gmax[:-1], out=run[1:])
+        keep_sorted = (s_s == gmax[inv]) & (s_s > run[inv])
+        keep = np.zeros(len(pdf), dtype=bool)
+        keep[order] = keep_sorted
+        yield pdf[keep]
+
+
+def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    schema = "p_partkey long, price double, size long"
+    local = parts.mapInPandas(_skyline_kernel, schema=schema)
+    # exact refine: local frontiers are anti-chain-sized; one task sees
+    # them all and reapplies the same kernel
+    frontier = local.repartition(1).mapInPandas(_skyline_kernel, schema=schema)
+    return frontier.orderBy("price", "p_partkey")
+
+
+ORACLE_SKYLINE_FRONTIER = """
+SELECT p_partkey, p_retailprice AS price, p_size::BIGINT AS size
+FROM part y
+WHERE NOT EXISTS (
+  SELECT 1 FROM part x
+  WHERE x.p_retailprice <= y.p_retailprice AND x.p_size >= y.p_size
+    AND (x.p_retailprice < y.p_retailprice OR x.p_size > y.p_size)
+)
+ORDER BY price, p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# segment_overlap: audience-overlap matrix — for every pair of behavior
+# segments (event types), how many users are active in both, and the
+# Jaccard overlap of the two audiences. The naive form is a distinct
+# self-join of (user, type); at 100 TB that is a second full shuffle of
+# the event table.
+#
+# Scale shape: ONE user-keyed shuffle computing a map-combinable
+# bit_or(1 << type_id) per user (type ids are dense ranks of the
+# broadcast type dimension; the engine caps at 63 segment bits — wider
+# segment sets shard the mask into lanes). Users then collapse to a
+# mask HISTOGRAM of at most 2^|types| rows, and every pairwise count is
+# a filtered sum over that tiny table: the full pair matrix costs no
+# second pass over the data. The same histogram answers any boolean
+# audience algebra (A∩B, A\\B, 3-way overlaps) for free.
+# --------------------------------------------------------------------------
+
+
+def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    # eager checkpoint: the |types|-row dimension feeds three legs (mask
+    # build + both pair sides); without the cut each leg re-runs the
+    # distinct over the event scan
+    types = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "tid",
+            F.row_number().over(Window.orderBy("event_type")) - F.lit(1),
+        )
+        .localCheckpoint(eager=True)
+    )
+    masks = (
+        ev.join(F.broadcast(types), "event_type")
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(shiftleft(1L, tid))").alias("mask"))
+    )
+    hist = masks.groupBy("mask").agg(F.count("*").alias("n_users"))
+
+    ta = types.select(F.col("event_type").alias("type_a"), F.col("tid").alias("__ia"))
+    tb = types.select(F.col("event_type").alias("type_b"), F.col("tid").alias("__ib"))
+    pairs = ta.join(F.broadcast(tb), F.col("__ia") < F.col("__ib"))
+
+    # one pass over the histogram: join every pair with the masks that
+    # contain EITHER bit, then split n_a / n_b / n_both as conditional
+    # sums — hist (and therefore the user-level aggregation) is consumed
+    # exactly once
+    bit_a = F.expr("(shiftright(mask, __ia) & 1) = 1")
+    bit_b = F.expr("(shiftright(mask, __ib) & 1) = 1")
+    joined = pairs.join(F.broadcast(hist), bit_a | bit_b)
+    agg = joined.groupBy("type_a", "type_b").agg(
+        F.sum(F.when(bit_a, F.col("n_users")).otherwise(0)).alias("n_a"),
+        F.sum(F.when(bit_b, F.col("n_users")).otherwise(0)).alias("n_b"),
+        F.sum(F.when(bit_a & bit_b, F.col("n_users")).otherwise(0)).alias(
+            "n_both"
+        ),
+    )
+    return (
+        agg.filter(F.col("n_both") > 0)
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            _halfup6(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_SEGMENT_OVERLAP = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+b AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM ut a JOIN ut c
+    ON a.user_id = c.user_id AND a.event_type < c.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+       floor(n_both / (sa.n + sb.n - n_both) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM b
+JOIN s sa ON sa.event_type = type_a
+JOIN s sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+# --------------------------------------------------------------------------
+# mmr_diverse_topk: maximal-marginal-relevance selection — from each
+# query's ANN candidate list, greedily pick K items maximizing
+# λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s). The de-facto standard
+# diversity re-rank between vector recall and a context window.
+#
+# Scale shape: recall comes from the blocked ANN kernel (corpus never
+# shuffles; bounded query side); everything after operates on
+# candidate-sized relations (Q × N rows, Q × N² pairwise sims) joined
+# broadcast. The greedy is inherently sequential in K, so it unrolls
+# into K−1 plan steps — each a broadcast join + one row_number window
+# over candidates, nothing corpus-sized. Cross-engine determinism: all
+# similarities quantized to 9 decimals before any argmax (the ANN
+# contract); λ-arithmetic on quantized inputs is identical IEEE double
+# math in both engines; ties break on cid asc.
+# --------------------------------------------------------------------------
+
+_MMR_N = 10     # recall candidates per query
+_MMR_K = 4      # selected per query
+_MMR_LAM = 0.7  # relevance weight
+
+
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from fink_science_spark.operators.similarity import cosine_topk_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cand = cosine_topk_blocked(
+        corpus, queries, "cid", "cv", "qid", "qv", k=_MMR_N
+    ).select("qid", "cid", F.col("cos").alias("rel"))
+
+    # pairwise candidate-candidate cosine (symmetric), candidate-sized
+    vecs = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cv = cand.join(vecs, "cid").select("qid", "cid", "v")
+    dotp = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("__va", "__va", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        * F.aggregate(
+            F.zip_with("__vb", "__vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    ca = cv.select("qid", F.col("cid").alias("__a"), F.col("v").alias("__va"))
+    cb = cv.select("qid", F.col("cid").alias("__b"), F.col("v").alias("__vb"))
+    pc = (
+        ca.join(cb, "qid")
+        .filter(F.col("__a") != F.col("__b"))
+        .select("qid", "__a", "__b", F.round(dotp / norm, 9).alias("sim9"))
+        .localCheckpoint(eager=False)
+    )
+
+    lam = F.lit(_MMR_LAM)
+    w = Window.partitionBy("qid")
+    pick1 = (
+        cand.withColumn(
+            "__rn",
+            F.row_number().over(w.orderBy(F.col("rel").desc(), F.col("cid").asc())),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "qid",
+            "cid",
+            F.lit(1).alias("step"),
+            F.round(lam * F.col("rel"), 9).alias("mmr"),
+        )
+    )
+    sel = pick1
+    for step in range(2, _MMR_K + 1):
+        red = (
+            pc.join(
+                sel.select("qid", F.col("cid").alias("__b")), ["qid", "__b"]
+            )
+            .groupBy("qid", F.col("__a").alias("cid"))
+            .agg(F.max("sim9").alias("red"))
+        )
+        remaining = cand.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
+        scored = remaining.join(red, ["qid", "cid"]).withColumn(
+            "mmr", F.round(lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("red"), 9)
+        )
+        nxt = (
+            scored.withColumn(
+                "__rn",
+                F.row_number().over(
+                    w.orderBy(F.col("mmr").desc(), F.col("cid").asc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("qid", "cid", F.lit(step).alias("step"), "mmr")
+        )
+        sel = sel.unionByName(nxt)
+    return sel.orderBy("qid", "step")
+
+
+def _oracle_mmr() -> str:
+    lam = repr(_MMR_LAM)
+    one_minus = repr(1.0 - _MMR_LAM)
+    steps = []
+    sel_union = f"SELECT qid, cid, 1 AS step, round({lam} * rel, 9) AS mmr FROM s1"
+    for i in range(2, _MMR_K + 1):
+        steps.append(
+            f"""
+sel{i - 1} AS ({sel_union}),
+red{i} AS (
+  SELECT p.qid, p.a AS cid, max(p.sim9) AS red
+  FROM pc p JOIN sel{i - 1} s ON s.qid = p.qid AND s.cid = p.b
+  GROUP BY p.qid, p.a
+),
+s{i} AS (
+  SELECT qid, cid, rel, mmr FROM (
+    SELECT c.qid, c.cid, c.rel,
+           round({lam} * c.rel - {one_minus} * r.red, 9) AS mmr,
+           row_number() OVER (
+             PARTITION BY c.qid ORDER BY
+               round({lam} * c.rel - {one_minus} * r.red, 9) DESC,
+               c.cid ASC
+           ) AS rn
+    FROM cand c
+    JOIN red{i} r ON r.qid = c.qid AND r.cid = c.cid
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sel{i - 1} s WHERE s.qid = c.qid AND s.cid = c.cid
+    )
+  ) z WHERE rn = 1
+)"""
+        )
+        sel_union += (
+            f"\nUNION ALL SELECT qid, cid, {i} AS step, mmr FROM s{i}"
+        )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         round(list_inner_product(q.qv, c.v) /
+               sqrt(list_inner_product(q.qv, q.qv) *
+                    list_inner_product(c.v, c.v)), 9) AS cosr
+  FROM q JOIN e c ON c.vec_id != q.qid
+),
+cand AS (
+  SELECT qid, cid, round(cosr, 6) AS rel FROM (
+    SELECT qid, cid, cosr,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosr DESC, cid ASC) AS rank
+    FROM scored
+  ) r WHERE rank <= {_MMR_N}
+),
+pc AS (
+  SELECT a.qid, a.cid AS a, b.cid AS b,
+         round(list_inner_product(ea.v, eb.v) /
+               sqrt(list_inner_product(ea.v, ea.v) *
+                    list_inner_product(eb.v, eb.v)), 9) AS sim9
+  FROM cand a
+  JOIN cand b ON a.qid = b.qid AND a.cid != b.cid
+  JOIN e ea ON ea.vec_id = a.cid
+  JOIN e eb ON eb.vec_id = b.cid
+),
+s1 AS (
+  SELECT qid, cid, rel FROM (
+    SELECT qid, cid, rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, cid ASC) AS rn
+    FROM cand
+  ) z WHERE rn = 1
+),
+{",".join(s.lstrip() for s in steps)}
+SELECT qid, cid, step, mmr FROM ({sel_union}) final
+ORDER BY qid, step
+"""
+
+
+ORACLE_MMR_DIVERSE_TOPK = _oracle_mmr()
+
+
+QUERIES_EXT12: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "skyline_frontier": q_skyline_frontier,
+    "segment_overlap": q_segment_overlap,
+    "mmr_diverse_topk": q_mmr_diverse_topk,
+}
+
+ORACLES_EXT12: dict[str, str] = {
+    "skyline_frontier": ORACLE_SKYLINE_FRONTIER,
+    "segment_overlap": ORACLE_SEGMENT_OVERLAP,
+    "mmr_diverse_topk": ORACLE_MMR_DIVERSE_TOPK,
+}

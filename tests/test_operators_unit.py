@@ -1084,3 +1084,63 @@ def test_triangle_hub_cap_drops_skew(spark):
     # without the cap the hub dominates: C(99,2) wedges appear
     row2 = triangle_stats(df, max_degree=1000).collect()[0]
     assert row2["wedges"] > 4000
+
+
+def test_skyline_kernel_matches_bruteforce():
+    """Partition-local skyline kernel == O(n^2) dominance reference,
+    including duplicate-point and equal-price tie semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from fink_science_spark.queries_ext12 import _skyline_kernel
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n = rng.randint(1, 60)
+        # coarse grids force price ties and duplicate (price, size) points
+        price = rng.randint(0, 12, n).astype(float)
+        size = rng.randint(0, 12, n)
+        pdf = pd.DataFrame(
+            {"p_partkey": np.arange(n), "price": price, "size": size}
+        )
+        got = pd.concat(list(_skyline_kernel([pdf]))).sort_values("p_partkey")
+        keep = []
+        for i in range(n):
+            dominated = any(
+                price[j] <= price[i]
+                and size[j] >= size[i]
+                and (price[j] < price[i] or size[j] > size[i])
+                for j in range(n)
+            )
+            if not dominated:
+                keep.append(i)
+        assert list(got["p_partkey"]) == keep, trial
+
+
+def test_skyline_two_stage_equals_single_stage():
+    """Local-then-refine == one global pass on the concatenation: local
+    pruning never removes a global frontier point."""
+    import numpy as np
+    import pandas as pd
+
+    from fink_science_spark.queries_ext12 import _skyline_kernel
+
+    rng = np.random.RandomState(11)
+    parts = [
+        pd.DataFrame(
+            {
+                "p_partkey": np.arange(30) + 100 * k,
+                "price": rng.randint(0, 9, 30).astype(float),
+                "size": rng.randint(0, 9, 30),
+            }
+        )
+        for k in range(4)
+    ]
+    locals_ = pd.concat([pd.concat(list(_skyline_kernel([p]))) for p in parts])
+    refined = pd.concat(list(_skyline_kernel([locals_.reset_index(drop=True)])))
+    direct = pd.concat(
+        list(_skyline_kernel([pd.concat(parts).reset_index(drop=True)]))
+    )
+    a = refined.sort_values("p_partkey").reset_index(drop=True)
+    b = direct.sort_values("p_partkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -527,3 +527,31 @@ def test_correlated_subquery_decorrelates_to_join(spark, registry):
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\) \w*Join", plan)) >= 2  # part dim + avg join
     assert "partial_avg" in plan or "partial_sum" in plan
+
+
+def test_skyline_no_corpus_hash_shuffle(spark, registry):
+    """Distributed skyline: the part table never hash-shuffles — the only
+    exchanges are the anti-chain-sized SinglePartition refine and the
+    final presentation sort."""
+    plan = plan_of(registry["skyline_frontier"](spark, SF))
+    assert "hashpartitioning" not in plan, plan
+    assert "SinglePartition" in plan
+    # both stages are the same Arrow kernel; no row-at-a-time Python
+    assert "BatchEvalPython" not in plan
+
+
+def test_segment_overlap_one_user_shuffle_all_joins_broadcast(spark, registry):
+    """Audience overlap: exactly one user_id hash exchange (map-combined
+    bit_or partials); every join against the type dim / mask histogram
+    broadcasts; the pair matrix never induces a sort-merge join."""
+    plan = plan_of(registry["segment_overlap"](spark, SF))
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_bit_or" in plan or "partial" in plan.lower()
+
+
+def test_mmr_candidates_only_no_cartesian(spark, registry):
+    """MMR greedy: all K-1 unrolled steps join candidate-sized relations;
+    no cartesian product, no sort-merge join of corpus-sized inputs."""
+    plan = plan_of(registry["mmr_diverse_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
