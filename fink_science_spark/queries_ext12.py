@@ -235,9 +235,15 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    cand = cosine_topk_blocked(
-        corpus, queries, "cid", "cv", "qid", "qv", k=_MMR_N
-    ).select("qid", "cid", F.col("cos").alias("rel"))
+    # eager checkpoint: cand is Q×N rows but its plan embeds the ANN
+    # block-matmul kernel + rank window; the greedy references it in
+    # every step (anti-join + rescore), which without the cut re-ran the
+    # recall stage ~2 per step (measured 7.5-8.9 s → ~1.5 s at sf0.1)
+    cand = (
+        cosine_topk_blocked(corpus, queries, "cid", "cv", "qid", "qv", k=_MMR_N)
+        .select("qid", "cid", F.col("cos").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
 
     # pairwise candidate-candidate cosine (symmetric), candidate-sized
     vecs = emb.select(
@@ -268,7 +274,7 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ca.join(cb, "qid")
         .filter(F.col("__a") != F.col("__b"))
         .select("qid", "__a", "__b", F.round(dotp / norm, 9).alias("sim9"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     lam = F.lit(_MMR_LAM)
@@ -309,7 +315,9 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("__rn") == 1)
             .select("qid", "cid", F.lit(step).alias("step"), "mmr")
         )
-        sel = sel.unionByName(nxt)
+        # per-step cut: step i+1 references sel twice (redundancy join +
+        # anti-join), so an uncut union tree re-evaluates 2^K times
+        sel = sel.unionByName(nxt).localCheckpoint(eager=True)
     return sel.orderBy("qid", "step")
 
 

@@ -155,6 +155,19 @@ COMMENTARY = {
         "BroadcastHashJoin; scores are exact int64 lane sums. The corpus "
         "never joins by shuffle."
     ),
+    "skyline_frontier": (
+        "Distributed SKYLINE: two MapInPandas stages of the same "
+        "vectorized dominance kernel — per-partition local frontier "
+        "(no exchange touches the scan), then an anti-chain-sized "
+        "SinglePartition exact refine. The only exchanges are the tiny "
+        "refine gather and the presentation sort."
+    ),
+    "segment_overlap": (
+        "Audience overlap: ONE hashpartitioning(user_id) exchange with "
+        "partial_bit_or map combine; the mask histogram (≤ 2^types "
+        "rows) broadcasts into the pair matrix as conditional sums — "
+        "the pairwise distinct self-join never exists."
+    ),
 }
 
 

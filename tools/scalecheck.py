@@ -78,6 +78,10 @@ QUERIES = [
     "ewma_user_value",
     "robust_outliers",
     "phrase_match",
+    # round-3 wave 13: overlap / diversity (skyline's `part` input is a
+    # deliberately-unscaled dim table, so it has no curve here)
+    "segment_overlap",
+    "mmr_diverse_topk",
     "containment_pairs",
     "winsorized_stats",
     "session_paths",
