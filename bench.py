@@ -178,6 +178,7 @@ HEADLINE = [
     "skyline_frontier",
     "segment_overlap",
     "mmr_diverse_topk",
+    "hll_rollup",
 ]
 
 

@@ -411,3 +411,134 @@ ORACLES_EXT12: dict[str, str] = {
     "segment_overlap": ORACLE_SEGMENT_OVERLAP,
     "mmr_diverse_topk": ORACLE_MMR_DIVERSE_TOPK,
 }
+
+
+# --------------------------------------------------------------------------
+# hll_rollup: sketch RE-AGGREGATION — the property that makes sketches
+# worth their error bars at 100 TB. The event scan is aggregated ONCE
+# into per-(event_type, register) HLL state; the per-type estimates AND
+# the all-types estimate both derive from that state — the rollup is a
+# 64·|types|-row max-merge, not a second pass over the data. Same
+# portable-register construction as hll_distinct_portable (md5 hash64,
+# bit-smear rank, dyadic 2^-rho sums), so DuckDB reproduces every
+# estimate bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type + rolled-up-total distinct-(user, day) HLL estimates
+    from one scan; the total merges the per-type registers."""
+    from fink_science_spark.functions.hashing import hash64
+    from fink_science_spark.queries import _events_us
+    from fink_science_spark.queries_ext10 import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_P,
+        _HLL_SCALE,
+        _HLL_WBITS,
+    )
+
+    ev = _events_us(spark, sf_dir)
+    day_us = 24 * 3600 * 1_000_000
+    key = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.expr(f"ts_us DIV {day_us}").cast("string"),
+    )
+    h = hash64(key)
+    s = F.shiftright(h, _HLL_P)
+    for sh in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftright(s, sh))
+    rho = F.lit(_HLL_WBITS + 1) - F.bit_count(s)
+    # the ONE data-sized aggregation; checkpointed because both grouping
+    # levels consume it (64·|types| rows — free to materialize)
+    regs = (
+        ev.select(
+            "event_type", F.pmod(h, F.lit(_HLL_M)).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mj"))
+        .localCheckpoint(eager=True)
+    )
+    total_regs = regs.groupBy("reg").agg(F.max("mj").alias("mj")).withColumn(
+        "event_type", F.lit("__all")
+    )
+    both = regs.unionByName(total_regs.select("event_type", "reg", "mj"))
+
+    per = both.groupBy("event_type").agg(
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(_HLL_SCALE) - F.col("mj")).cast("int"),
+            )
+        ).alias("s_obs"),
+        F.count("*").alias("n_obs"),
+    )
+    s_total = F.col("s_obs") + (F.lit(_HLL_M) - F.col("n_obs")) * F.lit(
+        1 << _HLL_SCALE
+    )
+    est = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)) / s_total
+    )
+    return per.select(
+        "event_type",
+        (F.lit(_HLL_M) - F.col("n_obs")).cast("int").alias("zero_regs"),
+        F.round(est, 2).alias("hll_estimate"),
+    ).orderBy("event_type")
+
+
+def _oracle_hll_rollup() -> str:
+    from fink_science_spark.functions.hashing import hash64_sql
+    from fink_science_spark.queries_ext10 import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_P,
+        _HLL_SCALE,
+        _HLL_WBITS,
+    )
+
+    day_us = 24 * 3600 * 1_000_000
+    h = hash64_sql(f"user_id::VARCHAR || ':' || (ts_us // {day_us})::VARCHAR")
+    smear = "w"
+    for sh in (1, 2, 4, 8, 16, 32):
+        smear = f"({smear} | ({smear} >> {sh}))"
+    return f"""
+WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us FROM events),
+hx AS (SELECT event_type, {h} AS h FROM ev),
+wr AS (
+  SELECT event_type, h % {_HLL_M} AS reg, h >> {_HLL_P} AS w FROM hx
+),
+rho AS (
+  SELECT event_type, reg,
+         {_HLL_WBITS + 1} - bit_count({smear})::INT AS rho
+  FROM wr
+),
+regs AS (
+  SELECT event_type, reg, max(rho) AS mj FROM rho GROUP BY event_type, reg
+),
+lvl AS (
+  SELECT event_type, reg, mj FROM regs
+  UNION ALL
+  SELECT '__all' AS event_type, reg, max(mj) AS mj FROM regs GROUP BY reg
+),
+per AS (
+  SELECT event_type,
+         sum((1::BIGINT << ({_HLL_SCALE} - mj)))::BIGINT AS s_obs,
+         count(*) AS n_obs
+  FROM lvl GROUP BY event_type
+)
+SELECT event_type,
+       ({_HLL_M} - n_obs)::INT AS zero_regs,
+       round({_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)!r}
+             / (s_obs + ({_HLL_M} - n_obs) * (1::BIGINT << {_HLL_SCALE})), 2)
+           AS hll_estimate
+FROM per
+ORDER BY event_type
+"""
+
+
+ORACLE_HLL_ROLLUP = _oracle_hll_rollup()
+
+QUERIES_EXT12["hll_rollup"] = q_hll_rollup
+ORACLES_EXT12["hll_rollup"] = ORACLE_HLL_ROLLUP
