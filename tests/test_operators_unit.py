@@ -1144,3 +1144,28 @@ def test_skyline_two_stage_equals_single_stage():
     a = refined.sort_values("p_partkey").reset_index(drop=True)
     b = direct.sort_values("p_partkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_median_bracket_odd_even_constant(spark, tmp_path):
+    """Histogram-bracketed exact median == statistics.median for odd n,
+    even n (mean of middle two), and a constant column (degenerate
+    bracket short-circuit)."""
+    import statistics
+
+    from fink_science_spark.queries_ext12 import q_median_bracket
+
+    cases = [
+        [3.0, 1.0, 2.0],                     # odd
+        [4.0, 1.0, 3.0, 2.0],                # even -> 2.5
+        [7.5] * 9,                           # constant
+        [float(x) for x in range(101)],      # odd, wide
+        [2.0 ** i for i in range(12)],       # skewed bins
+    ]
+    for i, vals in enumerate(cases):
+        d = str(tmp_path / f"mb{i}")
+        spark.createDataFrame(
+            [(v,) for v in vals], "l_extendedprice double"
+        ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        row = q_median_bracket(spark, d).collect()[0]
+        assert row["n"] == len(vals)
+        assert row["median"] == statistics.median(vals), (i, row)
