@@ -179,6 +179,7 @@ HEADLINE = [
     "segment_overlap",
     "mmr_diverse_topk",
     "hll_rollup",
+    "median_bracket",
 ]
 
 

@@ -542,3 +542,87 @@ ORACLE_HLL_ROLLUP = _oracle_hll_rollup()
 
 QUERIES_EXT12["hll_rollup"] = q_hll_rollup
 ORACLES_EXT12["hll_rollup"] = ORACLE_HLL_ROLLUP
+
+
+# --------------------------------------------------------------------------
+# median_bracket: EXACT global median of a 100 TB column in bounded
+# passes — the sketch-guided-exact pattern. A single exact percentile
+# aggregate buffers every value in one executor; instead: (1) a tiny
+# min/max/count scan, (2) a map-combinable fixed-histogram scan whose
+# cumulative counts locate the bin(s) holding the middle ranks, (3) a
+# bracket scan whose range predicate PUSHES DOWN to parquet, selecting
+# the exact order statistics from the ~n/B rows that survive. Every
+# pass is a narrow pruned scan; the only non-combinable step sorts the
+# bracket (n/B rows — bounded by construction, B sized to the target).
+# Even-n median = mean of the two middle values (engine parity with
+# DuckDB's median()).
+# --------------------------------------------------------------------------
+
+_MB_BINS = 1024
+
+
+def q_median_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    stats = li.agg(
+        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    n, lo, hi = stats["n"], float(stats["lo"]), float(stats["hi"])
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+
+    if hi == lo:
+        return spark.createDataFrame([(n, lo)], "n long, median double")
+
+    width = (hi - lo) / _MB_BINS
+    bin_col = F.least(
+        F.lit(_MB_BINS - 1), F.floor((F.col("v") - F.lit(lo)) / F.lit(width))
+    ).cast("int")
+    hist = (
+        li.groupBy(bin_col.alias("b"))
+        .agg(F.count("*").alias("c"))
+        .orderBy("b")
+        .collect()
+    )
+    cum = 0
+    bounds = {}
+    for r in hist:
+        for k in (k1, k2):
+            if k not in bounds and cum < k <= cum + r["c"]:
+                bounds[k] = (r["b"], k - cum)  # (bin, rank inside bin)
+        cum += r["c"]
+    b_lo = min(b for b, _ in bounds.values())
+    b_hi = max(b for b, _ in bounds.values())
+    # ranks inside the bracket = global rank − rows in bins before b_lo
+    before = sum(r["c"] for r in hist if r["b"] < b_lo)
+    r1, r2 = k1 - before, k2 - before
+
+    lo_val = lo + b_lo * width
+    hi_val = hi if b_hi == _MB_BINS - 1 else lo + (b_hi + 1) * width
+    bracket = li.filter(
+        (F.col("v") >= F.lit(lo_val)) & (F.col("v") <= F.lit(hi_val))
+    )
+    # re-apply the exact bin predicate (float boundary rows from the
+    # neighbouring bin may slip through the widened range filter; the
+    # range form exists so the parquet scan can push it down)
+    bracket = bracket.filter(
+        (bin_col >= F.lit(b_lo)) & (bin_col <= F.lit(b_hi))
+    )
+    w = Window.orderBy("v")
+    picked = (
+        bracket.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r").isin(r1, r2))
+        .agg(F.avg("v").alias("median"))
+    )
+    return picked.select(F.lit(n).alias("n"), "median")
+
+
+ORACLE_MEDIAN_BRACKET = """
+SELECT count(*)::BIGINT AS n, median(l_extendedprice::DOUBLE) AS median
+FROM lineitem
+"""
+
+QUERIES_EXT12["median_bracket"] = q_median_bracket
+ORACLES_EXT12["median_bracket"] = ORACLE_MEDIAN_BRACKET
