@@ -760,3 +760,99 @@ def test_shingle_content_matches_python_reference(spark, texts, n):
         toks = [t for t in _re.sub("[^a-z0-9]+", " ", r["text"].lower()).strip().split(" ") if t]
         want = [" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))]
         assert list(r["sh"]) == want, (r["text"], n)
+
+
+def test_segment_overlap_matches_bruteforce(spark, tmp_path):
+    """Mask-histogram audience algebra == direct per-user distinct-set
+    combinatorics on randomized event logs (shape fuzzing beyond the
+    fixed-SF oracle data: skewed types, single-type users, empty pairs)."""
+    import itertools
+    import random
+
+    from fink_science_spark.queries_ext12 import q_segment_overlap
+
+    rng = random.Random(13)
+    types = ["a", "b", "c", "d"]
+    rows = []
+    for eid in range(400):
+        u = rng.randint(0, 40)
+        # skew: user 0..9 only ever emit one type; others mix
+        t = types[u % 4] if u < 10 else rng.choice(types)
+        rows.append((eid, u, t))
+    d = str(tmp_path / "seg")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["n_both"])
+        for r in q_segment_overlap(spark, d).collect()
+    }
+
+    users: dict[int, set] = {}
+    for _, u, t in rows:
+        users.setdefault(u, set()).add(t)
+    seg = {t: {u for u, s in users.items() if t in s} for t in types}
+    want = {}
+    for ta, tb in itertools.combinations(sorted(types), 2):
+        nb = len(seg[ta] & seg[tb])
+        if nb:
+            want[(ta, tb)] = (len(seg[ta]), len(seg[tb]), nb)
+    assert got == want
+
+
+def test_mmr_matches_bruteforce_greedy(spark, tmp_path):
+    """Unrolled-plan MMR == a plain Python greedy on randomized vectors
+    (quantize-then-argmax semantics: 9-dec cosines, cid ties)."""
+    import numpy as np
+
+    from fink_science_spark.queries_ext12 import (
+        _MMR_K,
+        _MMR_LAM,
+        _MMR_N,
+        q_mmr_diverse_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    n, dim = 240, 8
+    V = rng.randn(n, dim).astype(np.float64)
+    d = str(tmp_path / "mmr")
+    spark.createDataFrame(
+        [(i, [float(x) for x in V[i]], int(i % 3)) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    got = [
+        (r["qid"], r["step"], r["cid"], r["mmr"])
+        for r in q_mmr_diverse_topk(spark, d).collect()
+    ]
+
+    # reference: float32 storage round-trip, then the same quantized math
+    Vf = V.astype(np.float32).astype(np.float64)
+    norm = np.sqrt((Vf * Vf).sum(axis=1))
+
+    def cos9(i, j):
+        return round(float(Vf[i] @ Vf[j] / (norm[i] * norm[j])), 9)
+
+    want = []
+    for q in range(0, n, 100):
+        scored = sorted(
+            ((-cos9(q, c), c) for c in range(n) if c != q)
+        )[:_MMR_N]
+        cand = [(c, round(-s, 6)) for s, c in scored]
+        rel = dict(cand)
+        sel = [max(cand, key=lambda x: (x[1], -x[0]))[0]]
+        want.append((q, 1, sel[0], round(_MMR_LAM * rel[sel[0]], 9)))
+        for step in range(2, _MMR_K + 1):
+            best = None
+            for c, r in cand:
+                if c in sel:
+                    continue
+                red = max(cos9(c, s) for s in sel)
+                m = round(_MMR_LAM * r - (1.0 - _MMR_LAM) * red, 9)
+                key = (m, -c)
+                if best is None or key > best[0]:
+                    best = (key, c, m)
+            sel.append(best[1])
+            want.append((q, step, best[1], best[2]))
+    assert sorted(got) == sorted(want)
