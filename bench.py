@@ -180,6 +180,7 @@ HEADLINE = [
     "mmr_diverse_topk",
     "hll_rollup",
     "median_bracket",
+    "image_thumbnail",
 ]
 
 

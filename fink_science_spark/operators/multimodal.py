@@ -297,3 +297,53 @@ def sample_frames(
         ),
     )
     return frames.filter(F.length("frame_bytes") > 0)
+
+
+def image_resize_pool(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    width: int = 4,
+    height: int = 4,
+    factor: int = 2,
+) -> DataFrame:
+    """Average-pool image resize — the thumbnail/downsample stage of a
+    multimodal ingest pipeline (the brief's decode → resize →
+    feature-extract chain), on the same deterministic byte-matrix decode
+    as :func:`image_matrix_stats` (a real decoder slots in via
+    register_codec, nothing downstream changes).
+
+    Per blob: interpret the first width×height bytes as a row-major
+    matrix, average each factor×factor block (one numpy reshape-mean per
+    Arrow batch), and emit the pooled matrix row-major as
+    ``array<double>`` plus its mean. Block averages of uint8 pixels are
+    exact multiples of 1/factor², so the 6-decimal rounding is exact and
+    any SQL engine reproduces the thumbnail bit-for-bit. Pixel bytes
+    never leave the kernel — only (id, (W·H)/factor² doubles) shuffle.
+    """
+    import numpy as np
+
+    assert width % factor == 0 and height % factor == 0
+    n_px = width * height
+    out_schema = f"{id_col} long, thumb array<double>, thumb_mean double"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, thumbs, means = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)[:n_px]
+                if len(b) < n_px:
+                    b = b + b"\x00" * (n_px - len(b))
+                m = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                m = m.reshape(height // factor, factor, width // factor, factor)
+                pooled = m.mean(axis=(1, 3)).ravel()
+                ids.append(int(i))
+                thumbs.append([round(float(x), 6) for x in pooled])
+                means.append(round(float(pooled.mean()), 6))
+            yield pd.DataFrame(
+                {id_col: ids, "thumb": thumbs, "thumb_mean": means}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)

@@ -626,3 +626,46 @@ FROM lineitem
 
 QUERIES_EXT12["median_bracket"] = q_median_bracket
 ORACLES_EXT12["median_bracket"] = ORACLE_MEDIAN_BRACKET
+
+
+# --------------------------------------------------------------------------
+# image_thumbnail: the multimodal resize stage — 4×4 deterministic
+# byte-matrix images average-pooled to 2×2 thumbnails in one Arrow
+# kernel (operators/multimodal.image_resize_pool). Pixel bytes never
+# shuffle; block means of uint8 pixels are exact multiples of 1/4, so
+# the SQL twin reproduces the thumbnail exactly.
+# --------------------------------------------------------------------------
+
+
+def q_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fink_science_spark.operators.multimodal import image_resize_pool
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("blob")
+    )
+    return image_resize_pool(docs, "doc_id", "blob", width=4, height=4, factor=2)
+
+
+ORACLE_IMAGE_THUMBNAIL = """
+WITH px AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(text), 2*i - 1, 2))::INT
+          for i in generate_series(1, 16)] AS p
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         [round((p[1] + p[2] + p[5] + p[6]) / 4.0, 6),
+          round((p[3] + p[4] + p[7] + p[8]) / 4.0, 6),
+          round((p[9] + p[10] + p[13] + p[14]) / 4.0, 6),
+          round((p[11] + p[12] + p[15] + p[16]) / 4.0, 6)] AS thumb
+  FROM px
+)
+SELECT doc_id, thumb,
+       round((thumb[1] + thumb[2] + thumb[3] + thumb[4]) / 4.0, 6)
+           AS thumb_mean
+FROM t
+"""
+
+QUERIES_EXT12["image_thumbnail"] = q_image_thumbnail
+ORACLES_EXT12["image_thumbnail"] = ORACLE_IMAGE_THUMBNAIL
