@@ -291,3 +291,22 @@ def test_semantic_dedup_drops_planted_clone(spark):
     assert out[0]["kept"] is True
     assert out[100]["kept"] is False
     assert out[100]["cell"] == out[0]["cell"]
+
+
+def test_image_resize_pool_empty(spark):
+    from fink_science_spark.operators.multimodal import image_resize_pool
+
+    empty = spark.createDataFrame([], "doc_id long, blob binary")
+    out = image_resize_pool(empty, "doc_id", "blob")
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "thumb", "thumb_mean"]
+
+
+def test_skyline_kernel_empty(spark):
+    from fink_science_spark.queries_ext12 import _skyline_kernel
+
+    empty = spark.createDataFrame([], "p_partkey long, price double, size long")
+    out = empty.mapInPandas(
+        _skyline_kernel, schema="p_partkey long, price double, size long"
+    )
+    assert out.count() == 0
