@@ -223,18 +223,13 @@ def main() -> None:
     spark = get_session(app_name="fink_science_spark_bench")
     queries = entrymod.queries()
 
-    # warm-up at the smallest SF: JVM, Python workers, and (because plan
-    # shape is data-size-independent) each query's generated-code classes
-    # compile once here — timed runs below measure steady-state execution.
-    warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        try:
-            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:  # noqa: BLE001 - warm-up failures surface in the timed run
-            pass
+    # Warm-up = one extra DISCARDED interleaved round at the bench SF
+    # (round 0 below): it compiles every query's generated code, builds
+    # the memoized artifacts (PQ/IVF codebooks, Avro containers), and
+    # warms JVM/Python workers, so the counted rounds measure pure
+    # steady state. This replaces the old separate sf0.001 warm-up
+    # sweep, which cost ~8 extra minutes of wall while still leaving
+    # cold sf0.1 codegen/build work inside the first counted sample.
 
     # median-of-N per query (default 3): single runs on a shared host
     # carry 2-4× scheduling noise; the median is robust to one bad run in
@@ -250,7 +245,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     failed: dict[str, str] = {}
-    for _ in range(runs):
+    for rnd in range(runs + 1):  # round 0 is the discarded warm-up
         for name in HEADLINE:
             fn = queries.get(name)
             if fn is None or name in failed:
@@ -258,7 +253,8 @@ def main() -> None:
             try:
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                samples[name].append(time.perf_counter() - t0)
+                if rnd > 0:
+                    samples[name].append(time.perf_counter() - t0)
             except Exception as exc:  # noqa: BLE001 - a failed query must not hide the rest
                 failed[name] = str(exc)
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
