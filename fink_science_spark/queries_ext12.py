@@ -115,13 +115,15 @@ ORDER BY price, p_partkey
 # the event table.
 #
 # Scale shape: ONE user-keyed shuffle computing a map-combinable
-# bit_or(1 << type_id) per user (type ids are dense ranks of the
-# broadcast type dimension; the engine caps at 63 segment bits — wider
-# segment sets shard the mask into lanes). Users then collapse to a
-# mask HISTOGRAM of at most 2^|types| rows, and every pairwise count is
-# a filtered sum over that tiny table: the full pair matrix costs no
-# second pass over the data. The same histogram answers any boolean
-# audience algebra (A∩B, A\\B, 3-way overlaps) for free.
+# bit_or(1 << bit) per user, sharded into 63-bit LANES (lane =
+# tid div 63, bit = tid mod 63 — shiftleft masks its shift amount to 6
+# bits, so a single 64-bit mask would silently wrap at 64 types; the
+# lane count is fixed at plan time from the driver-side type count).
+# Users then collapse to a lane-vector HISTOGRAM of at most
+# min(users, 2^|types|) rows, and every pairwise count is a filtered
+# sum over that tiny table: the full pair matrix costs no second pass
+# over the data. The same histogram answers any boolean audience
+# algebra (A∩B, A\\B, 3-way overlaps) for free.
 # --------------------------------------------------------------------------
 
 
@@ -141,23 +143,43 @@ def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # lane count is a plan-time constant: the checkpointed dimension is
+    # tiny, and fixing it on the driver keeps every downstream
+    # expression codegen-able (no data-dependent mask width)
+    n_types = types.count()
+    n_lanes = max(1, (n_types + 62) // 63)
+    lane_aggs = [
+        F.expr(
+            f"bit_or(if(tid div 63 = {ln}, shiftleft(1L, tid % 63), 0L))"
+        ).alias(f"__m{ln}")
+        for ln in range(n_lanes)
+    ]
     masks = (
         ev.join(F.broadcast(types), "event_type")
         .groupBy("user_id")
-        .agg(F.expr("bit_or(shiftleft(1L, tid))").alias("mask"))
+        .agg(*lane_aggs)
+        .select(
+            F.array(*[F.col(f"__m{ln}") for ln in range(n_lanes)]).alias(
+                "lanes"
+            )
+        )
     )
-    hist = masks.groupBy("mask").agg(F.count("*").alias("n_users"))
+    hist = masks.groupBy("lanes").agg(F.count("*").alias("n_users"))
 
     ta = types.select(F.col("event_type").alias("type_a"), F.col("tid").alias("__ia"))
     tb = types.select(F.col("event_type").alias("type_b"), F.col("tid").alias("__ib"))
     pairs = ta.join(F.broadcast(tb), F.col("__ia") < F.col("__ib"))
 
-    # one pass over the histogram: join every pair with the masks that
-    # contain EITHER bit, then split n_a / n_b / n_both as conditional
-    # sums — hist (and therefore the user-level aggregation) is consumed
-    # exactly once
-    bit_a = F.expr("(shiftright(mask, __ia) & 1) = 1")
-    bit_b = F.expr("(shiftright(mask, __ib) & 1) = 1")
+    # one pass over the histogram: join every pair with the lane vectors
+    # that contain EITHER bit, then split n_a / n_b / n_both as
+    # conditional sums — hist (and therefore the user-level aggregation)
+    # is consumed exactly once
+    bit_a = F.expr(
+        "(shiftright(element_at(lanes, int(__ia div 63) + 1), __ia % 63) & 1) = 1"
+    )
+    bit_b = F.expr(
+        "(shiftright(element_at(lanes, int(__ib div 63) + 1), __ib % 63) & 1) = 1"
+    )
     joined = pairs.join(F.broadcast(hist), bit_a | bit_b)
     agg = joined.groupBy("type_a", "type_b").agg(
         F.sum(F.when(bit_a, F.col("n_users")).otherwise(0)).alias("n_a"),
@@ -570,7 +592,12 @@ def q_median_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = li.agg(
         F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
     ).collect()[0]
-    n, lo, hi = stats["n"], float(stats["lo"]), float(stats["hi"])
+    n = stats["n"]
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None)], "n long, median double"
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
     k1, k2 = (n + 1) // 2, (n + 2) // 2
 
     if hi == lo:
@@ -599,8 +626,14 @@ def q_median_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = sum(r["c"] for r in hist if r["b"] < b_lo)
     r1, r2 = k1 - before, k2 - before
 
-    lo_val = lo + b_lo * width
-    hi_val = hi if b_hi == _MB_BINS - 1 else lo + (b_hi + 1) * width
+    # widen the pushdown range by one bin on each side: a row can land
+    # in bin b via float division rounding while sitting one ulp outside
+    # the recomputed lo + b*width bound — the exact bin_col re-filter
+    # below only narrows, so an excluded row would silently shift the
+    # selected order statistics. Widening costs only pushdown
+    # selectivity (~n/B extra rows), never correctness.
+    lo_val = lo + max(0, b_lo - 1) * width
+    hi_val = hi if b_hi >= _MB_BINS - 2 else lo + (b_hi + 2) * width
     bracket = li.filter(
         (F.col("v") >= F.lit(lo_val)) & (F.col("v") <= F.lit(hi_val))
     )

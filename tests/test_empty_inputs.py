@@ -310,3 +310,17 @@ def test_skyline_kernel_empty(spark):
         _skyline_kernel, schema="p_partkey long, price double, size long"
     )
     assert out.count() == 0
+
+
+def test_median_bracket_empty(spark, tmp_path):
+    """ADVICE r3: an empty lineitem table must yield (n=0, median=NULL),
+    not a driver TypeError on float(None) from the stats collect."""
+    from fink_science_spark.queries_ext12 import q_median_bracket
+
+    d = str(tmp_path / "mb_empty")
+    spark.createDataFrame(
+        [], "l_extendedprice double"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    rows = q_median_bracket(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 0 and rows[0]["median"] is None

@@ -1169,3 +1169,28 @@ def test_median_bracket_odd_even_constant(spark, tmp_path):
         row = q_median_bracket(spark, d).collect()[0]
         assert row["n"] == len(vals)
         assert row["median"] == statistics.median(vals), (i, row)
+
+
+def test_median_bracket_boundary_heavy_values(spark, tmp_path):
+    """ADVICE r3: the pushdown range filter is widened by one bin so a
+    row binned into b via float division rounding can never be excluded
+    by a one-ulp-short driver-recomputed bound. Stress with values packed
+    onto and around bin boundaries."""
+    import statistics
+
+    from fink_science_spark.queries_ext12 import q_median_bracket, _MB_BINS
+
+    lo, hi = 3.1, 97.7
+    width = (hi - lo) / _MB_BINS
+    vals = [lo, hi]
+    for b in range(0, _MB_BINS, 7):
+        edge = lo + b * width
+        vals += [edge, edge - 1e-13, edge + 1e-13]
+    vals = [v for v in vals if lo <= v <= hi]
+    d = str(tmp_path / "mb_edges")
+    spark.createDataFrame(
+        [(v,) for v in vals], "l_extendedprice double"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    row = q_median_bracket(spark, d).collect()[0]
+    assert row["n"] == len(vals)
+    assert row["median"] == statistics.median(vals)

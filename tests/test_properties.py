@@ -856,3 +856,50 @@ def test_mmr_matches_bruteforce_greedy(spark, tmp_path):
             sel.append(best[1])
             want.append((q, step, best[1], best[2]))
     assert sorted(got) == sorted(want)
+
+
+def test_segment_overlap_lane_sharding_beyond_63_types(spark, tmp_path):
+    """ADVICE r3: shiftleft masks its shift amount to 6 bits, so a single
+    64-bit mask silently wraps (and collides) at >=64 segment types. The
+    lane-sharded masks must stay exact well past that boundary."""
+    import itertools
+    import random
+
+    from fink_science_spark.queries_ext12 import q_segment_overlap
+
+    rng = random.Random(7)
+    types = [f"t{i:03d}" for i in range(70)]  # 2 lanes (ceil(70/63))
+    rows = []
+    eid = 0
+    for u in range(60):
+        # each user is active in 2-5 types, drawn across the full range
+        # so both lanes (tid < 63 and tid >= 63) carry live bits
+        for t in rng.sample(types, rng.randint(2, 5)):
+            rows.append((eid, u, t))
+            eid += 1
+    d = str(tmp_path / "seg_lanes")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["n_both"])
+        for r in q_segment_overlap(spark, d).collect()
+    }
+
+    users: dict[int, set] = {}
+    for _, u, t in rows:
+        users.setdefault(u, set()).add(t)
+    present = sorted({t for _, _, t in rows})
+    seg = {t: {u for u, s in users.items() if t in s} for t in present}
+    want = {}
+    for ta, tb in itertools.combinations(present, 2):
+        nb = len(seg[ta] & seg[tb])
+        if nb:
+            want[(ta, tb)] = (len(seg[ta]), len(seg[tb]), nb)
+    assert got == want
+    # sanity: the wrap bug this guards against collides tid 0 with tid
+    # 64 — assert at least one cross-lane pair actually exists in data
+    assert any(
+        (a < "t063") != (b < "t063") for (a, b) in want
+    ), "test corpus must exercise cross-lane pairs"
