@@ -1864,29 +1864,48 @@ def q_stream_dedup_lsh(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        name = f"sdl_{uuid.uuid4().hex[:8]}"
+        # Production drain (r3 verdict #1): candidate pairs land in a
+        # parquet APPEND sink via foreachBatch — a distributed
+        # executor-side write per micro-batch — and the exact-Jaccard
+        # verify runs as a follow-on BATCH join over those files. The
+        # previous memory-sink + driver collect() funneled the
+        # unbounded pair stream (volume grows with corpus dup density)
+        # through the driver; now nothing pair-shaped ever touches it.
+        import tempfile
+
+        pair_dir = os.path.join(
+            tempfile.gettempdir(), f"sdl_pairs_{uuid.uuid4().hex[:8]}"
+        )
+
+        def drain(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(pair_dir)
+
         q = (
-            cands.writeStream.format("memory")
-            .queryName(name)
+            cands.writeStream.foreachBatch(drain)
             .outputMode("update")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    pair_rows = spark.table(name).dropDuplicates(["id_a", "id_b"]).collect()
-    spark.catalog.dropTempView(name)
-    pairs = spark.createDataFrame(
-        [(r["id_a"], r["id_b"]) for r in pair_rows] or [],
-        "id_a long, id_b long",
-    )
+    try:
+        raw_pairs = spark.read.parquet(pair_dir)
+    except Exception:  # noqa: BLE001 - zero micro-batches -> no sink dir
+        raw_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    # the same logical pair can collide in several bands (and therefore
+    # several sink files) — dedup is a distributed shuffle on the pair
+    # key, not a driver set
+    pairs = raw_pairs.dropDuplicates(["id_a", "id_b"])
     sets = _doc_shingles(spark, sf_dir).select("doc_id", "shingles")
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))
     jacc = inter / (F.size("__sa") + F.size("__sb") - inter)
-    # candidate pairs are the collected LSH collisions (hundreds of rows)
-    # and stay pair-sized after picking up each side's shingles — pin the
-    # broadcasts so the corpus-sized shingle sets never shuffle
+    # candidate pairs are the sink-drained LSH collisions — LSH-bounded,
+    # orders of magnitude below corpus size — and stay pair-sized after
+    # picking up each side's shingles; pin the broadcasts so the
+    # corpus-sized shingle sets never shuffle. (If dup density ever made
+    # the pair set non-broadcastable, drop the hints and this becomes a
+    # plain two-sided shuffle join over the same files.)
     half = sa.join(F.broadcast(pairs), "id_a")
     return (
         sb.join(F.broadcast(half), "id_b")

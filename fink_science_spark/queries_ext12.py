@@ -47,9 +47,15 @@ def _halfup6(col: F.Column) -> F.Column:
 # its LOCAL frontier with a fully vectorized kernel (sort by price,
 # per-price-group max via maximum.reduceat, exclusive prefix max across
 # groups), which is sound because a point dominated inside one partition
-# is dominated globally. Locals union into one task for the exact global
-# refine; the refine input is frontier-sized (anti-chain), orders of
-# magnitude below the scan. No shuffle touches the full table.
+# is dominated globally. The global refine is UNCONDITIONAL (r3 verdict
+# #2 — the old single-task union was degenerate on anti-correlated
+# dimensions, where the frontier is O(n)): local-frontier points are
+# range-bucketed on price into a dominance grid, the same kernel prunes
+# each grid task (pruning any union of points is sound), and
+# cross-bucket domination reduces — in 2-D, with equal prices confined
+# to one bucket — to "size must beat the exclusive prefix max of
+# strictly-cheaper buckets", a B-row broadcast. No task ever holds more
+# than its grid cell; no shuffle touches the full table.
 # --------------------------------------------------------------------------
 
 
@@ -81,6 +87,9 @@ def _skyline_kernel(batches):
         yield pdf[keep]
 
 
+_SKY_BINS = 64
+
+
 def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _t(spark, sf_dir, "part").select(
         "p_partkey",
@@ -88,10 +97,54 @@ def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("long").alias("size"),
     )
     schema = "p_partkey long, price double, size long"
-    local = parts.mapInPandas(_skyline_kernel, schema=schema)
-    # exact refine: local frontiers are anti-chain-sized; one task sees
-    # them all and reapplies the same kernel
-    frontier = local.repartition(1).mapInPandas(_skyline_kernel, schema=schema)
+    # eager cut: the local frontier feeds both the grid-bounds scan and
+    # the refine; without it each leg re-runs the full-table kernel pass
+    local = parts.mapInPandas(_skyline_kernel, schema=schema).localCheckpoint(
+        eager=True
+    )
+    stats = local.agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi")
+    ).collect()[0]
+    if stats["lo"] is None:
+        return local.orderBy("price", "p_partkey")
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / _SKY_BINS
+    # value-binning (not rank-binning) so EQUAL prices share a bucket:
+    # that makes "x in a lower bucket" imply x.price < y.price strictly,
+    # and cross-bucket domination needs only x.size >= y.size
+    bucket = (
+        F.least(
+            F.lit(_SKY_BINS - 1),
+            F.floor((F.col("price") - F.lit(lo)) / F.lit(width)),
+        ).cast("int")
+        if width > 0
+        else F.lit(0)
+    )
+    bucketed = local.withColumn("__bk", bucket).repartition(_SKY_BINS, "__bk")
+    # per-task kernel: a hash partition may pack several buckets, which
+    # only HELPS (the kernel removes genuinely-dominated points from any
+    # union it sees); __bk rides through for the cross-bucket prune
+    refined = bucketed.mapInPandas(
+        _skyline_kernel, schema=schema + ", __bk int"
+    )
+    from pyspark.sql.window import Window
+
+    # B-row exclusive prefix max over bucket maxima — the only
+    # single-partition window is _SKY_BINS rows, then broadcast back
+    bk_max = refined.groupBy("__bk").agg(F.max("size").alias("__mx"))
+    prefix = bk_max.withColumn(
+        "__run",
+        F.max("__mx").over(
+            Window.orderBy("__bk").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+    ).select("__bk", "__run")
+    frontier = (
+        refined.join(F.broadcast(prefix), "__bk")
+        .filter(F.col("__run").isNull() | (F.col("size") > F.col("__run")))
+        .drop("__bk", "__run")
+    )
     return frontier.orderBy("price", "p_partkey")
 
 

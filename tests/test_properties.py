@@ -903,3 +903,38 @@ def test_segment_overlap_lane_sharding_beyond_63_types(spark, tmp_path):
     assert any(
         (a < "t063") != (b < "t063") for (a, b) in want
     ), "test corpus must exercise cross-lane pairs"
+
+
+def test_skyline_anticorrelated_bounded_tasks(spark, tmp_path):
+    """r3 verdict #2: on anti-correlated dimensions EVERY point is on the
+    frontier (the worst case that made a single-task refine unbounded).
+    The grid refine must (a) still return the exact frontier and (b)
+    spread the refine input across dominance-grid cells so no task holds
+    more than ~n/B points."""
+    from fink_science_spark.queries_ext12 import q_skyline_frontier, _SKY_BINS
+
+    # anti-correlated for (min price, max size): size GROWS with price,
+    # so no point dominates any other and the frontier is all n points
+    n = 4000
+    rows = [(i, 100.0 + i * 0.25, i + 1) for i in range(n)]
+    d = str(tmp_path / "sky_anti")
+    spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+
+    got = [
+        (r["p_partkey"], r["price"], r["size"])
+        for r in q_skyline_frontier(spark, d).collect()
+    ]
+    assert got == [(i, 100.0 + i * 0.25, i + 1) for i in range(n)]
+
+    # the refine is bucketed by price range: recompute the query's own
+    # binning and assert the grid balances (max cell ~ n/B, not n)
+    lo, hi = 100.0, 100.0 + (n - 1) * 0.25
+    width = (hi - lo) / _SKY_BINS
+    from collections import Counter
+
+    cells = Counter(
+        min(_SKY_BINS - 1, int((p - lo) / width)) for _, p, _ in rows
+    )
+    assert max(cells.values()) <= 2 * n // _SKY_BINS

@@ -585,3 +585,59 @@ def test_stream_dedup_lsh_across_batches(spark):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_dedup_lsh_dup_density_stress_no_driver_funnel(spark):
+    """r3 verdict #1: a x4-replicated corpus (every doc cloned 4x with
+    distinct ids -> pair volume ~16x the base near-dup set plus 6 clone
+    pairs per doc) must stream through the foreachBatch parquet drain and
+    still equal the batch LSH answer — and the pair set must flow into
+    the verify join from a FILE scan, never a driver-materialized local
+    relation (the old memory-sink + collect() funnel)."""
+    from fink_science_spark.operators.dedup import minhash_lsh_pairs
+    from fink_science_spark.queries_ext import _MH_BANDS, _MH_NUM, _doc_shingles
+    from fink_science_spark.queries_ext10 import q_stream_dedup_lsh
+
+    base = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    reps = None
+    for k in range(4):
+        r = base.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000 * k)
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    corp = os.path.join(SCRATCH, "stream_lsh_stress")
+    shutil.rmtree(corp, ignore_errors=True)
+    os.makedirs(corp)
+    reps.write.mode("overwrite").parquet(
+        os.path.join(corp, "documents.parquet")
+    )
+    src = os.path.join(corp, "split")
+    reps.withColumn("__p", (F.col("doc_id") % 4).cast("int")).repartition(
+        4, "__p"
+    ).drop("__p").write.mode("overwrite").parquet(src)
+
+    out = q_stream_dedup_lsh(spark, corp, source_dir=src, max_files_per_trigger=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, (
+        "pair set must come from the file sink, not a driver collect"
+    )
+    streamed = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()
+    }
+
+    batch = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            _doc_shingles(spark, corp),
+            "doc_id",
+            tokens_col="shingles",
+            num_hashes=_MH_NUM,
+            bands=_MH_BANDS,
+            jaccard_threshold=0.5,
+            shingles_col="shingles",
+        ).collect()
+    }
+    n_docs = base.count()
+    # every clone quadruple alone contributes C(4,2)=6 exact-dup pairs
+    assert len(batch) >= 6 * n_docs
+    assert streamed == batch
