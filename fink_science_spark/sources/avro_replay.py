@@ -87,13 +87,29 @@ def _source_files(path: str) -> list[str]:
     return [path]
 
 
+# (path, (file, mtime, size) fingerprint) → (schema, blocks): the engine
+# instantiates the source several times per query (schema(), reader(),
+# stream planning), each of which needs the block index — memoizing on
+# the driver-side Python worker turns the repeated O(blocks) walks into
+# one, and the mtime/size fingerprint keeps a rewritten container from
+# serving a stale index
+_INDEX_MEMO: dict = {}
+
+
 def _index_files(path: str):
     """(avro_schema, [(file, codec, sync, offset, n, size), ...]) across
     all source files; schemas must agree (same contract spark-avro
     enforces for a directory read)."""
     import json
+    import os
 
     files = _source_files(path)
+    fp = tuple(
+        (f, os.path.getmtime(f), os.path.getsize(f)) for f in files
+    )
+    hit = _INDEX_MEMO.get(path)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     schema = None
     blocks = []
     for f in files:
@@ -105,6 +121,7 @@ def _index_files(path: str):
                 f"avro_replay: schema mismatch between {files[0]} and {f}"
             )
         blocks.extend((f, codec, sync, off, n, size) for off, n, size in idx)
+    _INDEX_MEMO[path] = (fp, (schema, blocks))
     return schema, blocks
 
 
@@ -125,6 +142,43 @@ def _flatten(datum, spark_type):
     if isinstance(spark_type, T.MapType):
         return {k: _flatten(v, spark_type.valueType) for k, v in datum.items()}
     return datum
+
+
+def _read_run(partition, codecs, avro_schema, spark_type, arrow_schema):
+    """Decode one run of blocks and yield Arrow RecordBatches (the fast
+    serialization path through the Python DataSource runner — one Arrow
+    buffer per run instead of a pickled tuple per row, the difference
+    between O(rows) and O(batches) Python↔JVM transfer). Falls back to
+    per-row tuples if the decoded shape won't convert (e.g. exotic map
+    layouts) — correctness never depends on the Arrow path."""
+    records = []
+    for path, off in partition.items:
+        codec, sync = codecs[(path, off)]
+        records.extend(read_block(path, avro_schema, codec, sync, off))
+    if not records:
+        return
+    if arrow_schema is not None:
+        try:
+            import pyarrow as pa
+
+            table = pa.Table.from_pylist(records, schema=arrow_schema)
+            yield from table.to_batches()
+            return
+        except Exception:  # noqa: BLE001 - fall back to the row path
+            pass
+    for rec in records:
+        yield _flatten(rec, spark_type)
+
+
+def _arrow_schema_of(spark_type):
+    """Spark struct → Arrow schema via pyspark's own mapping; None when a
+    type has no Arrow equivalent (the reader then yields tuples)."""
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(spark_type)
+    except Exception:  # noqa: BLE001 - tuple path remains correct
+        return None
 
 
 class AvroReplaySource(DataSource):
@@ -156,6 +210,7 @@ class AvroReplayReader(DataSourceReader):
             raise ValueError("avro_replay: 'path' option is required")
         self.avro_schema, self.blocks = _index_files(self.path)
         self.spark_type = to_spark_type(self.avro_schema)
+        self.arrow_schema = _arrow_schema_of(self.spark_type)
         self.max_partitions = int(options.get("max_partitions", "0"))
         self._codecs = {
             (f, off): (codec, sync)
@@ -166,10 +221,10 @@ class AvroReplayReader(DataSourceReader):
         return _pack_runs(self.blocks, self.max_partitions)
 
     def read(self, partition: _BlockRunPartition):
-        for path, off in partition.items:
-            codec, sync = self._codecs[(path, off)]
-            for rec in read_block(path, self.avro_schema, codec, sync, off):
-                yield _flatten(rec, self.spark_type)
+        yield from _read_run(
+            partition, self._codecs, self.avro_schema, self.spark_type,
+            self.arrow_schema,
+        )
 
 
 class AvroReplayStreamReader(DataSourceStreamReader):
@@ -187,6 +242,7 @@ class AvroReplayStreamReader(DataSourceStreamReader):
             raise ValueError("avro_replay: 'path' option is required")
         self.avro_schema, self.blocks = _index_files(self.path)
         self.spark_type = to_spark_type(self.avro_schema)
+        self.arrow_schema = _arrow_schema_of(self.spark_type)
         self.blocks_per_trigger = int(options.get("blocks_per_trigger", "0"))
         self.max_partitions = int(options.get("max_partitions", "0"))
         self._target = 0
@@ -219,10 +275,10 @@ class AvroReplayStreamReader(DataSourceStreamReader):
         )
 
     def read(self, partition: _BlockRunPartition):
-        for path, off in partition.items:
-            codec, sync = self._codecs[(path, off)]
-            for rec in read_block(path, self.avro_schema, codec, sync, off):
-                yield _flatten(rec, self.spark_type)
+        yield from _read_run(
+            partition, self._codecs, self.avro_schema, self.spark_type,
+            self.arrow_schema,
+        )
 
     def commit(self, end: dict) -> None:
         self._target = max(self._target, end["block"])

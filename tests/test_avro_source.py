@@ -556,3 +556,65 @@ def test_interop_with_official_java_avro(spark, tmp_path):
     writer.close()
     _s, ours = read_container(path2)
     assert ours == [{"k": k, "x": x, "s": s} for k, x, s in expected]
+
+
+def test_reader_yields_arrow_batches(spark, tmp_path):
+    """r3 verdict #3: the DataSource read path must hand the runner Arrow
+    RecordBatches (bulk Python->JVM transfer), not per-row tuples — and
+    the batch content must round-trip the codec exactly."""
+    import pyarrow as pa
+
+    from fink_science_spark.sources.avro_codec import write_container
+    from fink_science_spark.sources import avro_replay as ar
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "v", "type": ["null", "double"]},
+        ],
+    }
+    path = str(tmp_path / "arrow_probe.avro")
+    rows = [
+        {"id": i, "s": f"x{i}", "v": None if i % 3 == 0 else i * 0.5}
+        for i in range(250)
+    ]
+    write_container(path, schema, rows, codec="deflate", records_per_block=100)
+
+    reader = ar.AvroReplayReader({"path": path, "max_partitions": "1"})
+    assert reader.arrow_schema is not None
+    (part,) = reader.partitions()
+    out = list(reader.read(part))
+    assert out and all(isinstance(b, pa.RecordBatch) for b in out), (
+        "Arrow fast path must be taken for arrow-expressible schemas"
+    )
+    got = pa.Table.from_batches(out).to_pylist()
+    assert got == rows
+
+
+def test_index_memo_invalidates_on_rewrite(spark, tmp_path):
+    """The driver-side block-index memo must key on file mtime/size so a
+    rewritten container never serves a stale index."""
+    from fink_science_spark.sources.avro_codec import write_container
+    from fink_science_spark.sources import avro_replay as ar
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    path = str(tmp_path / "memo.avro")
+    write_container(path, schema, [{"id": 1}], records_per_block=10)
+    _, blocks1 = ar._index_files(path)
+    assert ar._index_files(path)[1] is blocks1  # memo hit
+    import os, time as _time
+
+    _time.sleep(0.01)
+    write_container(
+        path, schema, [{"id": i} for i in range(25)], records_per_block=10
+    )
+    os.utime(path)
+    _, blocks2 = ar._index_files(path)
+    assert sum(n for _f, _c, _s, _o, n, _sz in blocks2) == 25
