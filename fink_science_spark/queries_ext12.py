@@ -87,7 +87,14 @@ def _skyline_kernel(batches):
         yield pdf[keep]
 
 
-_SKY_BINS = 64
+# refine-task sizing: one grid cell per ~_SKY_TARGET_CELL local-frontier
+# points (the kernel is vectorized numpy — 4k rows is sub-millisecond),
+# capped at _SKY_MAX_BINS cells. The cell count comes from the MEASURED
+# local-frontier size, so a typical correlated table (tiny frontier)
+# refines in one cheap task while an anti-correlated one (frontier =
+# O(n)) fans out — the guard the single-task refine lacked.
+_SKY_TARGET_CELL = 4096
+_SKY_MAX_BINS = 1024
 
 
 def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,24 +110,27 @@ def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     stats = local.agg(
-        F.min("price").alias("lo"), F.max("price").alias("hi")
+        F.count("*").alias("n"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
     ).collect()[0]
-    if stats["lo"] is None:
+    if stats["n"] == 0:
         return local.orderBy("price", "p_partkey")
     lo, hi = float(stats["lo"]), float(stats["hi"])
-    width = (hi - lo) / _SKY_BINS
+    n_bins = min(_SKY_MAX_BINS, max(1, -(-int(stats["n"]) // _SKY_TARGET_CELL)))
+    width = (hi - lo) / n_bins
     # value-binning (not rank-binning) so EQUAL prices share a bucket:
     # that makes "x in a lower bucket" imply x.price < y.price strictly,
     # and cross-bucket domination needs only x.size >= y.size
     bucket = (
         F.least(
-            F.lit(_SKY_BINS - 1),
+            F.lit(n_bins - 1),
             F.floor((F.col("price") - F.lit(lo)) / F.lit(width)),
         ).cast("int")
         if width > 0
         else F.lit(0)
     )
-    bucketed = local.withColumn("__bk", bucket).repartition(_SKY_BINS, "__bk")
+    bucketed = local.withColumn("__bk", bucket).repartition(n_bins, "__bk")
     # per-task kernel: a hash partition may pack several buckets, which
     # only HELPS (the kernel removes genuinely-dominated points from any
     # union it sees); __bk rides through for the cross-bucket prune

@@ -21,6 +21,35 @@ def _registry():
 
 QUERIES, ORACLES = _registry()
 
+# Parity cases measured >10s at sf0.001 (2026-08-15, local[32]): the
+# long pole of the suite is a handful of streaming fixtures, iterative
+# replays, and O(n^2)-oracle comparisons. Tagged so the inner loop can
+# run `-m "not slow_oracle"` (~5 min) while CI / round gates run the
+# full sweep. Membership is a runtime-budget judgment, not a contract —
+# re-measure with --durations when the set drifts.
+SLOW_ORACLES = {
+    "triangle_count",
+    "stream_heavy_hitters",
+    "stream_avro_alert_pipeline",
+    "semantic_dedup",
+    "skyline_frontier",
+    "stream_avro_counts",
+    "mmr_diverse_topk",
+    "curated_corpus",
+    "dedup_clusters",
+    "stream_dedup_lsh",
+    "replay_scan",
+}
+
+
+def _params():
+    return [
+        pytest.param(n, marks=pytest.mark.slow_oracle)
+        if n in SLOW_ORACLES
+        else n
+        for n in sorted(QUERIES)
+    ]
+
 
 @pytest.fixture(scope="module")
 def oracle_con():
@@ -29,7 +58,7 @@ def oracle_con():
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", _params())
 def test_query_matches_oracle(name, spark, oracle_con):
     df = QUERIES[name](spark, PARITY_SF)
     if name not in ORACLES:

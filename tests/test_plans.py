@@ -531,11 +531,19 @@ def test_correlated_subquery_decorrelates_to_join(spark, registry):
 
 def test_skyline_no_corpus_hash_shuffle(spark, registry):
     """Distributed skyline: the part table never hash-shuffles — the only
-    exchanges are the anti-chain-sized SinglePartition refine and the
-    final presentation sort."""
+    hash exchange is the dominance-grid repartition of the (local-
+    frontier-sized) refine input on the grid cell, and the only
+    SinglePartition work is the B-row bucket-maxima window. No
+    unbounded single task survives anti-correlated inputs."""
     plan = plan_of(registry["skyline_frontier"](spark, SF))
-    assert "hashpartitioning" not in plan, plan
-    assert "SinglePartition" in plan
+    # grid cell is the only hash-shuffle key; never a corpus column
+    # (at this SF the MEASURED local frontier is below one grid cell, so
+    # the repartition collapses to a single — bounded, size-guarded —
+    # task; the multi-cell fan-out is pinned by
+    # test_properties.test_skyline_anticorrelated_bounded_tasks)
+    for col in ("p_partkey", "price", "size"):
+        assert f"hashpartitioning({col}" not in plan, plan
+    assert "hashpartitioning(__bk" in plan or "SinglePartition" in plan, plan
     # both stages are the same Arrow kernel; no row-at-a-time Python
     assert "BatchEvalPython" not in plan
 
@@ -555,3 +563,32 @@ def test_mmr_candidates_only_no_cartesian(spark, registry):
     no cartesian product, no sort-merge join of corpus-sized inputs."""
     plan = plan_of(registry["mmr_diverse_topk"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_udtf_sessions_is_documentation_native_twin_is_scale_path(
+    spark, registry
+):
+    """r3 verdict #5 — the twin contract, pinned: udtf_sessions is the
+    registry's ONE deliberately-Python table function (it demonstrates
+    the partition-aware UDTF surface), sessions_native is the scale path
+    with the identical oracle, and every internal consumer composes the
+    native twin. A change that routes a hot path through the UDTF, or
+    lets the twins' answers drift, fails here."""
+    import __spark_entry__ as e
+
+    osql = e.oracle_sql()
+    # same oracle string object: answers cannot drift independently
+    assert osql["udtf_sessions"] == osql["sessions_native"]
+
+    udtf_plan = plan_of(registry["udtf_sessions"](spark, SF))
+    native_plan = plan_of(registry["sessions_native"](spark, SF))
+    # the UDTF twin IS Python — that is its documented point
+    assert "PythonUDTF" in udtf_plan or "EvalPython" in udtf_plan
+    # the scale twin never leaves the JVM
+    assert "PythonUDTF" not in native_plan
+    assert "EvalPython" not in native_plan
+
+    # internal consumers (interval_overlap_join composes sessionization)
+    # must build on the native twin, never the UDTF
+    consumer = plan_of(registry["interval_overlap_join"](spark, SF))
+    assert "PythonUDTF" not in consumer

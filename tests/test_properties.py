@@ -911,11 +911,17 @@ def test_skyline_anticorrelated_bounded_tasks(spark, tmp_path):
     The grid refine must (a) still return the exact frontier and (b)
     spread the refine input across dominance-grid cells so no task holds
     more than ~n/B points."""
-    from fink_science_spark.queries_ext12 import q_skyline_frontier, _SKY_BINS
+    from fink_science_spark.queries_ext12 import (
+        q_skyline_frontier,
+        _SKY_MAX_BINS,
+        _SKY_TARGET_CELL,
+    )
 
     # anti-correlated for (min price, max size): size GROWS with price,
     # so no point dominates any other and the frontier is all n points
-    n = 4000
+    # (n > _SKY_TARGET_CELL so the measured-size guard actually fans the
+    # refine out into multiple grid cells)
+    n = 20000
     rows = [(i, 100.0 + i * 0.25, i + 1) for i in range(n)]
     d = str(tmp_path / "sky_anti")
     spark.createDataFrame(
@@ -929,12 +935,14 @@ def test_skyline_anticorrelated_bounded_tasks(spark, tmp_path):
     assert got == [(i, 100.0 + i * 0.25, i + 1) for i in range(n)]
 
     # the refine is bucketed by price range: recompute the query's own
-    # binning and assert the grid balances (max cell ~ n/B, not n)
+    # measured-size binning and assert it fans out AND balances
+    n_bins = min(_SKY_MAX_BINS, max(1, -(-n // _SKY_TARGET_CELL)))
+    assert n_bins > 1, "corpus must be large enough to trigger the fan-out"
     lo, hi = 100.0, 100.0 + (n - 1) * 0.25
-    width = (hi - lo) / _SKY_BINS
+    width = (hi - lo) / n_bins
     from collections import Counter
 
     cells = Counter(
-        min(_SKY_BINS - 1, int((p - lo) / width)) for _, p, _ in rows
+        min(n_bins - 1, int((p - lo) / width)) for _, p, _ in rows
     )
-    assert max(cells.values()) <= 2 * n // _SKY_BINS
+    assert max(cells.values()) <= 2 * n // n_bins

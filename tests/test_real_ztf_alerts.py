@@ -605,3 +605,113 @@ def test_perceptual_hash_on_real_stamps(spark, alerts):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert pairs.count() >= 0
+
+
+CTAO_CATALOG = (
+    "/root/reference/fink_science/data/catalogs/"
+    "CTAO_blazars_ztf_dr23.v03_2026.parquet"
+)
+
+
+def test_standardized_flux_with_reference_catalog_constants(
+    spark, alerts, tmp_path
+):
+    """r3 verdict #7 — REAL reference-derived model constants through the
+    checkpoint seam: the shipped CTAO DR23 blazar catalog (231 monitored
+    sources with per-band flux medians — the plain-data 'model' of
+    ztf/standardized_flux/processor.py:140-143) is frozen into the JSON
+    artifact, loaded back, and drives standardized-flux scoring of the
+    real 51-alert sample end-to-end. Checks BOTH reference branches:
+    non-monitored objects yield empty arrays (CTAO_data.empty), and a
+    history relabeled to a real monitored blazar reproduces an
+    independent numpy transcription of the reference math
+    (fink-utils apparent_flux in Jansky / the catalog's real medians)."""
+    import json
+
+    import pandas as pd
+
+    from fink_science_spark.functions.arrays import concat_col
+    from fink_science_spark.functions.photometry import (
+        load_flux_catalog,
+        save_flux_catalog,
+        standardized_flux_hist,
+    )
+
+    # freeze the REAL catalog into the artifact
+    cat_pdf = pd.read_parquet(CTAO_CATALOG)
+    rows = [
+        {
+            "ztf_name": r.ZTF_name,
+            "median_g": r.medians["1"],
+            "median_r": r.medians["2"],
+            "low_threshold": r.low_threshold,
+            "high_threshold": r.high_threshold,
+        }
+        for r in cat_pdf.itertuples()
+    ]
+    ckpt = str(tmp_path / "ctao_dr23.json")
+    save_flux_catalog(ckpt, rows)
+    catalog = load_flux_catalog(spark, ckpt)
+    assert catalog.count() == 231
+    # artifact round-trip is lossless on the medians
+    by_name = {r["ztf_name"]: r for r in catalog.collect()}
+    assert by_name["ZTF18abvjqkt"]["median_g"] == cat_pdf.set_index(
+        "ZTF_name"
+    ).loc["ZTF18abvjqkt", "medians"]["1"]
+
+    hist = alerts
+    for key in ("magpsf", "sigmapsf", "magnr", "sigmagnr", "isdiffpos", "fid"):
+        hist = concat_col(hist, key)
+
+    # branch 1: none of the 51 real alerts is a monitored blazar ->
+    # empty arrays for every row (the reference returns np.array([]))
+    out = standardized_flux_hist(hist, catalog).select(
+        "objectId", "cstd_flux", "csigma_std_flux"
+    )
+    got = out.collect()
+    assert len(got) == 51
+    assert all(
+        len(r["cstd_flux"]) == 0 and len(r["csigma_std_flux"]) == 0
+        for r in got
+    )
+
+    # branch 2: relabel the richest real history to a real monitored
+    # blazar and verify element-wise against independent numpy math
+    # using the SAME reference catalog constants
+    probe_name = "ZTF18abvjqkt"
+    med = {1: by_name[probe_name]["median_g"], 2: by_name[probe_name]["median_r"]}
+    rich = (
+        hist.withColumn("__n", F.size("cmagpsf"))
+        .orderBy(F.desc("__n"))
+        .limit(1)
+        .withColumn("objectId", F.lit(probe_name))
+    )
+    row = (
+        standardized_flux_hist(rich, catalog)
+        .select(
+            "cmagpsf", "csigmapsf", "cmagnr", "csigmagnr", "cisdiffpos",
+            "cfid", "cstd_flux", "csigma_std_flux",
+        )
+        .collect()[0]
+    )
+    assert len(row["cstd_flux"]) == len(row["cmagpsf"]) > 5
+
+    ln10_o25 = np.log(10.0) / 2.5
+    for i in range(len(row["cmagpsf"])):
+        m, s = row["cmagpsf"][i], row["csigmapsf"][i]
+        mn, sn = row["cmagnr"][i], row["csigmagnr"][i]
+        pos, fid = row["cisdiffpos"][i], row["cfid"][i]
+        got_f, got_s = row["cstd_flux"][i], row["csigma_std_flux"][i]
+        if m is None or fid not in (1, 2):
+            assert math.isnan(got_f) and math.isnan(got_s), i
+            continue
+        diff = 10.0 ** (-0.4 * m)
+        dsig = diff * s * ln10_o25
+        ref = 10.0 ** (-0.4 * mn)
+        rsig = ref * sn * ln10_o25
+        dc = (ref + diff) if pos in ("t", "1") else (ref - diff)
+        dcsig = math.sqrt(dsig * dsig + rsig * rsig)
+        want_f = dc * 3631.0 / med[fid]
+        want_s = dcsig * 3631.0 / med[fid]
+        assert got_f == pytest.approx(want_f, rel=1e-9), i
+        assert got_s == pytest.approx(want_s, rel=1e-9), i
