@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext10 import QUERIES_EXT10
     from fink_science_spark.queries_ext11 import QUERIES_EXT11
     from fink_science_spark.queries_ext12 import QUERIES_EXT12
+    from fink_science_spark.queries_ext13 import QUERIES_EXT13
 
     return {
         **QUERIES,
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT10,
         **QUERIES_EXT11,
         **QUERIES_EXT12,
+        **QUERIES_EXT13,
     }
 
 
@@ -70,6 +72,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext10 import ORACLES_EXT10
     from fink_science_spark.queries_ext11 import ORACLES_EXT11
     from fink_science_spark.queries_ext12 import ORACLES_EXT12
+    from fink_science_spark.queries_ext13 import ORACLES_EXT13
 
     return {
         **ORACLES,
@@ -85,4 +88,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT10,
         **ORACLES_EXT11,
         **ORACLES_EXT12,
+        **ORACLES_EXT13,
     }

@@ -181,6 +181,19 @@ HEADLINE = [
     "hll_rollup",
     "median_bracket",
     "image_thumbnail",
+    # round 4, wave 14: retrieval / ER / sampling / time-series / diffing
+    "bm25_topk",
+    "fuzzy_match_names",
+    "stratified_sample",
+    "acf_lags",
+    "seasonal_decompose",
+    "length_bucket_batches",
+    "snapshot_diff",
+    # round 4, wave 15: fusion / AB stats / integrity / calibration
+    "rrf_fusion",
+    "ab_welch_ttest",
+    "fk_integrity_audit",
+    "calibration_bins",
 ]
 
 
@@ -198,6 +211,7 @@ SCAN_BOUND = {
     "photometry_conversion": "events",
     "weekly_counts": "events",
     "domain_mix_sample": "documents",
+    "bm25_topk": "documents",
 }
 
 

@@ -324,3 +324,34 @@ def test_median_bracket_empty(spark, tmp_path):
     rows = q_median_bracket(spark, d).collect()
     assert len(rows) == 1
     assert rows[0]["n"] == 0 and rows[0]["median"] is None
+
+
+def test_wave14_queries_empty(spark, tmp_path):
+    """Every wave-14 query must return an empty (or zero-count) frame on
+    empty inputs — none of them may crash on a null stats row."""
+    import fink_science_spark.queries_ext13 as x
+
+    d = str(tmp_path / "w14_empty")
+    schemas = {
+        "documents": "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+        "events": "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+        "orders": "o_orderkey long, o_custkey long, o_totalprice double",
+        "part": "p_partkey long, p_name string",
+        "lineitem": "l_orderkey long, l_partkey long, l_suppkey long",
+        "customer": "c_custkey long",
+        "supplier": "s_suppkey long",
+    }
+    for t, s in schemas.items():
+        spark.createDataFrame([], s).write.mode("overwrite").parquet(
+            f"{d}/{t}.parquet"
+        )
+    for name, q in x.QUERIES_EXT13.items():
+        out = q(spark, d)
+        if name == "fk_integrity_audit":
+            # the audit reports one row per FK edge even on empty tables
+            rows = out.collect()
+            assert len(rows) == 4 and all(r["n_rows"] == 0 for r in rows)
+        else:
+            assert out.count() == 0, name

@@ -1,0 +1,283 @@
+"""Wave-14 operator properties and plan shapes.
+
+Correctness vs DuckDB is the parity suite's job (all seven queries are
+registered with exact oracles); this file pins the operator CONTRACTS —
+the invariants a refactor could silently break while staying
+value-correct on the gate tables — and the plan shapes that matter at
+100 TB (BM25 must not explode the corpus; the fuzzy matcher must stay
+an equi-join).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_no_explode_no_corpus_shuffle(spark):
+    """The tf path is a per-row HOF against the fixed term list: the
+    plan must contain NO Generate (explode) node, and the only join is
+    the 1-row stats broadcast."""
+    from fink_science_spark.queries_ext13 import q_bm25_topk
+
+    plan = plan_of(q_bm25_topk(spark, SF))
+    assert "Generate" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_scores_positive_and_ranked(spark):
+    from fink_science_spark.queries_ext13 import _BM25_K, q_bm25_topk
+
+    rows = q_bm25_topk(spark, SF).collect()
+    assert 0 < len(rows) <= _BM25_K
+    scores = [r["bm25"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+# --------------------------------------------------------------- fuzzy
+
+
+def test_fuzzy_match_is_equi_join(spark):
+    from fink_science_spark.queries_ext13 import q_fuzzy_match_names
+
+    plan = plan_of(q_fuzzy_match_names(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the blocking key is the join key (hash or sort-merge equi-join)
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
+
+
+def test_fuzzy_match_resolves_every_dirty_record_to_its_source(spark):
+    """The corruption (drop 2nd char, uppercase 1st) keeps the original
+    within distance 2 and inside the same block, so every dirty record
+    must resolve, and never at distance > 2 (the original is always a
+    candidate, so argmin can't do worse)."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.queries import _t
+    from fink_science_spark.queries_ext13 import q_fuzzy_match_names
+
+    out = q_fuzzy_match_names(spark, SF)
+    n_dirty = (
+        _t(spark, SF, "part").filter(F.col("p_partkey") % 5 == 0).count()
+    )
+    rows = out.collect()
+    assert len(rows) == n_dirty
+    assert all(r["dist"] <= 2 for r in rows)
+
+
+# ---------------------------------------------------------- stratified
+
+
+def test_stratified_sample_exact_fractions(spark):
+    """Per-stratum selected count is exactly ceil(0.2 · n) — the
+    property Bernoulli sampling only hits in expectation."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.queries import _t
+    from fink_science_spark.queries_ext13 import _STRAT_FRAC, q_stratified_sample
+
+    totals = {
+        (r["lang"], r["source"]): r["n"]
+        for r in _t(spark, SF, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    picked = {
+        (r["lang"], r["source"]): r["n"]
+        for r in q_stratified_sample(spark, SF)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(picked) == set(totals)
+    for k, n in totals.items():
+        assert picked[k] == math.ceil(n * _STRAT_FRAC), (k, n, picked[k])
+
+
+# ------------------------------------------------------- length bucket
+
+
+def test_length_bucket_batches_partition_the_corpus(spark):
+    """Batches tile the corpus exactly: sizes ≤ B, Σ n_docs = corpus
+    size, padding waste is non-negative, and inside a bucket only the
+    LAST batch may be short."""
+    from fink_science_spark.queries import _t
+    from fink_science_spark.queries_ext13 import (
+        _BATCH_SIZE,
+        q_length_bucket_batches,
+    )
+
+    rows = q_length_bucket_batches(spark, SF).collect()
+    corpus = _t(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == corpus
+    assert all(0 < r["n_docs"] <= _BATCH_SIZE for r in rows)
+    assert all(r["padding_waste"] >= 0 for r in rows)
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, batches in by_bucket.items():
+        batches.sort(key=lambda r: r["batch_id"])
+        assert [r["batch_id"] for r in batches] == list(range(len(batches)))
+        assert all(r["n_docs"] == _BATCH_SIZE for r in batches[:-1]), bucket
+
+
+# ------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_classes_tile_the_key_union(spark):
+    """added+removed+changed+unchanged = |keys(A) ∪ keys(B)|, and the
+    planted modulo rules predict each class exactly."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.queries import _t
+    from fink_science_spark.queries_ext13 import q_snapshot_diff
+
+    out = {r["cls"]: r for r in q_snapshot_diff(spark, SF).collect()}
+    keys = _t(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    n_union = keys.filter((F.col("k") % 97 != 0) | (F.col("k") % 89 != 0)).count()
+    assert sum(r["n"] for r in out.values()) == n_union
+    # added = in B only = keys ≡0 (mod 97) that B kept
+    n_added = keys.filter(
+        (F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)
+    ).count()
+    n_removed = keys.filter(
+        (F.col("k") % 89 == 0) & (F.col("k") % 97 != 0)
+    ).count()
+    n_changed = keys.filter(
+        (F.col("k") % 7 == 0) & (F.col("k") % 97 != 0) & (F.col("k") % 89 != 0)
+    ).count()
+    assert out.get("added", {"n": 0})["n"] == n_added
+    assert out.get("removed", {"n": 0})["n"] == n_removed
+    assert out.get("changed", {"n": 0})["n"] == n_changed
+    # every changed row moved by exactly +1.0
+    if n_changed:
+        assert out["changed"]["value_delta"] == pytest.approx(float(n_changed))
+
+
+# --------------------------------------------------------- time series
+
+
+def test_acf_lag_zero_would_be_one_and_lags_bounded(spark):
+    """|r_k| ≤ 1 for every lag (Cauchy–Schwarz on the centered series)
+    and n_pairs decreases by exactly one per extra lag."""
+    from fink_science_spark.queries_ext13 import _ACF_MAX_LAG, q_acf_lags
+
+    rows = {r["lag"]: r for r in q_acf_lags(spark, SF).collect()}
+    assert set(rows) == set(range(1, _ACF_MAX_LAG + 1))
+    assert all(abs(r["acf"]) <= 1.0 + 1e-9 for r in rows.values())
+    n1 = rows[1]["n_pairs"]
+    for k in range(2, _ACF_MAX_LAG + 1):
+        assert rows[k]["n_pairs"] == n1 - (k - 1)
+
+
+def test_seasonal_decompose_indices_sum_near_zero(spark):
+    """The seasonal indices average the detrended series over a
+    partition of its days, so their day-weighted sum equals the total
+    detrended sum — near zero for a centered-MA detrend (exactly the
+    sum of the window-edge asymmetries, which is tiny relative to the
+    series scale)."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.queries import _t
+    from fink_science_spark.queries_ext13 import q_seasonal_decompose
+
+    rows = q_seasonal_decompose(spark, SF).collect()
+    assert len(rows) == 7
+    total_days = sum(r["n_days"] for r in rows)
+    weighted = sum(r["seasonal"] * r["n_days"] for r in rows)
+    # scale reference: mean daily count
+    mu = (
+        _t(spark, SF, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .count()
+        .agg(F.avg("count"))
+        .collect()[0][0]
+    )
+    assert abs(weighted) / total_days < 0.15 * mu
+    assert all(r["resid_mse"] >= 0 for r in rows)
+
+
+# =================================================================== wave 15
+
+
+def test_rrf_ranks_are_dense_and_scores_descend(spark):
+    """Both rank columns come from row_number over the same matched-doc
+    set, so within the returned top-k every rank is a positive integer
+    and the fused score is non-increasing."""
+    from fink_science_spark.queries_ext13 import q_rrf_fusion
+
+    rows = q_rrf_fusion(spark, SF).collect()
+    assert rows
+    assert all(r["rank_bm25"] >= 1 and r["rank_tfidf"] >= 1 for r in rows)
+    rrfs = [r["rrf"] for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
+    # rank-1 in BM25 appears somewhere in the fused top-k (1/(60+1) is
+    # the single largest possible contribution)
+    assert any(r["rank_bm25"] == 1 for r in rows)
+
+
+def test_welch_dof_bounds(spark):
+    """Welch–Satterthwaite dof lies in [min(na,nb)−1, na+nb−2]."""
+    from fink_science_spark.queries_ext13 import q_ab_welch_ttest
+
+    rows = q_ab_welch_ttest(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert min(r["na"], r["nb"]) - 1 <= r["welch_dof"] <= r["na"] + r["nb"] - 2
+
+
+def test_fk_audit_shape_and_consistency(spark):
+    from fink_science_spark.queries_ext13 import q_fk_integrity_audit
+
+    rows = {r["fk"]: r for r in q_fk_integrity_audit(spark, SF).collect()}
+    assert set(rows) == {
+        "orders->customer",
+        "lineitem->orders",
+        "lineitem->part",
+        "lineitem->supplier",
+    }
+    for r in rows.values():
+        assert 0 <= r["n_orphans"] <= r["n_rows"]
+        assert abs(r["orphan_rate"] - r["n_orphans"] / r["n_rows"]) < 1e-6
+
+
+def test_calibration_bins_tile_and_bound(spark):
+    """Bins partition the corpus; rates live in [0,1]; the positive
+    share equals the 75th-percentile cut construction (≈ 25%, exact up
+    to interpolation ties); ECE terms are the weighted |gap|."""
+    from fink_science_spark.queries import _t
+    from fink_science_spark.queries_ext13 import q_calibration_bins
+
+    rows = q_calibration_bins(spark, SF).collect()
+    total = _t(spark, SF, "events").count()
+    assert sum(r["n"] for r in rows) == total
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    assert all(0.0 <= r["pos_rate"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["mean_score"] <= 1.0 for r in rows)
+    pos_share = sum(r["n_pos"] for r in rows) / total
+    assert 0.2 < pos_share < 0.3
+    for r in rows:
+        expected = abs(r["mean_score"] - r["pos_rate"]) * r["n"] / total
+        assert abs(r["ece_term"] - expected) < 1e-5

@@ -9,8 +9,9 @@ directories, and report wall-time growth. A plan that is linear in the
 input shows ratios ≈ the scale factor; an accidental all-pairs or
 re-scan shows super-linear growth immediately.
 
-Usage: python tools/scalecheck.py [scales ...] (default: 1 2 4)
-Prints one JSON line: {"query": {"1": s, "2": s, "4": s}, ...}.
+Usage: python tools/scalecheck.py [scales ...] [--only q1,q2,...]
+(default scales: 1 2 4). Prints one JSON line:
+{"query": {"1": s, "2": s, "4": s}, ...}.
 """
 
 from __future__ import annotations
@@ -85,6 +86,8 @@ QUERIES = [
     "containment_pairs",
     "winsorized_stats",
     "session_paths",
+    # round-4: reconciliation cogroup (verdict r3 item 8 named it for ×8)
+    "cogroup_reconcile",
 ]
 
 OFFSET = 1 << 40
@@ -123,20 +126,27 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    scales = [int(x) for x in sys.argv[1:]] or [1, 2, 4]
+    argv = sys.argv[1:]
+    only: list[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    scales = [int(x) for x in argv] or [1, 2, 4]
+    run_list = [q for q in QUERIES if only is None or q in only]
     spark = get_session(app_name="scalecheck")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
     dirs = {s: scaled_dir(spark, s) for s in scales}
     # warm-up at the base scale
-    for name in QUERIES:
+    for name in run_list:
         queries[name](spark, dirs[scales[0]]).write.format("noop").mode(
             "overwrite"
         ).save()
 
     results: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in run_list:
         results[name] = {}
         for s in scales:
             samples = []
