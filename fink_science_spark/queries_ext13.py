@@ -647,21 +647,27 @@ ORACLES_EXT13["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
 
 # --------------------------------------------------------------------------
 # rrf_fusion: reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
-# retrieval rankings over the same corpus — here BM25 and summed TF-IDF
-# for the same fixed query — rrf(d) = Σ_r 1/(60 + rank_r(d)), the
-# standard hybrid-retrieval merge step (lexical + second signal) before
-# re-ranking. Ranks are INTEGERS, so the fused score is exact rational
-# arithmetic — no float-order sensitivity at all.
+# retrieval lists over the same corpus — here BM25 and summed TF-IDF for
+# the same fixed query — rrf(d) = Σ_r 1/(60 + rank_r(d)) over the lists
+# where d was RETRIEVED, the standard hybrid-retrieval merge (lexical +
+# second signal) before re-ranking. As in production fusion, each ranker
+# contributes its top-C list (C = 100) and a doc absent from a list
+# contributes 0 from it — RRF is defined over retrieved lists, not full
+# corpus rankings. Ranks are INTEGERS, so the fused score is exact
+# rational arithmetic — no float-order sensitivity at all.
 #
 # Scale shape: each ranker is the bm25 shape (per-row HOF tf, one
-# global stats row broadcast, no corpus shuffle); rank assignment is a
-# single global sort per ranker over the MATCHING docs only (docs with
-# score > 0 — query-term selectivity, not corpus size); the fusion is a
-# full-outer equi-join of two rank lists bounded by the match counts.
+# global stats row broadcast, no corpus shuffle); each top-C list comes
+# from orderBy().limit(C) — TakeOrderedAndProject, a per-partition
+# partial top-C plus one C-row merge, NEVER a global sort of the corpus
+# (ranking the full match set in a window would be a single-partition
+# corpus sort at 100 TB); exact ranks are then a window over the C-row
+# list, and the fusion is a full-outer join of two ≤C-row relations.
 # --------------------------------------------------------------------------
 
 _RRF_K = 60
 _RRF_TOP = 20
+_RRF_C = 100
 
 
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,25 +720,30 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_tfidf_part(0) + _tfidf_part(1) + _tfidf_part(2)).alias("s_tfidf"),
         (F.col("tf0") + F.col("tf1") + F.col("tf2")).alias("tf_any"),
     ).filter(F.col("tf_any") > 0)
-    r1 = scored.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("s_bm25").desc(), F.col("doc_id").asc()))
-        .alias("rank_bm25"),
-    )
-    r2 = scored.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("s_tfidf").desc(), F.col("doc_id").asc()))
-        .alias("rank_tfidf"),
-    )
+    def _toplist(score_col: str, rank_name: str) -> DataFrame:
+        # TakeOrderedAndProject (partial per-partition top-C + C-row
+        # merge); the exact-rank window then runs on only C rows
+        top = scored.orderBy(
+            F.col(score_col).desc(), F.col("doc_id").asc()
+        ).limit(_RRF_C)
+        w = Window.orderBy(F.col(score_col).desc(), F.col("doc_id").asc())
+        return top.select(
+            "doc_id", F.row_number().over(w).alias(rank_name)
+        )
+
+    r1 = _toplist("s_bm25", "rank_bm25")
+    r2 = _toplist("s_tfidf", "rank_tfidf")
     fused = r1.join(r2, "doc_id", "full_outer").select(
         "doc_id",
         "rank_bm25",
         "rank_tfidf",
         _halfup6(
-            F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_bm25"))
-            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_tfidf"))
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_bm25")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_tfidf")), F.lit(0.0)
+            )
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(
@@ -772,21 +783,29 @@ scored AS (
   WHERE tf0 + tf1 + tf2 > 0
 ),
 r1 AS (
-  SELECT doc_id, row_number() OVER (ORDER BY s_bm25 DESC, doc_id ASC)
-             AS rank_bm25
-  FROM scored
+  SELECT doc_id, rank_bm25 FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s_bm25 DESC, doc_id ASC)
+               AS rank_bm25
+    FROM scored
+  ) WHERE rank_bm25 <= {_RRF_C}
 ),
 r2 AS (
-  SELECT doc_id, row_number() OVER (ORDER BY s_tfidf DESC, doc_id ASC)
-             AS rank_tfidf
-  FROM scored
+  SELECT doc_id, rank_tfidf FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s_tfidf DESC, doc_id ASC)
+               AS rank_tfidf
+    FROM scored
+  ) WHERE rank_tfidf <= {_RRF_C}
+),
+fused AS (
+  SELECT doc_id, rank_bm25::INT AS rank_bm25, rank_tfidf::INT AS rank_tfidf,
+         floor((coalesce(1.0 / ({_RRF_K} + rank_bm25), 0.0)
+                + coalesce(1.0 / ({_RRF_K} + rank_tfidf), 0.0))
+               * 1e6 + 0.5) / 1e6 AS rrf
+  FROM r1 FULL OUTER JOIN r2 USING (doc_id)
 )
-SELECT doc_id, rank_bm25, rank_tfidf,
-       floor((1.0 / ({_RRF_K} + rank_bm25) + 1.0 / ({_RRF_K} + rank_tfidf))
-             * 1e6 + 0.5) / 1e6 AS rrf
-FROM r1 JOIN r2 USING (doc_id)
-ORDER BY (1.0 / ({_RRF_K} + rank_bm25) + 1.0 / ({_RRF_K} + rank_tfidf)) DESC,
-         doc_id ASC
+SELECT doc_id, rank_bm25, rank_tfidf, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
 LIMIT {_RRF_TOP}
 """
 

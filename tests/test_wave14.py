@@ -223,19 +223,30 @@ def test_seasonal_decompose_indices_sum_near_zero(spark):
 
 
 def test_rrf_ranks_are_dense_and_scores_descend(spark):
-    """Both rank columns come from row_number over the same matched-doc
-    set, so within the returned top-k every rank is a positive integer
-    and the fused score is non-increasing."""
-    from fink_science_spark.queries_ext13 import q_rrf_fusion
+    """Rank columns are top-C list positions (None when the doc missed
+    that list); the fused score is non-increasing; the BM25 winner is
+    always fused in (1/(60+1) is the largest single contribution)."""
+    from fink_science_spark.queries_ext13 import _RRF_C, q_rrf_fusion
 
     rows = q_rrf_fusion(spark, SF).collect()
     assert rows
-    assert all(r["rank_bm25"] >= 1 and r["rank_tfidf"] >= 1 for r in rows)
+    for r in rows:
+        assert r["rank_bm25"] is None or 1 <= r["rank_bm25"] <= _RRF_C
+        assert r["rank_tfidf"] is None or 1 <= r["rank_tfidf"] <= _RRF_C
+        assert r["rank_bm25"] is not None or r["rank_tfidf"] is not None
     rrfs = [r["rrf"] for r in rows]
     assert rrfs == sorted(rrfs, reverse=True)
-    # rank-1 in BM25 appears somewhere in the fused top-k (1/(60+1) is
-    # the single largest possible contribution)
     assert any(r["rank_bm25"] == 1 for r in rows)
+
+
+def test_rrf_plan_uses_take_ordered_not_global_sort(spark):
+    """The top-C lists must come from TakeOrderedAndProject (partial
+    per-partition top-C + C-row merge), not a full global Sort of the
+    scored corpus."""
+    from fink_science_spark.queries_ext13 import q_rrf_fusion
+
+    plan = plan_of(q_rrf_fusion(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_welch_dof_bounds(spark):
