@@ -577,6 +577,12 @@ def containment_pairs(
         F.col("__n").alias("__nb"),
         F.explode("__toks").alias("__g"),
     )
+    # NOTE: the PPJoin positional filter is deliberately NOT applied
+    # here — measured at sf0.1 (t = 0.8) it prunes only ~16% of
+    # candidates while adding a position column to every row of the
+    # FULL-index explode (the big side of the shuffle); the Jaccard
+    # operator keeps it because both sides there are short prefixes and
+    # the cut is ~60%. See jaccard_ppjoin_pairs.
     cand = (
         probe.join(
             index,
@@ -649,19 +655,32 @@ def jaccard_ppjoin_pairs(
 
     prefix_len = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")
     prefix = ordered.select(
-        "__id", "__n", F.explode(F.slice("__toks", 1, prefix_len)).alias("__g")
+        "__id",
+        "__n",
+        F.posexplode(F.slice("__toks", 1, prefix_len)).alias("__p", "__g"),
     )
 
     a, b = prefix.alias("__l"), prefix.alias("__r")
     # Length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
-    # The 1e-9 slack only ever ADDS candidates (verification removes them).
+    # Positional filter (the second P in PPJoin): a collision at 0-based
+    # prefix positions (pa, pb) bounds the overlap by
+    # min(|A| - pa, |B| - pb) — the collided token plus whatever follows
+    # it on each side under the common order — and J >= t needs
+    # |A∩B| >= t/(1+t) * (|A|+|B|), so candidates below that bound can
+    # never verify. The 1e-9 slack only ever ADDS candidates
+    # (verification removes them).
+    ub = F.least(
+        F.col("__l.__n") - F.col("__l.__p"), F.col("__r.__n") - F.col("__r.__p")
+    )
+    alpha = (F.col("__l.__n") + F.col("__r.__n")) * F.lit(t / (1.0 + t))
     cand = (
         a.join(
             b,
             (F.col("__l.__g") == F.col("__r.__g"))
             & (F.col("__l.__id") < F.col("__r.__id"))
             & (F.col("__l.__n") + F.lit(1e-9) >= F.col("__r.__n") * F.lit(t))
-            & (F.col("__r.__n") + F.lit(1e-9) >= F.col("__l.__n") * F.lit(t)),
+            & (F.col("__r.__n") + F.lit(1e-9) >= F.col("__l.__n") * F.lit(t))
+            & (ub + F.lit(1e-9) >= alpha),
         )
         .select(
             F.col("__l.__id").alias("id_a"),

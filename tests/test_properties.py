@@ -946,3 +946,38 @@ def test_skyline_anticorrelated_bounded_tasks(spark, tmp_path):
         min(n_bins - 1, int((p - lo) / width)) for _, p, _ in rows
     )
     assert max(cells.values()) <= 2 * n // n_bins
+
+
+@given(
+    st.lists(
+        st.lists(_ppjoin_words, min_size=1, max_size=6, unique=True),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.5, 0.8, 1.0]),
+)
+@_settings
+def test_containment_matches_bruteforce(spark, docsets, t):
+    """The containment probe-prefix join (now with the positional
+    filter) must stay COMPLETE: every directed pair with
+    |A∩B|/|A| >= t found with the exact rounded score, on skewed
+    corpora where every doc shares a stop token."""
+    from fink_science_spark.operators.dedup import containment_pairs
+
+    rows = [(i, sorted(set(toks) | {"stop"})) for i, toks in enumerate(docsets)]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "doc_id", "shingles", threshold=t
+        ).collect()
+    }
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i != j:
+                cont = len(set(a) & set(b)) / len(a)
+                if cont >= t:
+                    want[(i, j)] = round(cont, 6)
+    assert got == want
