@@ -194,6 +194,7 @@ HEADLINE = [
     "ab_welch_ttest",
     "fk_integrity_audit",
     "calibration_bins",
+    "gap_islands",
 ]
 
 

@@ -995,7 +995,12 @@ ORACLES_EXT13["fk_integrity_audit"] = ORACLE_FK_INTEGRITY_AUDIT
 #
 # Scale shape: one global stats row (mean/stddev/percentile) broadcast
 # back, one map-combinable bin agg. Bin ids are integer arithmetic on
-# halfup-quantized scores, so bin membership is engine-exact.
+# halfup-quantized scores, so bin membership is engine-exact. The cut
+# uses EXACT percentile at gate scale (same documented contract as
+# event_type_stats/weighted_median); at 100 TB swap the stats row's
+# percentile for the histogram-bracket selection (median_bracket's
+# technique) or the mergeable histogram sketch (sketch_quantiles) —
+# the downstream plan is unchanged either way.
 # --------------------------------------------------------------------------
 
 
@@ -1081,3 +1086,91 @@ GROUP BY bin, n_total
 
 QUERIES_EXT13["calibration_bins"] = q_calibration_bins
 ORACLES_EXT13["calibration_bins"] = ORACLE_CALIBRATION_BINS
+
+
+# --------------------------------------------------------------------------
+# gap_islands: consecutive-day activity streaks per user (the
+# gaps-and-islands pattern — user streaks, sensor uptime, SLA windows).
+# Island id = active-day − dense_rank(active-day) within user: constant
+# exactly across a run of consecutive days. Output: per-user streak
+# count, longest streak, and the start of the longest streak (earliest
+# on ties) — the retention-analysis companion to retention_cohorts.
+#
+# Scale shape: distinct user-days is one map-combinable dedup on the
+# (user, day) key; both windows (dense_rank, island agg) and the final
+# per-user argmax share the SAME user_id partitioning, so Spark plans
+# ONE exchange for the whole chain. No global window anywhere.
+# --------------------------------------------------------------------------
+
+
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.col("day") - F.dense_rank().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .join(
+            streaks.groupBy("user_id").agg(F.count("*").alias("n_streaks")),
+            "user_id",
+        )
+        .select(
+            "user_id",
+            "n_streaks",
+            F.col("len").alias("longest_streak"),
+            F.col("start_day").alias("longest_start_day"),
+        )
+    )
+
+
+ORACLE_GAP_ISLANDS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - dense_rank() OVER (PARTITION BY user_id ORDER BY day)
+             AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS len, min(day) AS start_day
+  FROM islands GROUP BY user_id, island
+),
+best AS (
+  SELECT user_id, len, start_day,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_day ASC) AS rn
+  FROM streaks
+),
+counts AS (
+  SELECT user_id, count(*) AS n_streaks FROM streaks GROUP BY user_id
+)
+SELECT b.user_id, c.n_streaks,
+       b.len::BIGINT AS longest_streak,
+       b.start_day::BIGINT AS longest_start_day
+FROM best b JOIN counts c USING (user_id)
+WHERE b.rn = 1
+"""
+
+QUERIES_EXT13["gap_islands"] = q_gap_islands
+ORACLES_EXT13["gap_islands"] = ORACLE_GAP_ISLANDS

@@ -292,3 +292,39 @@ def test_calibration_bins_tile_and_bound(spark):
     for r in rows:
         expected = abs(r["mean_score"] - r["pos_rate"]) * r["n"] / total
         assert abs(r["ece_term"] - expected) < 1e-5
+
+
+def test_gap_islands_planted_streaks(spark):
+    """Planted day sets reconstruct exactly: user 1 has runs {1,2,3} and
+    {7,8} (longest 3 starting day 1), user 2 has equal-length runs
+    {10,11} and {20,21} (earliest start wins the tie), user 3 is a
+    single day."""
+    import datetime
+
+    from fink_science_spark.queries_ext13 import q_gap_islands
+
+    def ts(day):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day, hours=5)
+
+    rows = []
+    eid = 0
+    for uid, days in [(1, [1, 2, 3, 7, 8]), (2, [10, 11, 20, 21]), (3, [40])]:
+        for dy in days:
+            for _ in range(2):  # duplicate events per day must not matter
+                rows.append((eid, ts(dy), uid, "click", 1.0, "{}"))
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {r["user_id"]: r for r in q_gap_islands(spark, d).collect()}
+    assert got[1]["n_streaks"] == 2
+    assert got[1]["longest_streak"] == 3 and got[1]["longest_start_day"] == 1
+    assert got[2]["n_streaks"] == 2
+    assert got[2]["longest_streak"] == 2 and got[2]["longest_start_day"] == 10
+    assert got[3]["n_streaks"] == 1 and got[3]["longest_streak"] == 1
