@@ -114,9 +114,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col(f"df{i}") + F.lit(0.5))
         )
         tf = F.col(f"tf{i}").cast("double")
+        rel_len = F.when(
+            F.col("avgdl") > 0, F.col("dl") / F.col("avgdl")
+        ).otherwise(F.lit(0.0))
         denom = tf + F.lit(_BM25_K1) * (
-            F.lit(1.0 - _BM25_B)
-            + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+            F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * rel_len
         )
         return idf * tf * F.lit(_BM25_K1 + 1.0) / denom
 
@@ -144,7 +146,7 @@ _BM25_TF_SQL = ", ".join(
 _BM25_PART_SQL = " + ".join(
     f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
     f" * (tf{i}::DOUBLE) * {_BM25_K1 + 1.0}"
-    f" / (tf{i}::DOUBLE + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / avgdl)))"
+    f" / (tf{i}::DOUBLE + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * (CASE WHEN avgdl > 0 THEN dl / avgdl ELSE 0.0 END))))"
     for i in range(len(_BM25_TERMS))
 )
 ORACLE_BM25_TOPK = f"""
@@ -365,7 +367,9 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("lag").cast("int").alias("lag"),
             "n_pairs",
-            _halfup6(F.col("num") / F.col("den")).alias("acf"),
+            F.when(
+                F.col("den") > 0, _halfup6(F.col("num") / F.col("den"))
+            ).alias("acf"),
         )
         .orderBy("lag")
     )
@@ -393,7 +397,7 @@ num AS (
   FROM pairs CROSS JOIN mu WHERE xl IS NOT NULL GROUP BY lag
 )
 SELECT lag::INT AS lag, n_pairs,
-       floor(num / den * 1e6 + 0.5) / 1e6 AS acf
+       CASE WHEN den > 0 THEN floor(num / den * 1e6 + 0.5) / 1e6 END AS acf
 FROM num CROSS JOIN den
 ORDER BY lag
 """
@@ -699,9 +703,11 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col(f"df{i}") + F.lit(0.5))
         )
         tf = F.col(f"tf{i}").cast("double")
+        rel_len = F.when(
+            F.col("avgdl") > 0, F.col("dl") / F.col("avgdl")
+        ).otherwise(F.lit(0.0))
         denom = tf + F.lit(_BM25_K1) * (
-            F.lit(1.0 - _BM25_B)
-            + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+            F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * rel_len
         )
         return idf * tf * F.lit(_BM25_K1 + 1.0) / denom
 
@@ -754,7 +760,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_BM25_SQL = " + ".join(
     f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
     f" * (tf{i}::DOUBLE) * {_BM25_K1 + 1.0}"
-    f" / (tf{i}::DOUBLE + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / avgdl)))"
+    f" / (tf{i}::DOUBLE + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * (CASE WHEN avgdl > 0 THEN dl / avgdl ELSE 0.0 END))))"
     for i in range(len(_BM25_TERMS))
 )
 _RRF_TFIDF_SQL = " + ".join(
@@ -838,6 +844,8 @@ def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("s"),
             F.sum(F.col("value") * F.col("value")).alias("ss"),
         )
+        # a variance needs n >= 2 — a 1-row cohort would divide by zero
+        .filter(F.col("n") >= 2)
     )
     a = ev.filter(F.col("event_type") == _AB_GROUPS[0]).select(
         F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
@@ -852,17 +860,29 @@ def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = (F.col("ssb") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
     sea = va / F.col("na")
     seb = vb / F.col("nb")
-    t = (ma - mb) / F.sqrt(sea + seb)
-    dof = (sea + seb) * (sea + seb) / (
-        sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)
+    # both statistics are undefined when BOTH cohorts are constant
+    # (sea + seb = 0) — emit NULL rather than divide by zero under ANSI
+    t = F.when(
+        sea + seb > 0, _halfup6((ma - mb) / F.sqrt(sea + seb))
+    )
+    dof = F.when(
+        sea + seb > 0,
+        _halfup6(
+            (sea + seb)
+            * (sea + seb)
+            / (
+                sea * sea / (F.col("na") - 1)
+                + seb * seb / (F.col("nb") - 1)
+            )
+        ),
     )
     return j.select(
         F.col("na"),
         F.col("nb"),
         _halfup6(ma).alias("mean_a"),
         _halfup6(mb).alias("mean_b"),
-        _halfup6(t).alias("t_stat"),
-        _halfup6(dof).alias("welch_dof"),
+        t.alias("t_stat"),
+        dof.alias("welch_dof"),
     )
 
 
@@ -871,7 +891,7 @@ WITH g AS (
   SELECT event_type, count(*) AS n, sum(value) AS s,
          sum(value * value) AS ss
   FROM events WHERE event_type IN ('{_AB_GROUPS[0]}', '{_AB_GROUPS[1]}')
-  GROUP BY event_type
+  GROUP BY event_type HAVING count(*) >= 2
 ),
 a AS (SELECT n AS na, s AS sa, ss AS ssa FROM g
       WHERE event_type = '{_AB_GROUPS[0]}'),
@@ -887,10 +907,12 @@ c AS (
 SELECT na, nb,
        floor(ma * 1e6 + 0.5) / 1e6 AS mean_a,
        floor(mb * 1e6 + 0.5) / 1e6 AS mean_b,
-       floor((ma - mb) / sqrt(sea + seb) * 1e6 + 0.5) / 1e6 AS t_stat,
-       floor((sea + seb) * (sea + seb)
-             / (sea * sea / (na - 1) + seb * seb / (nb - 1))
-             * 1e6 + 0.5) / 1e6 AS welch_dof
+       CASE WHEN sea + seb > 0 THEN
+         floor((ma - mb) / sqrt(sea + seb) * 1e6 + 0.5) / 1e6 END AS t_stat,
+       CASE WHEN sea + seb > 0 THEN
+         floor((sea + seb) * (sea + seb)
+               / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+               * 1e6 + 0.5) / 1e6 END AS welch_dof
 FROM c
 """
 
@@ -1017,7 +1039,12 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0)
             / (
                 F.lit(1.0)
-                + F.exp(-(F.col("value") - F.col("mu")) / F.col("sigma"))
+                + F.exp(
+                    -F.when(
+                        F.col("sigma") > 0,
+                        (F.col("value") - F.col("mu")) / F.col("sigma"),
+                    ).otherwise(F.lit(0.0))
+                )
             )
         ).alias("score_raw"),
         (F.col("value") > F.col("cut")).cast("long").alias("label"),
@@ -1065,7 +1092,7 @@ WITH stats AS (
 ),
 scored AS (
   SELECT event_id,
-         floor(1.0 / (1.0 + exp(-(value - mu) / sigma)) * 1e6 + 0.5) / 1e6
+         floor(1.0 / (1.0 + exp(-(CASE WHEN sigma > 0 THEN (value - mu) / sigma ELSE 0.0 END))) * 1e6 + 0.5) / 1e6
              AS score,
          (value > cut)::BIGINT AS label
   FROM events CROSS JOIN stats

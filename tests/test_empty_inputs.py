@@ -355,3 +355,69 @@ def test_wave14_queries_empty(spark, tmp_path):
             assert len(rows) == 4 and all(r["n_rows"] == 0 for r in rows)
         else:
             assert out.count() == 0, name
+
+
+def test_wave14_queries_degenerate_constant_inputs(spark, tmp_path):
+    """ANSI-mode fuzz for waves 14-15: constant values (sigma = 0,
+    zero-variance ACF series, zero-variance Welch cohorts), single-row
+    cohorts, and empty-text documents must not DIVIDE_BY_ZERO — the
+    crash class the round-3 fuzz pass established."""
+    import datetime
+
+    import fink_science_spark.queries_ext13 as x
+
+    d = str(tmp_path / "w14_degenerate")
+    base = datetime.datetime(2024, 1, 1)
+    # constant value; 'click' cohort has 3 rows, 'purchase' exactly 1
+    ev = [
+        (i, base + datetime.timedelta(hours=i), 1, "click", 5.0, "{}")
+        for i in range(3)
+    ] + [(99, base, 2, "purchase", 5.0, "{}")]
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    # empty-text documents -> every dl = 0 -> avgdl = 0
+    spark.createDataFrame(
+        [(i, "", "en", "web", 0) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    # calibration: all scores 0.5, bin 5, zero positives (5.0 > 5.0 false)
+    rows = x.q_calibration_bins(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 5
+    assert rows[0]["mean_score"] == 0.5 and rows[0]["n_pos"] == 0
+    # welch: the 1-row cohort is dropped -> no (a, b) pair -> empty
+    assert x.q_ab_welch_ttest(spark, d).count() == 0
+    # acf: constant daily series -> den = 0 -> NULL acf, no crash
+    for r in x.q_acf_lags(spark, d).collect():
+        assert r["acf"] is None
+    # bm25 / rrf: all-empty corpus text -> no matches, no crash
+    assert x.q_bm25_topk(spark, d).count() == 0
+    assert x.q_rrf_fusion(spark, d).count() == 0
+
+
+def test_welch_zero_variance_cohorts_yield_null_stats(spark, tmp_path):
+    """Two >=2-row cohorts with CONSTANT equal values: means defined,
+    t and dof NULL (0/0 guarded), no ANSI crash."""
+    import datetime
+
+    from fink_science_spark.queries_ext13 import q_ab_welch_ttest
+
+    d = str(tmp_path / "welch_const")
+    base = datetime.datetime(2024, 1, 1)
+    ev = [
+        (i, base, 1, t, 5.0, "{}")
+        for i, t in enumerate(["click", "click", "purchase", "purchase"])
+    ]
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    rows = q_ab_welch_ttest(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["mean_a"] == 5.0 and r["mean_b"] == 5.0
+    assert r["t_stat"] is None and r["welch_dof"] is None
