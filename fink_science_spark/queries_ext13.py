@@ -280,7 +280,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MERSENNE31)
+    # reduce mod M BEFORE multiplying: ids can be arbitrarily large
+    # (e.g. key-offset replicas), and id*K overflows int64 under ANSI;
+    # (id mod M) * K < 2^31 * 2^31.3 < 2^63 always fits
+    h = (
+        (F.col("doc_id") % F.lit(_MERSENNE31)) * F.lit(_KNUTH)
+    ) % F.lit(_MERSENNE31)
     strat = Window.partitionBy("lang", "source")
     w = strat.orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
@@ -295,10 +300,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STRATIFIED_SAMPLE = f"""
 WITH h AS (
   SELECT doc_id, lang, source, n_chars,
-         (doc_id * {_KNUTH}) % {_MERSENNE31} AS h,
+         (doc_id % {_MERSENNE31}) * {_KNUTH} % {_MERSENNE31} AS h,
          count(*) OVER (PARTITION BY lang, source) AS n_stratum,
          row_number() OVER (PARTITION BY lang, source
-                            ORDER BY (doc_id * {_KNUTH}) % {_MERSENNE31} ASC,
+                            ORDER BY (doc_id % {_MERSENNE31}) * {_KNUTH} % {_MERSENNE31} ASC,
                                      doc_id ASC) AS rn
   FROM documents
 )
@@ -517,7 +522,12 @@ _BATCH_SIZE = 32
 
 def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MERSENNE31)
+    # reduce mod M BEFORE multiplying: ids can be arbitrarily large
+    # (e.g. key-offset replicas), and id*K overflows int64 under ANSI;
+    # (id mod M) * K < 2^31 * 2^31.3 < 2^63 always fits
+    h = (
+        (F.col("doc_id") % F.lit(_MERSENNE31)) * F.lit(_KNUTH)
+    ) % F.lit(_MERSENNE31)
     bucket = F.floor(F.col("n_chars") / F.lit(100)).alias("bucket")
     w = Window.partitionBy("bucket").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     assigned = (
@@ -546,7 +556,7 @@ WITH assigned AS (
   SELECT doc_id, n_chars,
          n_chars // 100 AS bucket,
          (row_number() OVER (PARTITION BY n_chars // 100
-                             ORDER BY (doc_id * {_KNUTH}) % {_MERSENNE31} ASC,
+                             ORDER BY (doc_id % {_MERSENNE31}) * {_KNUTH} % {_MERSENNE31} ASC,
                                       doc_id ASC) - 1) // {_BATCH_SIZE}
              AS batch_id
   FROM documents

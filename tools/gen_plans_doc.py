@@ -168,6 +168,39 @@ COMMENTARY = {
         "rows) broadcasts into the pair matrix as conditional sums — "
         "the pairwise distinct self-join never exists."
     ),
+    "bm25_topk": (
+        "BM25 with NO Generate node: tf per query term is a per-row HOF "
+        "count, so the corpus never explodes and never shuffles; the "
+        "single stats row re-enters as BroadcastNestedLoopJoin; the "
+        "top-k is TakeOrderedAndProject (partial per-partition top-k, "
+        "no global sort)."
+    ),
+    "rrf_fusion": (
+        "Hybrid-retrieval fusion: both rankers share ONE scored corpus "
+        "pass; each top-C list is TakeOrderedAndProject; exact ranks "
+        "and the full-outer fusion run on ≤C-row relations. Ranking "
+        "the full match set in a window would be a single-partition "
+        "corpus sort — the plan pins the TakeOrdered shape instead."
+    ),
+    "fuzzy_match_names": (
+        "Blocked entity matching: candidates come from an EQUI-join on "
+        "the corruption-invariant blocking key (never a nested-loop or "
+        "cartesian); levenshtein verify is a plain filter above the "
+        "join; the argmin resolve window re-uses the dirty-key "
+        "partitioning."
+    ),
+    "gap_islands": (
+        "Gaps-and-islands: the (user, day) dedup, the dense_rank "
+        "window, the island aggregation, and the per-user argmax all "
+        "hash-partition on user_id — AQE plans ONE exchange for the "
+        "whole chain; no global window exists."
+    ),
+    "snapshot_diff": (
+        "Versioned-table diff: one full-outer SortMergeJoin on the "
+        "snapshot key (both derived snapshots prune their filters into "
+        "the same parquet scan), then a partial-agg 4-class conditional "
+        "count — the classification never re-scans."
+    ),
 }
 
 

@@ -88,6 +88,17 @@ QUERIES = [
     "session_paths",
     # round-4: reconciliation cogroup (verdict r3 item 8 named it for ×8)
     "cogroup_reconcile",
+    # round-4 waves 14-15 (fuzzy_match_names is omitted: its input is
+    # the deliberately-unscaled `part` dim table, so it has no curve)
+    "bm25_topk",
+    "rrf_fusion",
+    "stratified_sample",
+    "length_bucket_batches",
+    "snapshot_diff",
+    "acf_lags",
+    "ab_welch_ttest",
+    "calibration_bins",
+    "gap_islands",
 ]
 
 OFFSET = 1 << 40
