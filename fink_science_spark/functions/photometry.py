@@ -210,4 +210,8 @@ def standardized_flux_hist(
                 F.transform(zipped, lambda x: elem(x, mg, mr, True))
             ),
         )
+        # the contract is "alert frame + out_flux/out_sigma": drop the
+        # remaining joined catalog internals, which would otherwise leak
+        # into writes and collide on a re-join against the catalog
+        .drop(*[c for c in catalog.columns if c != "ztf_name"])
     )

@@ -1871,10 +1871,16 @@ def q_stream_dedup_lsh(
         # previous memory-sink + driver collect() funneled the
         # unbounded pair stream (volume grows with corpus dup density)
         # through the driver; now nothing pair-shaped ever touches it.
+        # The sink root follows the session's streaming checkpoint
+        # location when one is configured (the shared filesystem every
+        # multi-node deployment must already provide for the state
+        # store); a driver-local tempdir is only the single-node
+        # fallback.
         import tempfile
 
+        base = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
         pair_dir = os.path.join(
-            tempfile.gettempdir(), f"sdl_pairs_{uuid.uuid4().hex[:8]}"
+            base or tempfile.gettempdir(), f"sdl_pairs_{uuid.uuid4().hex[:8]}"
         )
 
         def drain(batch_df: DataFrame, _epoch: int) -> None:
@@ -1887,14 +1893,25 @@ def q_stream_dedup_lsh(
             .start()
         )
         q.awaitTermination()
+    from pyspark.errors import AnalysisException
+
     try:
         raw_pairs = spark.read.parquet(pair_dir)
-    except Exception:  # noqa: BLE001 - zero micro-batches -> no sink dir
-        raw_pairs = spark.createDataFrame([], "id_a long, id_b long")
-    # the same logical pair can collide in several bands (and therefore
-    # several sink files) — dedup is a distributed shuffle on the pair
-    # key, not a driver set
-    pairs = raw_pairs.dropDuplicates(["id_a", "id_b"])
+        # the same logical pair can collide in several bands (and
+        # therefore several sink files) — dedup is a distributed shuffle
+        # on the pair key, not a driver set. The eager localCheckpoint
+        # materializes the (LSH-bounded, pair-sized) result on the
+        # executors so the sink directory can be removed immediately —
+        # previously one parquet dir leaked per invocation.
+        pairs = raw_pairs.dropDuplicates(["id_a", "id_b"]).localCheckpoint(
+            eager=True
+        )
+    except AnalysisException:  # zero micro-batches -> no sink dir
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    finally:
+        import shutil
+
+        shutil.rmtree(pair_dir, ignore_errors=True)
     sets = _doc_shingles(spark, sf_dir).select("doc_id", "shingles")
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("__sb"))

@@ -87,6 +87,18 @@ def _skyline_kernel(batches):
         yield pdf[keep]
 
 
+def _skyline_refine_whole_partition(batches):
+    """Exact-refine wrapper: concatenate the partition's Arrow batches
+    before pruning. The kernel is only complete over what it sees in one
+    frame; feeding it batch-by-batch would miss dominated pairs that
+    straddle a batch boundary inside the same price bucket."""
+    import pandas as pd
+
+    pdfs = [p for p in batches if len(p)]
+    if pdfs:
+        yield from _skyline_kernel([pd.concat(pdfs, ignore_index=True)])
+
+
 # refine-task sizing: one grid cell per ~_SKY_TARGET_CELL local-frontier
 # points (the kernel is vectorized numpy — 4k rows is sub-millisecond),
 # capped at _SKY_MAX_BINS cells. The cell count comes from the MEASURED
@@ -133,9 +145,16 @@ def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = local.withColumn("__bk", bucket).repartition(n_bins, "__bk")
     # per-task kernel: a hash partition may pack several buckets, which
     # only HELPS (the kernel removes genuinely-dominated points from any
-    # union it sees); __bk rides through for the cross-bucket prune
+    # union it sees); __bk rides through for the cross-bucket prune.
+    # The refine MUST see its whole partition as ONE frame: per-batch
+    # pruning (fine for the streamed local pass, whose output only needs
+    # to be a superset) would let a within-bucket dominated point
+    # survive whenever Arrow splits its bucket across record batches —
+    # the cross-bucket prefix-max only removes strictly-cheaper-bucket
+    # domination. Partition size is bounded by the grid sizing
+    # (~_SKY_TARGET_CELL rows per cell), so the concat is small.
     refined = bucketed.mapInPandas(
-        _skyline_kernel, schema=schema + ", __bk int"
+        _skyline_refine_whole_partition, schema=schema + ", __bk int"
     )
     from pyspark.sql.window import Window
 

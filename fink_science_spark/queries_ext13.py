@@ -51,12 +51,7 @@ from pyspark.sql import functions as F
 
 from fink_science_spark.functions.text import tokens, tokens_sql
 from fink_science_spark.queries import _t
-
-
-def _halfup6(col: F.Column) -> F.Column:
-    """round-half-up at 6 decimals via the shared floor idiom (identical
-    text on the DuckDB side)."""
-    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+from fink_science_spark.queries_ext12 import _halfup6
 
 
 QUERIES_EXT13: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -84,21 +79,28 @@ _BM25_B = 0.75
 _BM25_K = 20
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row (dl, tf per query term) — HOF counts, no explode. Shared
+    by bm25_topk and rrf_fusion so the column algebra cannot drift."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("toks")
     )
+
     def _tf(term: str) -> F.Column:
         # single-arg lambda on purpose: a two-arg lambda would select
         # F.filter's (element, index) variant
         return F.size(F.filter("toks", lambda x: x == F.lit(term)))
 
-    base = docs.select(
+    return docs.select(
         "doc_id",
         F.size("toks").alias("dl"),
         *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
     )
-    stats = base.agg(
+
+
+def _bm25_stats(base: DataFrame) -> DataFrame:
+    """The one corpus-global stats row (N, avgdl, df per term)."""
+    return base.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         *[
@@ -107,22 +109,28 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def _part(i: int) -> F.Column:
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
-            / (F.col(f"df{i}") + F.lit(0.5))
-        )
-        tf = F.col(f"tf{i}").cast("double")
-        rel_len = F.when(
-            F.col("avgdl") > 0, F.col("dl") / F.col("avgdl")
-        ).otherwise(F.lit(0.0))
-        denom = tf + F.lit(_BM25_K1) * (
-            F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * rel_len
-        )
-        return idf * tf * F.lit(_BM25_K1 + 1.0) / denom
 
-    score = _part(0) + _part(1) + _part(2)
+def _bm25_part(i: int) -> F.Column:
+    """Term i's BM25 contribution (Lucene idf; avgdl=0 guarded)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+        / (F.col(f"df{i}") + F.lit(0.5))
+    )
+    tf = F.col(f"tf{i}").cast("double")
+    rel_len = F.when(
+        F.col("avgdl") > 0, F.col("dl") / F.col("avgdl")
+    ).otherwise(F.lit(0.0))
+    denom = tf + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * rel_len
+    )
+    return idf * tf * F.lit(_BM25_K1 + 1.0) / denom
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _bm25_base(spark, sf_dir)
+    stats = _bm25_stats(base)
+    score = _bm25_part(0) + _bm25_part(1) + _bm25_part(2)
     scored = (
         base.crossJoin(F.broadcast(stats))
         .withColumn("score", score)
@@ -685,41 +693,8 @@ _RRF_C = 100
 
 
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
-    )
-
-    def _tf(term: str) -> F.Column:
-        return F.size(F.filter("toks", lambda x: x == F.lit(term)))
-
-    base = docs.select(
-        "doc_id",
-        F.size("toks").alias("dl"),
-        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
-    )
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-
-    def _bm25_part(i: int) -> F.Column:
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
-            / (F.col(f"df{i}") + F.lit(0.5))
-        )
-        tf = F.col(f"tf{i}").cast("double")
-        rel_len = F.when(
-            F.col("avgdl") > 0, F.col("dl") / F.col("avgdl")
-        ).otherwise(F.lit(0.0))
-        denom = tf + F.lit(_BM25_K1) * (
-            F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * rel_len
-        )
-        return idf * tf * F.lit(_BM25_K1 + 1.0) / denom
+    base = _bm25_base(spark, sf_dir)
+    stats = _bm25_stats(base)
 
     def _tfidf_part(i: int) -> F.Column:
         # smoothed sklearn idf, same convention as tfidf_topk
@@ -730,12 +705,25 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1.0)
         )
 
-    scored = base.crossJoin(F.broadcast(stats)).select(
-        "doc_id",
-        (_bm25_part(0) + _bm25_part(1) + _bm25_part(2)).alias("s_bm25"),
-        (_tfidf_part(0) + _tfidf_part(1) + _tfidf_part(2)).alias("s_tfidf"),
-        (F.col("tf0") + F.col("tf1") + F.col("tf2")).alias("tf_any"),
-    ).filter(F.col("tf_any") > 0)
+    # The two TakeOrdered branches below would each recompute the
+    # tokenize + score corpus pass (TakeOrdered is not a reusable
+    # exchange); the eager localCheckpoint materializes the scored
+    # corpus ONCE, projected down to the three 8-byte rank inputs —
+    # ~24 B/row, the cheapest shareable form of this relation.
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (_bm25_part(0) + _bm25_part(1) + _bm25_part(2)).alias("s_bm25"),
+            (_tfidf_part(0) + _tfidf_part(1) + _tfidf_part(2)).alias(
+                "s_tfidf"
+            ),
+            (F.col("tf0") + F.col("tf1") + F.col("tf2")).alias("tf_any"),
+        )
+        .filter(F.col("tf_any") > 0)
+        .select("doc_id", "s_bm25", "s_tfidf")
+        .localCheckpoint(eager=True)
+    )
     def _toplist(score_col: str, rank_name: str) -> DataFrame:
         # TakeOrderedAndProject (partial per-partition top-C + C-row
         # merge); the exact-rank window then runs on only C rows
@@ -767,12 +755,8 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RRF_BM25_SQL = " + ".join(
-    f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
-    f" * (tf{i}::DOUBLE) * {_BM25_K1 + 1.0}"
-    f" / (tf{i}::DOUBLE + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * (CASE WHEN avgdl > 0 THEN dl / avgdl ELSE 0.0 END))))"
-    for i in range(len(_BM25_TERMS))
-)
+# the BM25 leg of the fusion oracle is the SAME algebra as bm25_topk's
+_RRF_BM25_SQL = _BM25_PART_SQL
 _RRF_TFIDF_SQL = " + ".join(
     f"(tf{i}::DOUBLE * (ln((n_docs + 1.0) / (df{i} + 1.0)) + 1.0))"
     for i in range(len(_BM25_TERMS))

@@ -147,27 +147,31 @@ def _flatten(datum, spark_type):
 def _read_run(partition, codecs, avro_schema, spark_type, arrow_schema):
     """Decode one run of blocks and yield Arrow RecordBatches (the fast
     serialization path through the Python DataSource runner — one Arrow
-    buffer per run instead of a pickled tuple per row, the difference
-    between O(rows) and O(batches) Python↔JVM transfer). Falls back to
-    per-row tuples if the decoded shape won't convert (e.g. exotic map
-    layouts) — correctness never depends on the Arrow path."""
-    records = []
+    buffer per BLOCK instead of a pickled tuple per row, the difference
+    between O(rows) and O(batches) Python↔JVM transfer). Streaming by
+    block on purpose: materializing the whole run first would hold
+    O(run) decoded records (plus the Arrow copy) in executor memory,
+    and a small max_partitions packs an entire container into one run.
+    Falls back to per-row tuples if a decoded shape won't convert (e.g.
+    exotic map layouts) — correctness never depends on the Arrow path."""
     for path, off in partition.items:
         codec, sync = codecs[(path, off)]
-        records.extend(read_block(path, avro_schema, codec, sync, off))
-    if not records:
-        return
-    if arrow_schema is not None:
-        try:
-            import pyarrow as pa
+        records = read_block(path, avro_schema, codec, sync, off)
+        if not records:
+            continue
+        if arrow_schema is not None:
+            try:
+                import pyarrow as pa
 
-            table = pa.Table.from_pylist(records, schema=arrow_schema)
-            yield from table.to_batches()
-            return
-        except Exception:  # noqa: BLE001 - fall back to the row path
-            pass
-    for rec in records:
-        yield _flatten(rec, spark_type)
+                batch = pa.RecordBatch.from_pylist(
+                    records, schema=arrow_schema
+                )
+                yield batch
+                continue
+            except Exception:  # noqa: BLE001 - fall back to the row path
+                pass
+        for rec in records:
+            yield _flatten(rec, spark_type)
 
 
 def _arrow_schema_of(spark_type):

@@ -958,10 +958,12 @@ def test_skyline_anticorrelated_bounded_tasks(spark, tmp_path):
 )
 @_settings
 def test_containment_matches_bruteforce(spark, docsets, t):
-    """The containment probe-prefix join (now with the positional
-    filter) must stay COMPLETE: every directed pair with
-    |A∩B|/|A| >= t found with the exact rounded score, on skewed
-    corpora where every doc shares a stop token."""
+    """The containment probe-prefix join must stay COMPLETE: every
+    directed pair with |A∩B|/|A| >= t found with the exact rounded
+    score, on skewed corpora where every doc shares a stop token.
+    (containment deliberately does NOT use the positional filter — see
+    the NOTE in operators/dedup.py; the positional variant lives only
+    on jaccard_ppjoin_pairs, whose own property test covers it.)"""
     from fink_science_spark.operators.dedup import containment_pairs
 
     rows = [(i, sorted(set(toks) | {"stop"})) for i, toks in enumerate(docsets)]

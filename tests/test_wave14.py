@@ -328,3 +328,34 @@ def test_gap_islands_planted_streaks(spark):
     assert got[2]["n_streaks"] == 2
     assert got[2]["longest_streak"] == 2 and got[2]["longest_start_day"] == 10
     assert got[3]["n_streaks"] == 1 and got[3]["longest_streak"] == 1
+
+
+def test_skyline_refine_exact_across_arrow_batch_splits(spark, tmp_path):
+    """Code-review regression (round 4): the refine kernel must see its
+    whole partition as ONE frame. With tiny Arrow batches and many
+    equal-price points arriving from different scan partitions, a
+    per-batch prune keeps every batch's own maximum — multiple
+    survivors where the true frontier has exactly one."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.queries_ext12 import q_skyline_frontier
+
+    d = str(tmp_path / "sky_split")
+    rows = [(i, 10.0, i + 1) for i in range(12)]  # one price, sizes 1..12
+    (
+        spark.createDataFrame(
+            rows, "p_partkey long, p_retailprice double, p_size int"
+        )
+        .repartition(6)  # spread dominated pairs across scan partitions
+        .write.mode("overwrite")
+        .parquet(f"{d}/part.parquet")
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "2")
+        got = q_skyline_frontier(spark, d).collect()
+    finally:
+        spark.conf.set(key, old)
+    assert len(got) == 1, [(r["p_partkey"], r["size"]) for r in got]
+    assert got[0]["size"] == 12

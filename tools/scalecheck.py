@@ -141,7 +141,12 @@ def main() -> None:
     only: list[str] | None = None
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            sys.exit("usage: scalecheck.py [scales ...] --only q1,q2,...")
         only = argv[i + 1].split(",")
+        unknown = sorted(set(only) - set(QUERIES))
+        if unknown:
+            sys.exit(f"--only names not in QUERIES: {unknown}")
         argv = argv[:i] + argv[i + 2 :]
     scales = [int(x) for x in argv] or [1, 2, 4]
     run_list = [q for q in QUERIES if only is None or q in only]
