@@ -620,16 +620,26 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("va") != F.col("vb"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
+    # the per-class value delta sums in EXACT integer cents: prices are
+    # 2-decimal, and a double sum of ~n/97 prices carries O(n·ulp)
+    # engine-order-dependent error that crosses a 1e-6 rounding grain
+    # around sf0.1 (caught by the sf0.1 parity sweep) — integer sums are
+    # order-independent at any scale
+    def cents(col: str) -> F.Column:
+        return F.floor(
+            F.coalesce(col, F.lit(0.0)) * F.lit(100.0) + F.lit(0.5)
+        ).cast("long")
+
     return (
         joined.withColumn("cls", cls)
         .groupBy("cls")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.coalesce("vb", F.lit(0.0)) - F.coalesce("va", F.lit(0.0))).alias(
-                "delta_raw"
-            ),
+            F.sum(cents("vb") - cents("va")).alias("delta_cents"),
         )
-        .select("cls", "n", _halfup6(F.col("delta_raw")).alias("value_delta"))
+        .select(
+            "cls", "n", (F.col("delta_cents") / F.lit(100.0)).alias("value_delta")
+        )
     )
 
 
@@ -653,7 +663,8 @@ SELECT CASE WHEN va IS NULL THEN 'added'
             WHEN va <> vb THEN 'changed'
             ELSE 'unchanged' END AS cls,
        count(*) AS n,
-       floor(sum(coalesce(vb, 0.0) - coalesce(va, 0.0)) * 1e6 + 0.5) / 1e6
+       sum(floor(coalesce(vb, 0.0) * 100.0 + 0.5)::BIGINT
+           - floor(coalesce(va, 0.0) * 100.0 + 0.5)::BIGINT) / 100.0
            AS value_delta
 FROM joined GROUP BY 1
 """
