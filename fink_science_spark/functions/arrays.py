@@ -87,10 +87,13 @@ def non_null_count(arr: Column | str) -> Column:
     return F.size(F.filter(c, lambda x: x.isNotNull() & ~F.isnan(x)))
 
 
-def count_in_window(arr_time: Column | str, arr_val: Column | str, lo, hi) -> Column:
-    """Count history elements whose time lies in [hi-lo window) — 'prior
+def count_in_window(arr_time: Column | str, lo, hi) -> Column:
+    """Count history elements whose time lies in [lo, hi) — 'prior
     detections in window' (reference semantics: size(filter(prv_candidates,
-    cand -> ...)), ztf/transient_features/processor.py:128-148)."""
+    cand -> ...)), ztf/transient_features/processor.py:128-148). Takes
+    only the time array: an earlier signature also accepted a value
+    array it silently ignored — a trap for callers expecting value
+    filtering that never happened."""
     t = F.col(arr_time) if isinstance(arr_time, str) else arr_time
     return F.size(F.filter(t, lambda x: (x >= lo) & (x < hi)))
 

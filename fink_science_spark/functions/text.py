@@ -134,8 +134,14 @@ def lang_id(tok: Column | str) -> Column:
     ordered = sorted(scores.items())  # alphabetical => deterministic ties
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    # fold right-to-left so earlier (alphabetically smaller) langs win ties
-    for lang, score in reversed(ordered):
+    # forward alphabetical fold with a STRICT '>': a later (larger) code
+    # only displaces the running best when strictly higher, so the
+    # alphabetically smaller code wins ties — and a 0-score language can
+    # never displace 'und'. (The first cut iterated reversed() here,
+    # which silently handed ties to the alphabetically LAST code; the
+    # SQL twin in queries_ext._lang_argmax_sql had the same inversion —
+    # both fixed together, so parity holds through the change.)
+    for lang, score in ordered:
         take = score > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)

@@ -43,7 +43,9 @@ def order_stats(
     m2 = E2−μ², m3 = E3−3μE2+2μ³, m4 = E4−4μE3+6μ²E2−3μ⁴
     in the projection. The duckdb oracle spells out the identical
     formula, so both engines agree at the 4-decimal rounding."""
-    v = F.col(val)
+    # cast BEFORE the powers: an integer-typed value column would
+    # multiply in int64 and v⁴ overflows long for |v| ≳ 55k (ANSI error)
+    v = F.col(val).cast("double")
     aggs = [
         F.count("*").alias("n"),
         F.avg(val).alias("__e1"),

@@ -121,6 +121,10 @@ def minhash_lsh_pairs(
     # sides (no exchange reuse under a broadcast join), which would run
     # the tokenize→hash→aggregate pipeline twice. The cached table is
     # (id, num_hashes longs) — ~150 B/doc, disk-spillable at 100 TB.
+    # Lifecycle: released by Spark's ContextCleaner once the returned
+    # plan is dropped on the driver; loops invoking this per batch that
+    # want deterministic release should unpersist via the returned
+    # plan's lineage (or call spark.catalog.clearCache() between batches).
     sig = sig.persist()
 
     # one row per (doc, band): the band key is either the concatenated
@@ -252,6 +256,11 @@ def incremental_minhash_pairs(
     Verification re-tokenizes ONLY matched corpus docs (``corpus_sets`` =
     (id, shingle-set) source, candidates ≪ corpus ⇒ AQE picks a broadcast
     join) — the verify-on-collision shape of the batch operator."""
+    if jaccard_threshold is not None and corpus_sets is None:
+        raise ValueError(
+            "incremental_minhash_pairs: jaccard_threshold requires "
+            "corpus_sets (the (id, shingle-set) source for the verify join)"
+        )
     new_idx = minhash_band_index(
         new_docs, id_col, tokens_col, num_hashes=num_hashes, bands=bands
     )
@@ -360,7 +369,8 @@ def simhash_pairs(
         ),
     )
     # materialize once — the chunk self-join would otherwise evaluate the
-    # tokenize→hash→60-vote pipeline on both sides (16 B/doc cached)
+    # tokenize→hash→60-vote pipeline on both sides (16 B/doc cached;
+    # ContextCleaner reclaims it when the returned plan is dropped)
     sig = votes.select(
         "__id", F.when(guard.isNull(), sim).alias("__sim")
     ).persist()

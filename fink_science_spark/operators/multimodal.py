@@ -143,6 +143,10 @@ def extract_blob_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                # pd.DataFrame([]) would carry zero feature columns and
+                # fail the mapInPandas schema check
+                continue
             feats = pdf[blob_col].map(fn)
             out = pd.DataFrame(list(feats))
             out.insert(0, id_col, pdf[id_col].values)
@@ -333,6 +337,11 @@ def image_resize_pool(
         for pdf in batches:
             ids, thumbs, means = [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    # missing stamp: skip like the sibling kernels
+                    # (image_matrix_stats / image_ahash) instead of
+                    # crashing the task on bytes(None)
+                    continue
                 b = bytes(blob)[:n_px]
                 if len(b) < n_px:
                     b = b + b"\x00" * (n_px - len(b))

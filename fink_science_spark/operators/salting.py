@@ -39,7 +39,19 @@ def salted_equi_join(
     values (an id); the salt is ``pmod(hash(unique_col), salt_buckets)``.
     The small side is replicated ``salt_buckets``× (explode of a literal
     sequence — cheap relative to the large side's shuffle). Join output
-    equals the unsalted join exactly."""
+    equals the unsalted join exactly — for join types that preserve the
+    large side only: an unmatched SMALL-side row exists once per salt
+    copy, so right/full/right_semi/right_anti outputs would multiply it
+    ``salt_buckets``×; those types are rejected rather than silently
+    wrong (de-salt the small side with a post-join dedup if you need
+    them)."""
+    norm = how.replace("_", "").lower()
+    if norm in {"right", "rightouter", "full", "outer", "fullouter"}:
+        raise ValueError(
+            f"salted_equi_join: how={how!r} would emit unmatched "
+            f"small-side rows once per salt copy ({salt_buckets}×); "
+            "use the unsalted join or dedup the small side afterwards"
+        )
     salt = F.pmod(F.hash(F.col(unique_col)), F.lit(salt_buckets))
     l = large.withColumn("__salt", salt)
     r = small.withColumn(

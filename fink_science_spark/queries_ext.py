@@ -350,9 +350,12 @@ def _lang_scores_sql() -> str:
 
 
 def _lang_argmax_sql() -> str:
-    # fold right-to-left, alphabetically smaller lang wins ties (> not >=)
+    # forward alphabetical fold, strict '>': the alphabetically smaller
+    # code wins ties, and a 0-score language never displaces 'und' —
+    # mirrors functions.text.lang_id exactly (both sides previously
+    # folded in reverse, handing ties to the LAST code)
     expr_score, expr_lang = "0", "'und'"
-    for lang_code in sorted(LANG_MARKERS, reverse=True):
+    for lang_code in sorted(LANG_MARKERS):
         expr_lang = f"CASE WHEN s_{lang_code} > ({expr_score}) THEN '{lang_code}' ELSE ({expr_lang}) END"
         expr_score = f"CASE WHEN s_{lang_code} > ({expr_score}) THEN s_{lang_code} ELSE ({expr_score}) END"
     return expr_lang

@@ -154,22 +154,38 @@ def _read_run(partition, codecs, avro_schema, spark_type, arrow_schema):
     and a small max_partitions packs an entire container into one run.
     Falls back to per-row tuples if a decoded shape won't convert (e.g.
     exotic map layouts) — correctness never depends on the Arrow path."""
+    # the run's yield mode is LATCHED on the first non-empty block: the
+    # Python DataSource worker cannot consume a mix of RecordBatches and
+    # tuples from one partition, and conversion failures are schema-shaped
+    # (every block shares the writer schema), so the first block decides
+    # for all. A later arrow failure after batches were already yielded
+    # raises a clear error instead of silently corrupting the serializer.
+    mode: str | None = None
     for path, off in partition.items:
         codec, sync = codecs[(path, off)]
         records = read_block(path, avro_schema, codec, sync, off)
         if not records:
             continue
-        if arrow_schema is not None:
+        if mode != "rows" and arrow_schema is not None:
             try:
                 import pyarrow as pa
 
                 batch = pa.RecordBatch.from_pylist(
                     records, schema=arrow_schema
                 )
+                mode = "arrow"
                 yield batch
                 continue
-            except Exception:  # noqa: BLE001 - fall back to the row path
-                pass
+            except Exception as ex:  # noqa: BLE001
+                if mode == "arrow":
+                    raise RuntimeError(
+                        "avro_replay: Arrow conversion failed mid-run after "
+                        "earlier blocks converted — mixed batch/tuple output "
+                        "is not consumable; failing fast"
+                    ) from ex
+                mode = "rows"
+        else:
+            mode = mode or "rows"
         for rec in records:
             yield _flatten(rec, spark_type)
 

@@ -220,6 +220,12 @@ class AlertReplayStreamReader(DataSourceStreamReader):
         return {"row": self._target}
 
     def partitions(self, start: dict, end: dict):
+        # checkpoint-restart recovery: after a restart the engine replans
+        # from the committed start, which a fresh _target (reset to 0 by
+        # __init__) would otherwise regress below — latestOffset must stay
+        # monotonic past the recovered offset or committed rows replay
+        # (same fix as AvroReplayStreamReader.partitions)
+        self._target = max(self._target, start["row"], end["row"])
         a, b = start["row"], end["row"]
         out = []
         step = self.rows_per_batch

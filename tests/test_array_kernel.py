@@ -157,7 +157,7 @@ def test_all_array_kernels_survive_empty_and_singleton(spark):
         "k",
         delta_last("v").alias("dl"),
         non_null_count("v").alias("nn"),
-        count_in_window("t", "v", 0.0, 10.0).alias("cw"),
+        count_in_window("t", 0.0, 10.0).alias("cw"),
         last_in_band("t", "v", "b", "g").alias("lib"),
         first_above("t", "v", 6.0).alias("fa"),
         band_peak("v", "b", "g").alias("bp"),

@@ -359,3 +359,23 @@ def test_skyline_refine_exact_across_arrow_batch_splits(spark, tmp_path):
         spark.conf.set(key, old)
     assert len(got) == 1, [(r["p_partkey"], r["size"]) for r in got]
     assert got[0]["size"] == 12
+
+
+def test_lang_id_tie_break_is_alphabetical(spark):
+    """Code-review regression (round 4): 'la' is a marker for BOTH es
+    and fr — on a tie the alphabetically smaller code must win (the
+    documented contract; the original fold handed ties to the LAST
+    code). No marker hits => 'und', and a 0-score language never
+    displaces 'und'."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, ["la"]), (2, ["zzz"]), (3, ["der", "das", "ist"])],
+        "i long, toks array<string>",
+    )
+    got = {r["i"]: r["lang"] for r in df.select("i", lang_id("toks").alias("lang")).collect()}
+    assert got[1] == "es"      # es/fr tie -> alphabetically first
+    assert got[2] == "und"     # no hits
+    assert got[3] == "de"      # clear winner unaffected
