@@ -79,44 +79,29 @@ FROM best
 
 # --------------------------------------------------------------------------
 # kn_score: kilonova-shaped module — veto mask (history depth per band +
-# catalog-type whitelist) → per-band PCA-projection coefficients → frozen
-# forest → scatter back with 0.0 default
-# (ztf/kilonova/processor.py:37-186)
+# catalog-type whitelist) → per-band PCA-projection coefficients (the
+# reference's REAL kndetect components, loaded through the checkpoint
+# seam) → frozen forest → scatter back with 0.0 default
+# (ztf/kilonova/processor.py:37-186; components: :165 load_pcs →
+# data/models/KN_PC_all_bands.npy, transcribed bit-exactly into
+# fink_science_spark/data/kn_pcs.json by tools/extract_kn_pcs.py)
 # --------------------------------------------------------------------------
 
-# Frozen "principal components": dyadic rationals (k/1024) so every
-# product and the unrolled sums are exact IEEE arithmetic — required by
-# the forest's discontinuous thresholds (see operators/models.py).
-_KN_PC1 = [128 / 1024, 256 / 1024, 384 / 1024, 512 / 1024,
-           384 / 1024, 256 / 1024, 128 / 1024, 64 / 1024]
-_KN_PC2 = [-512 / 1024, -256 / 1024, 0.0, 256 / 1024,
-           512 / 1024, 256 / 1024, 0.0, -256 / 1024]
-_KN_K = 8
-# ×32 (exact) spreads coefficients across the forest's threshold range.
-_KN_GAIN = 32.0
+from fink_science_spark.operators.kn_pca import (
+    kn_coef_col as _kn_coef_col,
+    kn_coef_sql as _kn_coef_sql,
+    kn_prep_cols as _kn_prep_cols,
+    kn_prep_sql as _kn_prep_sql,
+    load_kn_pcs as _load_kn_pcs,
+)
+
+_KN_PCS = _load_kn_pcs()
+# Per-feature gains (all exact dyadic rationals) map the real-component
+# coefficient scale onto the frozen forest's threshold range — the
+# calibration slot the reference's trained RF occupies (its thresholds
+# were learned on kndetect's coefficient scale; ours are frozen literals).
+_KN_GAINS = (32.0, 4.0, 0.5, 2.0)  # (cg1, cg2, cr1, cr2)
 _KN_SEGMENTS = ("BUILDING", "AUTOMOBILE", "MACHINERY")
-
-
-def _kn_coef_col(arr: str, pc: list[float]) -> F.Column:
-    """Unrolled projection Σ coalesce(arr[i], 0)/512 · pc[i] · GAIN —
-    identical term order to the SQL twin."""
-    acc = None
-    for i in range(_KN_K):
-        term = (
-            F.coalesce(F.try_element_at(F.col(arr), F.lit(i + 1)), F.lit(0.0))
-            / F.lit(512.0)
-            * F.lit(pc[i])
-        )
-        acc = term if acc is None else acc + term
-    return acc * F.lit(_KN_GAIN)
-
-
-def _kn_coef_sql(arr: str, pc: list[float]) -> str:
-    terms = " + ".join(
-        f"coalesce({arr}[{i + 1}], 0.0) / 512.0 * ({pc[i]!r})"
-        for i in range(_KN_K)
-    )
-    return f"(({terms}) * {_KN_GAIN!r})"
 
 
 def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,9 +109,11 @@ def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     each band + broadcast catalog-type whitelist — the reference's
     ndethist/jdstarthist/cdsxmatch cuts) is native SQL; the per-band
     light curves are ONE groupBy into time-sorted arrays; the PCA
-    projection is an unrolled exact-IEEE dot product in columns; only the
-    forest evaluation runs in the Arrow kernel, and vetoed rows take the
-    0.0 default without ever reaching Python
+    projection uses the reference's REAL kndetect components
+    (KN_PC_all_bands.npy g/r bands, via the kn_pca checkpoint seam) as a
+    max-normalized peak-aligned exact-IEEE dot product in columns; only
+    the forest evaluation runs in the Arrow kernel, and vetoed rows take
+    the 0.0 default without ever reaching Python
     (ztf/kilonova/processor.py:120-186: mask → extract_features_all_
     lightcurves pcs projection → predict_kn_score → zeros scatter)."""
     ev = _events_us(spark, sf_dir).filter(
@@ -172,15 +159,27 @@ def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_r") >= 2)
         & F.col("c_mktsegment").isin(*_KN_SEGMENTS)
     )
-    feats = both.select(
+    prepped = both.select(
         "user_id",
         "n_g",
         "n_r",
         eligible.alias("__ok"),
-        _kn_coef_col("g_vals", _KN_PC1).alias("cg1"),
-        _kn_coef_col("g_vals", _KN_PC2).alias("cg2"),
-        _kn_coef_col("r_vals", _KN_PC1).alias("cr1"),
-        _kn_coef_col("r_vals", _KN_PC2).alias("cr2"),
+        *_kn_prep_cols("g_vals", "kg"),
+        *_kn_prep_cols("r_vals", "kr"),
+    )
+    feats = prepped.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        "__ok",
+        _kn_coef_col("kg_s", "kg_m", "kg_sh", _KN_PCS["g"][0], _KN_GAINS[0])
+        .alias("cg1"),
+        _kn_coef_col("kg_s", "kg_m", "kg_sh", _KN_PCS["g"][1], _KN_GAINS[1])
+        .alias("cg2"),
+        _kn_coef_col("kr_s", "kr_m", "kr_sh", _KN_PCS["r"][0], _KN_GAINS[2])
+        .alias("cr1"),
+        _kn_coef_col("kr_s", "kr_m", "kr_sh", _KN_PCS["r"][1], _KN_GAINS[3])
+        .alias("cr2"),
     )
     score = make_forest_score_udf()
     return feats.select(
@@ -196,9 +195,15 @@ def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_PREP_G = _kn_prep_sql("g_vals")
+_KN_PREP_R = _kn_prep_sql("r_vals")
 _KN_FOREST_SQL = forest_score_sql(
-    [_kn_coef_sql("g_vals", _KN_PC1), _kn_coef_sql("g_vals", _KN_PC2),
-     _kn_coef_sql("r_vals", _KN_PC1), _kn_coef_sql("r_vals", _KN_PC2)]
+    [
+        _kn_coef_sql("kg_s", "kg_m", "kg_sh", _KN_PCS["g"][0], _KN_GAINS[0]),
+        _kn_coef_sql("kg_s", "kg_m", "kg_sh", _KN_PCS["g"][1], _KN_GAINS[1]),
+        _kn_coef_sql("kr_s", "kr_m", "kr_sh", _KN_PCS["r"][0], _KN_GAINS[2]),
+        _kn_coef_sql("kr_s", "kr_m", "kr_sh", _KN_PCS["r"][1], _KN_GAINS[3]),
+    ]
 )
 
 ORACLE_KN_SCORE = f"""
@@ -221,13 +226,21 @@ both_bands AS (
 with_seg AS (
   SELECT b.*, c.c_mktsegment FROM both_bands b
   LEFT JOIN customer c ON b.user_id = c.c_custkey
+),
+prepped AS (
+  SELECT user_id, n_g, n_r, c_mktsegment,
+         {_KN_PREP_G[0]} AS kg_s, {_KN_PREP_G[1]} AS kg_m,
+         {_KN_PREP_G[2]} AS kg_sh,
+         {_KN_PREP_R[0]} AS kr_s, {_KN_PREP_R[1]} AS kr_m,
+         {_KN_PREP_R[2]} AS kr_sh
+  FROM with_seg
 )
 SELECT user_id, n_g, n_r,
        CASE WHEN n_g >= 2 AND n_r >= 2
                  AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
             THEN round({_KN_FOREST_SQL}, 6)
             ELSE 0.0 END AS kn_score
-FROM with_seg
+FROM prepped
 """
 
 # --------------------------------------------------------------------------
