@@ -351,16 +351,23 @@ def ft_score_sql(grams_expr: str) -> str:
 #
 # The activation is atan — saturating like tanh, present in BOTH engines
 # (duckdb has no tanh), and crucially it references its argument ONCE:
-# writing tanh via exp would duplicate the recurrence subtree. Each step
-# is emitted as a NAMED projection (chained withColumn / chained CTEs),
-# not one nested expression: a nested unroll triples per step (the
-# hidden state is referenced three times), i.e. 3^K growth that breaks
-# whole-stage codegen by K=5; named steps stay linear, each hidden unit
-# is evaluated exactly once per row, and Catalyst keeps the projections
-# separate because collapsing would duplicate non-cheap expressions.
-# atan/sigmoid are continuous, so last-ulp libm differences between
-# engines stay bounded through the recurrence (|atan'| <= 1, |U| < 1
-# keeps the map contractive) and vanish under round(p, 6).
+# writing tanh via exp would duplicate the recurrence subtree.
+#
+# The forward pass is ONE ``F.aggregate`` fold over an array of per-step
+# (x, d, is_pad) structs: the recurrence body is written ONCE in the
+# lambda, so the expression is linear in K no matter what Catalyst does
+# around it. The previous form (one NAMED projection per step) kept the
+# PLAN linear but not the closure under optimization: a downstream
+# filter/aggregate referencing the output gets pushed through the
+# projection chain by substitution, and each substituted step references
+# the prior hidden state twice — 2^K expansion of the predicate, which
+# sent codegen into minutes-long string assembly the moment a caller
+# filtered on the score. A fold has no projection chain to push through.
+# HOF lambdas are interpreted (no codegen), which is the right trade for
+# a K-step scalar recurrence. atan/sigmoid are continuous, so last-ulp
+# libm differences between engines stay bounded through the recurrence
+# (|atan'| <= 1, |U| < 1 keeps the map contractive) and vanish under
+# round(p, 6).
 # --------------------------------------------------------------------------
 
 RNN_WX = [0.9, -0.6]     # input weight per hidden unit (flux feature)
@@ -376,38 +383,49 @@ RNN_C = 0.2
 
 def rnn_apply(df, steps, out_col: str):
     """Run the frozen recurrence over ``steps`` = list of (x, d, is_pad)
-    Column triples in time order, appending one projection per step;
-    returns the DataFrame with ``out_col`` = sigmoid readout and the
-    intermediate ``__h*`` state columns dropped."""
+    Column triples in time order as ONE ``aggregate`` fold (see the
+    design note above), returning the DataFrame with ``out_col`` =
+    sigmoid readout.  Identical per-step operation order to
+    :func:`rnn_sql_ctes`."""
     from pyspark.sql import functions as F
 
-    prev = [F.lit(0.0), F.lit(0.0)]
-    names = []
-    for t, (x, d, is_pad) in enumerate(steps):
+    arr = F.array(
+        *[
+            F.struct(
+                x.alias("x"),
+                d.alias("d"),
+                is_pad.cast("boolean").alias("p"),
+            )
+            for (x, d, is_pad) in steps
+        ]
+    )
+
+    def step(acc, s):
+        prev = [acc["h0"], acc["h1"]]
         cols = []
         for j in range(2):
             z = (
-                x * F.lit(RNN_WX[j])
-                + d * F.lit(RNN_WD[j])
+                s["x"] * F.lit(RNN_WX[j])
+                + s["d"] * F.lit(RNN_WD[j])
                 + prev[0] * F.lit(RNN_U[j][0])
                 + prev[1] * F.lit(RNN_U[j][1])
                 + F.lit(RNN_B[j])
             )
             cols.append(
-                F.when(is_pad, prev[j]).otherwise(F.atan(z)).alias(
-                    f"__h{t}_{j}"
-                )
+                F.when(s["p"], prev[j]).otherwise(F.atan(z)).alias(f"h{j}")
             )
-        df = df.select("*", *cols)
-        names.extend(f"__h{t}_{j}" for j in range(2))
-        prev = [F.col(f"__h{t}_0"), F.col(f"__h{t}_1")]
-    z_out = (
-        prev[0] * F.lit(RNN_V[0]) + prev[1] * F.lit(RNN_V[1]) + F.lit(RNN_C)
-    )
-    df = df.withColumn(
-        out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z_out))
-    )
-    return df.drop(*names)
+        return F.struct(*cols)
+
+    def readout(acc):
+        z_out = (
+            acc["h0"] * F.lit(RNN_V[0])
+            + acc["h1"] * F.lit(RNN_V[1])
+            + F.lit(RNN_C)
+        )
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z_out))
+
+    init = F.struct(F.lit(0.0).alias("h0"), F.lit(0.0).alias("h1"))
+    return df.withColumn(out_col, F.aggregate(arr, init, step, readout))
 
 
 def rnn_sql_ctes(steps, source: str, prefix: str = "s"):

@@ -524,13 +524,30 @@ ORACLE_SKY_PIXEL_ROLLUP = _oracle_pixel()
 # projections keep the expression tree linear in K (a nested unroll
 # grows 3^K and breaks whole-stage codegen by K=5). Fully UDF-free:
 # the recurrent forward pass runs inside codegen.
+#
+# Feature prep uses the reference's REAL SuperNNova normalization
+# constants (snn_sn_vs_all/data_norm.json, via the snn_norm checkpoint
+# seam): FLUXCAL_g log-standardization for the flux input, delta_time
+# (gap since PREVIOUS observation, SuperNNova's convention) for the time
+# input. The dyadic post-gains map the standardized scale onto the
+# frozen toy RNN's dynamic range — the slot the trained torch weights
+# occupy in the reference.
 # --------------------------------------------------------------------------
+
+from fink_science_spark.operators.snn_norm import (
+    load_snn_norm as _load_snn_norm,
+    snn_norm_col as _snn_norm_col,
+    snn_norm_sql as _snn_norm_sql,
+)
 
 _SNN_K = 8
 _SNN_MIN_PTS = 3
 _SNN_MIN_AGE_DAYS = 0.5
-_SNN_FLUX_SCALE = 1.0e7
-_SNN_DT_SCALE = 10.0
+_SNN_NORM = _load_snn_norm()
+# exact dyadic post-gains: standardized FLUXCAL_g spans ~[-450, 260]
+# (std = 0.0118 amplifies), delta_time ~[-6.3, 0]
+_SNN_FLUX_GAIN = 1.0 / 256.0
+_SNN_DT_GAIN = 1.0 / 4.0
 
 
 def q_snn_ia_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,13 +577,17 @@ def q_snn_ia_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_element_at("val_arr", F.lit(t)), F.lit(0.0)
         ) / F.lit(32.0)
         flux, _err = mag2fluxcal_snana(mag, F.lit(0.0))
-        x = flux / F.lit(_SNN_FLUX_SCALE)
-        d = (
-            (
-                F.coalesce(F.try_element_at("ts_arr", F.lit(t)), t1) - t1
-            )
-            / F.lit(86400e6)
-            / F.lit(_SNN_DT_SCALE)
+        x = _snn_norm_col(flux, _SNN_NORM["FLUXCAL_g"]) * F.lit(
+            _SNN_FLUX_GAIN
+        )
+        if t == 1:
+            dt_days = F.lit(0.0)
+        else:
+            prev = F.coalesce(F.try_element_at("ts_arr", F.lit(t - 1)), t1)
+            cur = F.coalesce(F.try_element_at("ts_arr", F.lit(t)), prev)
+            dt_days = (cur - prev) / F.lit(86400e6)
+        d = _snn_norm_col(dt_days, _SNN_NORM["delta_time"]) * F.lit(
+            _SNN_DT_GAIN
         )
         is_pad = F.lit(t) > F.col("n")
         steps.append((x, d, is_pad))
@@ -590,10 +611,20 @@ def _oracle_snn() -> str:
     for t in range(1, _SNN_K + 1):
         mag = f"(10.0 + coalesce(val_arr[{t}], 0.0) / 32.0)"
         flux, _err = mag2fluxcal_snana_sql(mag, "0.0")
-        x = f"({flux} / {_SNN_FLUX_SCALE!r})"
+        x = (
+            f"({_snn_norm_sql(flux, _SNN_NORM['FLUXCAL_g'])}"
+            f" * {_SNN_FLUX_GAIN!r})"
+        )
+        if t == 1:
+            dt_days = "0.0"
+        else:
+            prev = f"coalesce(ts_arr[{t - 1}], ts_arr[1])"
+            dt_days = (
+                f"((coalesce(ts_arr[{t}], {prev}) - {prev}) / 86400e6)"
+            )
         d = (
-            f"((coalesce(ts_arr[{t}], ts_arr[1]) - ts_arr[1])"
-            f" / 86400e6 / {_SNN_DT_SCALE!r})"
+            f"({_snn_norm_sql(dt_days, _SNN_NORM['delta_time'])}"
+            f" * {_SNN_DT_GAIN!r})"
         )
         is_pad = f"{t} > n"
         steps.append((x, d, is_pad))
