@@ -1704,6 +1704,8 @@ def q_stream_dedup_lsh(
     sf_dir: str,
     source_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    n_map: int | None = None,
+    n_state_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup pairs == batch dedup_minhash_lsh.
 
@@ -1724,7 +1726,7 @@ def q_stream_dedup_lsh(
         minhash_perm_coeffs,
     )
     from fink_science_spark.functions.text import tokens, word_shingles
-    from fink_science_spark.queries_ext import _MH_BANDS, _MH_NUM, _doc_shingles
+    from fink_science_spark.queries_ext import _MH_BANDS, _MH_NUM
     from fink_science_spark.streaming.shell import scoped_shuffle_partitions
 
     rpb = _MH_NUM // _MH_BANDS
@@ -1830,10 +1832,11 @@ def q_stream_dedup_lsh(
     # stateful-stage width: with bucket-level state there are only
     # bands × _SDL_STATE_BUCKETS (= 256) physical groups and the
     # per-partition cost is dominated by state-store instance overhead
-    # (commit files, provider setup), not Python work — 8 partitions
-    # measured 4.0 s vs 32 partitions 9-12 s at sf0.1. On a real cluster
-    # scale this with group count, not core count.
-    n_part = 8
+    # (commit files, provider setup), not Python work — a no-op stateful
+    # stream floors at ~1.5 s with 4 partitions vs ~1.9 s with 8 and
+    # 9-12 s with 32 at sf0.1. On a real cluster scale this with group
+    # count, not core count.
+    n_part = n_state_partitions if n_state_partitions is not None else 4
     with scoped_shuffle_partitions(spark, n_part):
         reader = spark.readStream.schema(schema).format("parquet")
         if source_dir is None:
@@ -1841,7 +1844,32 @@ def q_stream_dedup_lsh(
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         stream = reader.load(source_dir or sf_dir)
-        docs = stream.select(
+        # the source is file-granular (one task per file per micro-batch);
+        # fan the raw rows out across the executors BEFORE the expensive
+        # per-doc work (interpreted shingle HOFs + the Python signature
+        # kernel) — without this a single-file trigger runs the whole
+        # tokenize→hash pipeline on ONE core (measured 11 s of the old
+        # 13 s stream at sf0.1; raw text is the narrowest thing to
+        # shuffle, ~120 B/doc here)
+        # Fan-out is sized to the DATA (~2 MB of raw text per map task,
+        # clamped to [8, cluster parallelism]): a tiny trigger doesn't pay
+        # 32 python-worker handshakes for a 5000-row batch (measured
+        # 4.5 s → 3.3 s at sf0.1), and a 100 GB trigger still spreads
+        # across every core.
+        if n_map is None:
+            par = spark.sparkContext.defaultParallelism
+            try:
+                src = source_dir or sf_dir
+                total = sum(
+                    os.path.getsize(os.path.join(src, f))
+                    for f in os.listdir(src)
+                    if f.endswith(".parquet")
+                    and (source_dir is not None or f == "documents.parquet")
+                )
+                n_map = max(8, min(par, int(total // (2 << 20)) + 1))
+            except OSError:  # non-local source URI — size unknown
+                n_map = par
+        docs = stream.repartition(n_map).select(
             "doc_id",
             F.array_distinct(word_shingles(tokens("text"), 3)).alias("shingles"),
         ).filter(F.size("shingles") > 0)
@@ -1898,35 +1926,62 @@ def q_stream_dedup_lsh(
     try:
         raw_pairs = spark.read.parquet(pair_dir)
         # the same logical pair can collide in several bands (and
-        # therefore several sink files) — dedup is a distributed shuffle
-        # on the pair key, not a driver set. The eager localCheckpoint
-        # materializes the (LSH-bounded, pair-sized) result on the
-        # executors so the sink directory can be removed immediately —
-        # previously one parquet dir leaked per invocation.
-        pairs = raw_pairs.dropDuplicates(["id_a", "id_b"]).localCheckpoint(
-            eager=True
-        )
+        # therefore several sink files); the verify groupBy below folds
+        # those duplicates away, so no separate dropDuplicates shuffle is
+        # needed. The eager localCheckpoint materializes the
+        # (LSH-bounded, pair-sized) result on the executors so the sink
+        # directory can be removed immediately — previously one parquet
+        # dir leaked per invocation.
+        pairs = raw_pairs.localCheckpoint(eager=True)
     except AnalysisException:  # zero micro-batches -> no sink dir
         pairs = spark.createDataFrame([], "id_a long, id_b long")
     finally:
         import shutil
 
         shutil.rmtree(pair_dir, ignore_errors=True)
-    sets = _doc_shingles(spark, sf_dir).select("doc_id", "shingles")
-    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa"))
-    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("__sb"))
+    # exact-Jaccard verify needs shingle sets ONLY for pair members
+    # (LSH-bounded — orders of magnitude below corpus size): semi-join the
+    # raw docs on the member ids BEFORE tokenizing, so the interpreted
+    # shingle HOFs run over ~2·|pairs| docs, not the whole corpus (at
+    # 100 TB this is the difference between re-tokenizing the corpus and
+    # touching a few thousand rows; the id filter also prunes the scan)
+    # melt pairs to one row per (pair, side), broadcast-join the corpus
+    # ONCE on doc_id (the broadcast prunes the scan and keeps the
+    # interpreted shingle HOFs to ~2·|pairs| docs, not the whole corpus),
+    # then fold the two sides back with one pair-sized groupBy. One corpus
+    # scan + one broadcast + one tiny shuffle — at 100 TB the pair set is
+    # LSH-bounded while the corpus is not, so nothing corpus-sized ever
+    # shuffles. (If dup density ever made the melt non-broadcastable,
+    # drop the hint and this becomes a plain shuffle join over the same
+    # files.)
+    from fink_science_spark.queries import _t
+
+    melt = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id"),
+    )
+    joined = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .join(F.broadcast(melt), "doc_id")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("doc_id") == F.col("id_a")).alias("__is_a"),
+            F.array_distinct(word_shingles(tokens("text"), 3)).alias(
+                "shingles"
+            ),
+        )
+    )
+    both = joined.groupBy("id_a", "id_b").agg(
+        F.first(F.when(F.col("__is_a"), F.col("shingles")), True).alias("__sa"),
+        F.first(F.when(~F.col("__is_a"), F.col("shingles")), True).alias("__sb"),
+    )
     inter = F.size(F.array_intersect("__sa", "__sb"))
     jacc = inter / (F.size("__sa") + F.size("__sb") - inter)
-    # candidate pairs are the sink-drained LSH collisions — LSH-bounded,
-    # orders of magnitude below corpus size — and stay pair-sized after
-    # picking up each side's shingles; pin the broadcasts so the
-    # corpus-sized shingle sets never shuffle. (If dup density ever made
-    # the pair set non-broadcastable, drop the hints and this becomes a
-    # plain two-sided shuffle join over the same files.)
-    half = sa.join(F.broadcast(pairs), "id_a")
     return (
-        sb.join(F.broadcast(half), "id_b")
-        .withColumn("jaccard", jacc)
+        both.withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
