@@ -230,6 +230,28 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+def _calibration(spark) -> float:
+    """Fixed-work probe (data-independent): 100M-row xxhash64 spin over 16
+    partitions + one 64-group aggregation shuffle, noop sink. Solo warm
+    medians ~0.7 s on this host; a contended host inflates it the same
+    2-4x it inflates every scan-bound query, so readers can normalize a
+    bench record against its calibration value before calling anything a
+    regression (BENCH_r04 carried 2-4x contention that looked like one)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 100_000_000, 1, 16)
+        .select(F.xxhash64("id").alias("h"))
+        .groupBy(F.pmod("h", F.lit(64)).alias("b"))
+        .agg(F.sum(F.pmod("h", F.lit(1_000_003))).alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     from fink_science_spark.session import get_session
 
@@ -260,7 +282,16 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     failed: dict[str, str] = {}
+    cal_samples: list[float] = []
     for rnd in range(runs + 1):  # round 0 is the discarded warm-up
+        # one calibration probe per round, interleaved with the suite so
+        # it samples the same contention window the queries ran under
+        try:
+            cal = _calibration(spark)
+            if rnd > 0:
+                cal_samples.append(cal)
+        except Exception as exc:  # noqa: BLE001 - probe must not sink the bench
+            print(f"bench: calibration failed (round {rnd}): {exc}", file=sys.stderr)
         for name in HEADLINE:
             fn = queries.get(name)
             if fn is None or name in failed:
@@ -286,6 +317,9 @@ def main() -> None:
             timings[name] = round(statistics.median(samples[name]), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    calibration = (
+        round(statistics.median(cal_samples), 3) if cal_samples else -1.0
+    )
     rows_per_s = {}
     for name, table in SCAN_BOUND.items():
         t = timings.get(name)
@@ -311,6 +345,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calibration": calibration,
                 "rows_per_s": rows_per_s,
                 "sf": _sf_from_dir(SF_DIR),
             },
@@ -335,6 +370,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": sum(1 for t in timings.values() if t >= 0),
                 "n_failed": len(failed),
+                "calibration": calibration,
                 "slowest": {n: t for t, n in slowest},
                 "sf": _sf_from_dir(SF_DIR),
             },

@@ -577,9 +577,16 @@ _AVRO_INPUT_BUILT: set[str] = set()
 
 def _build_input_once(path: str, build) -> None:
     import os as _os
+    import shutil as _shutil
 
     if path in _AVRO_INPUT_BUILT and _os.path.exists(path):
         return
+    # clear anything a previous process left at the path (e.g. the
+    # pre-round-5 single-file layout where the sink now writes a dir)
+    if _os.path.isdir(path):
+        _shutil.rmtree(path, ignore_errors=True)
+    elif _os.path.exists(path):
+        _os.remove(path)
     build()
     _AVRO_INPUT_BUILT.add(path)
 
@@ -597,8 +604,10 @@ def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from fink_science_spark.queries_ext2 import _SCRATCH
-    from fink_science_spark.sources.avro_codec import write_container
-    from fink_science_spark.sources.avro_replay import register_avro_source
+    from fink_science_spark.sources.avro_replay import (
+        register_avro_source,
+        write_avro_dir,
+    )
 
     register_avro_source(spark)
     tag = _os.path.basename(sf_dir.rstrip("/"))
@@ -613,15 +622,14 @@ def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     def _build():
-        rows = (
+        # distributed sink: each task serializes its partition in place —
+        # fixture construction scales with SF instead of funneling every
+        # row through a driver collect()
+        write_avro_dir(
             _t(spark, sf_dir, "documents")
             .select("doc_id", "lang", "n_chars")
-            .collect()
-        )
-        write_container(
-            path, schema,
-            [{"doc_id": r[0], "lang": r[1], "n_chars": r[2]} for r in rows],
-            codec="deflate", records_per_block=200,
+            .repartition(8),
+            path, schema, codec="deflate", records_per_block=200,
         )
 
     _build_input_once(path, _build)
@@ -656,8 +664,10 @@ def q_stream_avro_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     from fink_science_spark.queries_ext2 import _SCRATCH
-    from fink_science_spark.sources.avro_codec import write_container
-    from fink_science_spark.sources.avro_replay import register_avro_source
+    from fink_science_spark.sources.avro_replay import (
+        register_avro_source,
+        write_avro_dir,
+    )
     from fink_science_spark.streaming.shell import (
         run_to_memory,
         scoped_shuffle_partitions,
@@ -676,15 +686,12 @@ def q_stream_avro_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     def _build():
-        rows = (
+        # distributed sink (see q_avro_scan): no driver-side collect
+        write_avro_dir(
             _t(spark, sf_dir, "documents")
             .select("doc_id", "source", "n_chars")
-            .collect()
-        )
-        write_container(
-            path, schema,
-            [{"doc_id": r[0], "source": r[1], "n_chars": r[2]} for r in rows],
-            codec="deflate", records_per_block=200,
+            .repartition(8),
+            path, schema, codec="deflate", records_per_block=200,
         )
 
     _build_input_once(path, _build)
@@ -771,8 +778,10 @@ def q_stream_avro_alert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_science_spark.functions.arrays import concat_col, delta_last
     from fink_science_spark.queries_ext2 import _SCRATCH
     from fink_science_spark.sources.alerts import build_alerts
-    from fink_science_spark.sources.avro_codec import write_container
-    from fink_science_spark.sources.avro_replay import register_avro_source
+    from fink_science_spark.sources.avro_replay import (
+        register_avro_source,
+        write_avro_dir,
+    )
     from fink_science_spark.streaming.shell import (
         run_to_memory,
         scoped_shuffle_partitions,
@@ -802,13 +811,14 @@ def q_stream_avro_alert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     def _build():
+        # distributed sink (see q_avro_scan): nested alert packets are
+        # serialized where they live, never collected to the driver
         ev = _events_us(spark, sf_dir).select(
             "user_id", "ts_us", "value", "event_type"
         )
         alerts = build_alerts(ev, "user_id", "ts_us", ["value", "event_type"])
-        records = [r.asDict(recursive=True) for r in alerts.collect()]
-        write_container(path, alert_schema, records, codec="deflate",
-                        records_per_block=50)
+        write_avro_dir(alerts.repartition(8), path, alert_schema,
+                       codec="deflate", records_per_block=50)
 
     _build_input_once(path, _build)
 

@@ -352,6 +352,8 @@ def _pythonize(v):
         return {k: _pythonize(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_pythonize(x) for x in v]
+    if type(v).__name__ == "ndarray":  # Arrow list columns arrive as numpy
+        return [_pythonize(x) for x in v.tolist()]
     return v
 
 
