@@ -1936,9 +1936,19 @@ def q_stream_dedup_lsh(
     except AnalysisException:  # zero micro-batches -> no sink dir
         pairs = spark.createDataFrame([], "id_a long, id_b long")
     finally:
-        import shutil
+        # delete through the Hadoop FileSystem API so a remote sink root
+        # (hdfs://, s3a:// — the checkpointLocation case) is actually
+        # removed; a local shutil.rmtree would silently no-op there and
+        # leak one parquet dir per invocation
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(pair_dir)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        except Exception:  # noqa: BLE001 - best-effort local fallback
+            import shutil
 
-        shutil.rmtree(pair_dir, ignore_errors=True)
+            shutil.rmtree(pair_dir, ignore_errors=True)
     # exact-Jaccard verify needs shingle sets ONLY for pair members
     # (LSH-bounded — orders of magnitude below corpus size): semi-join the
     # raw docs on the member ids BEFORE tokenizing, so the interpreted

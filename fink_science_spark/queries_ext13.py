@@ -984,22 +984,22 @@ ORACLE_FK_INTEGRITY_AUDIT = """
 WITH e1 AS (
   SELECT 'orders->customer' AS fk, count(*) AS n_rows,
          sum((c.c_custkey IS NULL)::BIGINT) AS n_orphans
-  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
 ),
 e2 AS (
   SELECT 'lineitem->orders' AS fk, count(*) AS n_rows,
          sum((o.o_orderkey IS NULL)::BIGINT) AS n_orphans
-  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey
 ),
 e3 AS (
   SELECT 'lineitem->part' AS fk, count(*) AS n_rows,
          sum((p.p_partkey IS NULL)::BIGINT) AS n_orphans
-  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l.l_partkey = p.p_partkey
 ),
 e4 AS (
   SELECT 'lineitem->supplier' AS fk, count(*) AS n_rows,
          sum((s.s_suppkey IS NULL)::BIGINT) AS n_orphans
-  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s ON l.l_suppkey = s.s_suppkey
 )
 SELECT fk, n_rows, n_orphans::BIGINT AS n_orphans,
        floor(n_orphans / n_rows * 1e6 + 0.5) / 1e6 AS orphan_rate
@@ -1055,19 +1055,30 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") > F.col("cut")).cast("long").alias("label"),
     )
     # quantize the score BEFORE binning so bin membership is exact in
-    # both engines; bin 10 (score exactly 1.0) folds into bin 9
-    q = F.floor(F.col("score_raw") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # both engines; bin 10 (score exactly 1.0) folds into bin 9. The
+    # per-bin score sum accumulates the INTEGER micro-units (score·1e6 is
+    # integral after the halfup quantization), so the sum is exact and
+    # order-independent — a double sum's order-dependent last-ulp wobble
+    # could flip the 1e-6 halfup rounding of mean_score/ece_term at
+    # larger SFs (the snapshot_diff lesson). Long micro-units overflow
+    # only past ~9e12 rows per bin (1e6 max per row vs int64 range).
     binned = scored.select(
-        F.least(F.floor(q * 10).cast("long"), F.lit(9)).alias("bin"),
-        q.alias("score"),
+        F.floor(F.col("score_raw") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("q_micro"),
+        "label",
+    ).select(
+        F.expr("least(q_micro DIV 100000, 9L)").alias("bin"),
+        "q_micro",
         "label",
     )
     total = binned.agg(F.count("*").cast("double").alias("n_total"))
+    s_score = F.col("s_micro") / F.lit(1e6)
     return (
         binned.groupBy("bin")
         .agg(
             F.count("*").alias("n"),
-            F.sum("score").alias("s_score"),
+            F.sum("q_micro").alias("s_micro"),
             F.sum("label").alias("n_pos"),
         )
         .crossJoin(F.broadcast(total))
@@ -1075,13 +1086,10 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n",
             "n_pos",
-            _halfup6(F.col("s_score") / F.col("n")).alias("mean_score"),
+            _halfup6(s_score / F.col("n")).alias("mean_score"),
             _halfup6(F.col("n_pos") / F.col("n")).alias("pos_rate"),
             _halfup6(
-                F.abs(
-                    F.col("s_score") / F.col("n")
-                    - F.col("n_pos") / F.col("n")
-                )
+                F.abs(s_score / F.col("n") - F.col("n_pos") / F.col("n"))
                 * F.col("n")
                 / F.col("n_total")
             ).alias("ece_term"),
@@ -1097,20 +1105,20 @@ WITH stats AS (
 ),
 scored AS (
   SELECT event_id,
-         floor(1.0 / (1.0 + exp(-(CASE WHEN sigma > 0 THEN (value - mu) / sigma ELSE 0.0 END))) * 1e6 + 0.5) / 1e6
-             AS score,
+         floor(1.0 / (1.0 + exp(-(CASE WHEN sigma > 0 THEN (value - mu) / sigma ELSE 0.0 END))) * 1e6 + 0.5)::BIGINT
+             AS q_micro,
          (value > cut)::BIGINT AS label
   FROM events CROSS JOIN stats
 ),
 binned AS (
-  SELECT least(floor(score * 10)::BIGINT, 9) AS bin, score, label
+  SELECT least(q_micro // 100000, 9) AS bin, q_micro, label
   FROM scored
 ),
 tot AS (SELECT count(*)::DOUBLE AS n_total FROM binned)
 SELECT bin, count(*) AS n, sum(label)::BIGINT AS n_pos,
-       floor(sum(score) / count(*) * 1e6 + 0.5) / 1e6 AS mean_score,
+       floor(sum(q_micro)::BIGINT / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS mean_score,
        floor(sum(label) / count(*) * 1e6 + 0.5) / 1e6 AS pos_rate,
-       floor(abs(sum(score) / count(*) - sum(label)::DOUBLE / count(*))
+       floor(abs(sum(q_micro)::BIGINT / 1e6 / count(*) - sum(label)::DOUBLE / count(*))
              * count(*) / n_total * 1e6 + 0.5) / 1e6 AS ece_term
 FROM binned CROSS JOIN tot
 GROUP BY bin, n_total

@@ -93,6 +93,10 @@ def _source_files(path: str) -> list[str]:
 # the driver-side Python worker turns the repeated O(blocks) walks into
 # one, and the mtime/size fingerprint keeps a rewritten container from
 # serving a stale index
+# block-index memo: small LRU (move-to-end on hit, evict oldest past the
+# cap) so a long-lived driver reading many transient container paths
+# doesn't accumulate one entry per path forever
+_INDEX_MEMO_CAP = 64
 _INDEX_MEMO: dict = {}
 
 
@@ -109,6 +113,8 @@ def _index_files(path: str):
     )
     hit = _INDEX_MEMO.get(path)
     if hit is not None and hit[0] == fp:
+        # refresh LRU position (dicts iterate in insertion order)
+        _INDEX_MEMO[path] = _INDEX_MEMO.pop(path)
         return hit[1]
     schema = None
     blocks = []
@@ -122,6 +128,8 @@ def _index_files(path: str):
             )
         blocks.extend((f, codec, sync, off, n, size) for off, n, size in idx)
     _INDEX_MEMO[path] = (fp, (schema, blocks))
+    while len(_INDEX_MEMO) > _INDEX_MEMO_CAP:
+        _INDEX_MEMO.pop(next(iter(_INDEX_MEMO)))
     return schema, blocks
 
 
@@ -148,44 +156,43 @@ def _read_run(partition, codecs, avro_schema, spark_type, arrow_schema):
     """Decode one run of blocks and yield Arrow RecordBatches (the fast
     serialization path through the Python DataSource runner — one Arrow
     buffer per BLOCK instead of a pickled tuple per row, the difference
-    between O(rows) and O(batches) Python↔JVM transfer). Streaming by
-    block on purpose: materializing the whole run first would hold
-    O(run) decoded records (plus the Arrow copy) in executor memory,
-    and a small max_partitions packs an entire container into one run.
-    Falls back to per-row tuples if a decoded shape won't convert (e.g.
-    exotic map layouts) — correctness never depends on the Arrow path."""
-    # the run's yield mode is LATCHED on the first non-empty block: the
-    # Python DataSource worker cannot consume a mix of RecordBatches and
-    # tuples from one partition, and conversion failures are schema-shaped
-    # (every block shares the writer schema), so the first block decides
-    # for all. A later arrow failure after batches were already yielded
-    # raises a clear error instead of silently corrupting the serializer.
-    mode: str | None = None
-    for path, off in partition.items:
+    between O(rows) and O(batches) Python↔JVM transfer).
+
+    The Python DataSource worker cannot consume a mix of RecordBatches
+    and tuples from one partition, and a conversion failure is NOT
+    guaranteed to be schema-shaped — a block-local VALUE can fail
+    from_pylist even when earlier blocks converted. So the Arrow path
+    pre-validates the WHOLE run (converting block by block into a
+    buffered batch list) before yielding anything; any failure anywhere
+    discards the buffer and re-decodes the run in row mode. A read can
+    therefore never hard-fail because of the serialization fast path —
+    correctness never depends on Arrow. The buffer holds one run of
+    COLUMNAR batches (compressed-block-sized, bounded by
+    records_per_block × blocks-per-run) — the price of never emitting a
+    half-arrow run; row mode streams block by block as before."""
+    items = list(partition.items)
+    if arrow_schema is not None:
+        batches = []
+        try:
+            import pyarrow as pa
+
+            for path, off in items:
+                codec, sync = codecs[(path, off)]
+                records = read_block(path, avro_schema, codec, sync, off)
+                if records:
+                    batches.append(
+                        pa.RecordBatch.from_pylist(
+                            records, schema=arrow_schema
+                        )
+                    )
+        except Exception:  # noqa: BLE001 - fall back to the row path
+            batches = None
+        if batches is not None:
+            yield from batches
+            return
+    for path, off in items:
         codec, sync = codecs[(path, off)]
         records = read_block(path, avro_schema, codec, sync, off)
-        if not records:
-            continue
-        if mode != "rows" and arrow_schema is not None:
-            try:
-                import pyarrow as pa
-
-                batch = pa.RecordBatch.from_pylist(
-                    records, schema=arrow_schema
-                )
-                mode = "arrow"
-                yield batch
-                continue
-            except Exception as ex:  # noqa: BLE001
-                if mode == "arrow":
-                    raise RuntimeError(
-                        "avro_replay: Arrow conversion failed mid-run after "
-                        "earlier blocks converted — mixed batch/tuple output "
-                        "is not consumable; failing fast"
-                    ) from ex
-                mode = "rows"
-        else:
-            mode = mode or "rows"
         for rec in records:
             yield _flatten(rec, spark_type)
 
