@@ -297,6 +297,15 @@ def main() -> None:
             if fn is None or name in failed:
                 continue
             try:
+                # drop intra-query persists left by the PREVIOUS run of
+                # the same query: Spark's cache manager substitutes a
+                # cached table into any semantically-equal new plan, so
+                # without this a repeated sample of e.g. the minhash
+                # family reuses the prior run's collapsed/signature
+                # tables and times only the tail of the query. Outside
+                # the timed window — it is harness hygiene, not query
+                # work. (Registry catalog caches recompute lazily.)
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 if rnd > 0:

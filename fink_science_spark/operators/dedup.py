@@ -104,11 +104,44 @@ def minhash_lsh_pairs(
     DuckDB reproduces the exact candidate set."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
+    ver_col = shingles_col or tokens_col
+
+    # Exact-duplicate collapse BEFORE the signature pipeline: byte-equal
+    # token arrays yield byte-equal signatures, so k identical docs
+    # collide in EVERY band and cost C(k,2) candidate rows per band with
+    # nothing for the verify to prune (they are true pairs). Collapsing
+    # to one representative per distinct (tokens, shingles) array makes
+    # signature work, band-join traffic, and verify volume all track
+    # DISTINCT content; member pairs are reconstructed combinatorially at
+    # output time (measured at sf0.1 with x64 key-offset clones: the
+    # un-collapsed band join was the only super-constant term). Grouping
+    # is by exact array equality — order-insensitive set equality would
+    # merge more, but exactness keeps the result bit-identical to the
+    # per-doc algorithm the oracle replicates.
+    key_cols = [tokens_col] if ver_col == tokens_col else [tokens_col, ver_col]
+    # persist: the collapsed table feeds FIVE consumers (signature
+    # pipeline, two verify sides, two expansion sides) — without it each
+    # one recomputes the tokenize/shingle HOF subtree plus the collapse
+    # shuffle. One row per distinct content, spillable at 100 TB; freed
+    # by the ContextCleaner with the plan (same lifecycle as `sig`).
+    groups = (
+        df.select(F.col(id_col).alias("__oid"), *key_cols)
+        .groupBy(*key_cols)
+        .agg(
+            F.min("__oid").alias("__gid"),
+            F.array_sort(F.collect_list("__oid")).alias("__members"),
+        )
+        .persist()
+    )
+    reps = groups.select(F.col("__gid").alias(id_col), *key_cols)
+    expand_groups = groups.select(
+        F.col("__gid").alias("__id"), "__members", *key_cols
+    )
 
     # signature via explode + codegen'd min-aggregates: one md5 per token
     # (native expression), then num_hashes affine permutations folded by
     # partial-aggregating MIN — no interpreted lambdas anywhere.
-    ex = _exploded_hashes(df, id_col, tokens_col, hash28)
+    ex = _exploded_hashes(reps, id_col, tokens_col, hash28)
     sig = ex.groupBy("__id").agg(
         *[
             F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
@@ -164,14 +197,34 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
 
+    # within-group member pairs: identical signatures collide in every
+    # band, so any group whose docs produce a signature at all (>= 1
+    # non-null token — explode_outer semantics) pairs completely. Their
+    # exact Jaccard over identical arrays is 1.0 unless the verify set is
+    # empty/null, where the pre-collapse algorithm scored 0.0.
+    dup_groups = expand_groups.filter(F.size("__members") >= 2).filter(
+        F.size(F.filter(tokens_col, lambda x: x.isNotNull())) > 0
+    )
+    within_j = F.when(
+        F.size(F.array_distinct(ver_col)) > 0, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    within_base = (
+        dup_groups.withColumn("__wj", within_j)
+        .select("__wj", F.explode("__members").alias("id_a"), "__members")
+        .select("__wj", "id_a", F.explode("__members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
     if jaccard_threshold is None:
-        return pairs
+        return _expand_members(
+            pairs, expand_groups, None, ordered_output=True
+        ).unionByName(within_base.select("id_a", "id_b"))
 
     # exact-Jaccard verification ONLY for colliding pairs: join the shingle
     # sets back by id (candidates ≪ corpus ⇒ cheap join; AQE picks BHJ).
-    sets = df.select(
+    sets = reps.select(
         F.col(id_col).alias("__sid"),
-        F.col(shingles_col or tokens_col).alias("__sset"),
+        F.col(ver_col).alias("__sset"),
     )
     verified = (
         pairs.join(sets, F.col("id_a") == F.col("__sid"))
@@ -184,11 +237,17 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size(F.array_union("__sha", "__shb"))
     jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
+    rep_pairs = (
         verified.withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    within = within_base.filter(F.col("__wj") >= jaccard_threshold).select(
+        "id_a", "id_b", F.round("__wj", 6).alias("jaccard")
+    )
+    return _expand_members(
+        rep_pairs, expand_groups, "jaccard", ordered_output=True
+    ).unionByName(within)
 
 
 def minhash_band_index(
@@ -550,6 +609,84 @@ def _freq_ordered_sets(df: DataFrame, id_col: str, shingles_col: str) -> DataFra
     )
 
 
+def _collapsed_ordered_sets(
+    df: DataFrame, id_col: str, shingles_col: str
+) -> DataFrame:
+    """:func:`_freq_ordered_sets` collapsed to ONE representative row per
+    DISTINCT token set: (__id = min member id, __toks, __n, __members =
+    sorted member ids).
+
+    Why: the prefix-filter joins emit one candidate row per SHARED prefix
+    token per doc pair, and exact duplicates share their ENTIRE prefix —
+    a group of k byte-identical docs costs C(k,2) x prefix_len candidate
+    rows, none of which the positional filter can prune (they are true
+    pairs). Measured at sf0.1 with x64 key-offset clones that is ~5e8
+    candidate rows and >60 GB of dedup-shuffle spill. Collapsing first
+    makes candidate volume track DISTINCT-set similarity (the x1 volume);
+    the clone pairs are reconstructed combinatorially from ``__members``
+    at output time, where each pair is one cheap row, not a verify. This
+    is also the standard 100 TB pipeline order — exact dedup before
+    near-dup — fused into the operator so it holds for any caller. Cost:
+    one extra array-keyed groupBy shuffle of the corpus, O(data), vs the
+    quadratic clone blow-up it removes.
+    """
+    return (
+        _freq_ordered_sets(df, id_col, shingles_col)
+        .groupBy("__toks")
+        .agg(
+            F.min("__id").alias("__id"),
+            F.first("__n").alias("__n"),
+            F.array_sort(F.collect_list("__id")).alias("__members"),
+        )
+        # persist: consumed by the prefix explode, both verify sides, and
+        # both expansion sides — unpersisted, each consumer recomputes the
+        # tokenize + frequency-order + collapse subtree. One row per
+        # distinct token set; freed by the ContextCleaner with the plan.
+        .persist()
+    )
+
+
+def _expand_members(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    metric: str | None,
+    *,
+    ordered_output: bool,
+) -> DataFrame:
+    """Fan verified representative pairs back out to member pairs.
+
+    ``rep_pairs`` is (id_a, id_b[, <metric>]) over representative ids;
+    ``groups`` carries (__id = representative, __members = member ids).
+    Every (member-of-a, member-of-b) combination inherits the metric
+    verbatim (identical token sets => identical exact score). With
+    ``ordered_output`` the pair is re-canonicalized as (least, greatest)
+    — the symmetric-join convention; otherwise (a, b) keeps its
+    direction (containment). Groups are disjoint, so cross-group member
+    pairs never collide with within-group pairs."""
+    carry = [metric] if metric is not None else []
+    memb_a = groups.select(
+        F.col("__id").alias("id_a"), F.col("__members").alias("__ma")
+    )
+    memb_b = groups.select(
+        F.col("__id").alias("id_b"), F.col("__members").alias("__mb")
+    )
+    both = (
+        rep_pairs.join(memb_a, "id_a")
+        .join(memb_b, "id_b")
+        .select(*carry, F.explode("__ma").alias("__a"), "__mb")
+        .select(*carry, "__a", F.explode("__mb").alias("__b"))
+    )
+    if ordered_output:
+        return both.select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+            *carry,
+        )
+    return both.select(
+        F.col("__a").alias("id_a"), F.col("__b").alias("id_b"), *carry
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -577,7 +714,8 @@ def containment_pairs(
     (|A∩B| ≤ |B|). Verification is an exact array intersection.
     """
     t = float(threshold)
-    ordered = _freq_ordered_sets(df, id_col, shingles_col)
+    groups = _collapsed_ordered_sets(df, id_col, shingles_col)
+    ordered = groups.select("__id", "__toks", "__n")
     prefix_len = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")
     probe = ordered.select(
         "__id", "__n", F.explode(F.slice("__toks", 1, prefix_len)).alias("__g")
@@ -620,11 +758,23 @@ def containment_pairs(
         .withColumn("__inter", F.size(F.array_intersect("__ta", "__tb")))
     )
     cont = F.col("__inter") / F.col("na")
-    return (
+    rep_pairs = (
         verified.withColumn("containment", cont)
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     )
+    cross = _expand_members(rep_pairs, groups, "containment", ordered_output=False)
+    # exact-duplicate members contain each other fully, BOTH directions
+    # (the pre-collapse operator emitted them as ordinary verified pairs)
+    within = (
+        groups.filter(F.size("__members") >= 2)
+        .select(F.explode("__members").alias("id_a"), "__members")
+        .select("id_a", F.explode("__members").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.lit(1.0) >= F.lit(t))
+        .select("id_a", "id_b", F.round(F.lit(1.0), 6).alias("containment"))
+    )
+    return cross.unionByName(within)
 
 
 def jaccard_ppjoin_pairs(
@@ -661,7 +811,8 @@ def jaccard_ppjoin_pairs(
     on :func:`hash64`.
     """
     t = float(threshold)
-    ordered = _freq_ordered_sets(df, id_col, shingles_col)
+    groups = _collapsed_ordered_sets(df, id_col, shingles_col)
+    ordered = groups.select("__id", "__toks", "__n")
 
     prefix_len = (F.col("__n") - F.ceil(F.col("__n") * F.lit(t)) + 1).cast("int")
     prefix = ordered.select(
@@ -715,11 +866,23 @@ def jaccard_ppjoin_pairs(
         .withColumn("__inter", F.size(F.array_intersect("__ta", "__tb")))
     )
     jacc = F.col("__inter") / (F.col("na") + F.col("nb") - F.col("__inter"))
-    return (
+    rep_pairs = (
         verified.withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    cross = _expand_members(rep_pairs, groups, "jaccard", ordered_output=True)
+    # exact-duplicate members are Jaccard-1.0 pairs by definition — the
+    # pre-collapse operator verified them one by one; here they are free
+    within = (
+        groups.filter(F.size("__members") >= 2)
+        .select(F.explode("__members").alias("id_a"), "__members")
+        .select("id_a", F.explode("__members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.lit(1.0) >= F.lit(t))
+        .select("id_a", "id_b", F.round(F.lit(1.0), 6).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 def argmin_dedup(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:

@@ -350,17 +350,23 @@ def test_sky_pixel_rollup_never_joins(spark, registry):
 
 
 def test_snn_rnn_native_no_python_no_codegen_failure(spark, registry):
-    """The recurrent forward pass is chained named projections: fully
-    native (no Python stage), ONE groupBy Exchange, and small enough per
-    projection that whole-stage codegen compiles (the nested-unroll form
-    regressed exactly here)."""
+    """The recurrent forward pass is ONE aggregate() fold: fully native
+    (no Python stage), ONE groupBy Exchange, and the recurrence body
+    written once in the fold lambda — the expression stays LINEAR in K
+    regardless of surrounding rewrites (the chained-projection form this
+    test used to pin re-expanded 2^K when a caller's filter was pushed
+    through the projection chain; the nested-unroll form 3^K at build
+    time — see the design note in operators/models.py)."""
     plan = plan_of(registry["snn_ia_score"](spark, SF))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
-    # the per-step projections must survive as separate nodes: if
-    # CollapseProject ever merges them, the recurrence re-nests into a
-    # 3^K expression (the codegen-breaking regression this test pins)
-    assert len(re.findall(r"\(\d+\) Project\b", plan)) >= 8, plan
+    # the fold carries exactly one step lambda + one readout lambda,
+    # each written once (per plan-node rendering of the output column)
+    assert "lambdafunction" in plan, plan
+    # linearity guard: any exponential re-expansion of the recurrence
+    # shows up as a megabyte-scale plan string long before it breaks
+    # execution — the formatted plan stays small when the fold holds
+    assert len(plan) < 60_000, len(plan)
 
 
 def test_ann_rerank_broadcasts_candidates_native_stage2(spark, registry):

@@ -167,6 +167,11 @@ def main() -> None:
         for s in scales:
             samples = []
             for _ in range(2):
+                # see bench.py: without this the second sample reuses the
+                # first sample's intra-query persisted tables (Spark's
+                # cache manager matches semantically-equal plans) and the
+                # reported min times only the post-cache tail
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 queries[name](spark, dirs[s]).write.format("noop").mode(
                     "overwrite"
