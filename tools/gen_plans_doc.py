@@ -31,9 +31,12 @@ COMMENTARY = {
         "only wide operation is the final per-left-row window."
     ),
     "dedup_minhash_lsh": (
-        "explode → codegen'd MIN-aggregate signatures (map-side partials) "
-        "→ posexplode of band keys → broadcast band-key self-join on the "
-        "persisted signature table → id-only pair dedup → verify join-back."
+        "exact-duplicate collapse first (one array-keyed groupBy — "
+        "byte-equal docs never reach the band join), then explode → "
+        "codegen'd MIN-aggregate signatures (map-side partials) → "
+        "posexplode of band keys → broadcast band-key self-join on the "
+        "persisted signature table → id-only pair dedup → verify "
+        "join-back → combinatorial member expansion of clone groups."
     ),
     "user_history_stats": (
         "The history materialization: exactly ONE exchange "
@@ -126,12 +129,15 @@ COMMENTARY = {
         "exact-dyadic sums."
     ),
     "dedup_jaccard_ppjoin": (
-        "Prefix filtering: the candidate self-join reads only each doc's "
+        "Exact-duplicate collapse first (byte-equal token sets become one "
+        "representative — a k-clone group would otherwise emit "
+        "C(k,2)·prefix_len un-dedupable candidate rows), then prefix "
+        "filtering: the candidate self-join reads only each rep's "
         "frequency-ranked prefix tokens (explode of a slice), so stop-"
-        "shingle skew never reaches the join; the signature subtree is "
-        "shared by prefix emission and both exact-verify sides via "
-        "ReusedExchange (one computation, no checkpoint needed within "
-        "a single job)."
+        "shingle skew never reaches the join; the persisted collapsed "
+        "table is shared by prefix emission, both exact-verify sides, "
+        "and the member expansion; clone pairs are reconstructed "
+        "combinatorially at output."
     ),
     "image_phash_dedup": (
         "Arrow decode emits (id, 8-byte signature) — pixel blobs never "
