@@ -427,12 +427,10 @@ def simhash_pairs(
             "capacity (65535 tokens); pre-cap or dedupe the token sets"
         ),
     )
-    # materialize once — the chunk self-join would otherwise evaluate the
-    # tokenize→hash→60-vote pipeline on both sides (16 B/doc cached;
-    # ContextCleaner reclaims it when the returned plan is dropped)
-    sig = votes.select(
-        "__id", F.when(guard.isNull(), sim).alias("__sim")
-    ).persist()
+    # no persist here: hamming_pairs consumes this exactly once (its
+    # signature-collapse groupBy) and persists its own collapsed table,
+    # which is what the chunk self-join sides actually share now
+    sig = votes.select("__id", F.when(guard.isNull(), sim).alias("__sim"))
     return hamming_pairs(
         sig, "__id", "__sim", max_hamming=max_hamming, bits=bits, chunks=chunks
     )
@@ -460,7 +458,28 @@ def hamming_pairs(
     """
     chunk_bits = bits // chunks
     sig = df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("__sim"))
-    chunk_rows = sig.select(
+    # Exact-duplicate collapse on the signature VALUE: k docs with
+    # identical signatures (byte-identical content, mirrored assets)
+    # agree on EVERY chunk, so the candidate join would emit
+    # C(k,2) x chunks rows per group with nothing for the verify to
+    # prune (hamming 0 is a true pair). Collapse to one representative
+    # per distinct signature — an 8-byte groupBy key, the cheapest
+    # collapse in the dedup family — and reconstruct member pairs
+    # combinatorially at output (within a group: hamming 0 by
+    # definition). Same pattern as the minhash/prefix-join collapse; see
+    # _collapsed_ordered_sets for the x64 stress numbers that motivated
+    # it. Persist: the collapsed table feeds the chunk explode (both
+    # self-join sides via ReusedExchange) and both expansion sides.
+    groups = (
+        sig.groupBy("__sim")
+        .agg(
+            F.min("__id").alias("__id"),
+            F.array_sort(F.collect_list("__id")).alias("__members"),
+        )
+        .persist()
+    )
+    reps = groups.select("__id", "__sim")
+    chunk_rows = reps.select(
         "__id",
         "__sim",
         F.posexplode(
@@ -492,13 +511,29 @@ def hamming_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    return (
+    rep_pairs = (
         candidates.withColumn(
             "hamming", F.bit_count(F.col("__sima").bitwiseXOR(F.col("__simb")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    cross = _expand_members(rep_pairs, groups, "hamming", ordered_output=True)
+    # identical-signature members: hamming 0 pairs by definition; a NULL
+    # signature never pairs (null chunk keys fail the equi-join in the
+    # pre-collapse algorithm, mirrored here by the isNotNull guard)
+    within = (
+        groups.filter(F.col("__sim").isNotNull() & (F.size("__members") >= 2))
+        .select(F.explode("__members").alias("id_a"), "__members")
+        .select("id_a", F.explode("__members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.lit(0).cast("long")).alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(

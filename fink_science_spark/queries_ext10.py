@@ -2200,6 +2200,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # Exact-duplicate collapse on the embedding VALUE before the O(cell²)
+    # per-cell greedy: byte-equal vectors land in the same cell and are
+    # cosine-1.0 neighbors of each other, so a k-clone group inflates the
+    # cell's pairwise matrix k² for information the group key already
+    # carries (measured ×64 replica stress: 0.4 s → 25.6 s, the one
+    # linear-in-data-BY-CELL-BLOWUP query in the family). The greedy is
+    # collapse-safe because every group's EARLIEST member is its
+    # representative: a rep is dropped iff some earlier same-cell vector
+    # has cos ≥ τ, and the earliest such witness is itself a rep; every
+    # non-rep member is dropped by its own earlier identical twin —
+    # UNLESS the vector is degenerate (zero/NaN/inf norm), where numpy's
+    # self-cosine is NaN and the pre-collapse greedy keeps every clone.
+    # ``__selfdrop`` mirrors that exactly: Σx² finite-positive ⇔
+    # cos(v, v) rounds to 1.0 ≥ τ.
+    sq = F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+    grouped = (
+        emb.groupBy("v")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.array_sort(F.collect_list("vec_id")).alias("__members"),
+        )
+        .withColumn(
+            "__selfdrop",
+            (sq > 0) & ~F.isnan(sq) & (sq < F.lit(float("inf"))),
+        )
+        .persist()
+    )
+    emb = grouped.select("vec_id", "v")
     trained = _ivf_codebook(spark, sf_dir)
     cent_ids = np.array([c for c, _ in trained], dtype=np.int64)
     CENT = np.array([v for _, v in trained], dtype=np.float64)
@@ -2241,8 +2269,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_id": pdf["vec_id"], "cell": pdf["cell"], "kept": ~dropped}
         )
 
-    return assigned.groupBy("cell").applyInPandas(
+    pruned = assigned.groupBy("cell").applyInPandas(
         prune, "vec_id long, cell long, kept boolean"
+    )
+    # fan the representative verdicts back out: the rep keeps its greedy
+    # outcome; every other member of a non-degenerate group is dropped by
+    # its earlier identical twin; degenerate clones are all kept (NaN
+    # self-cosine never crosses τ in the pre-collapse greedy)
+    return (
+        pruned.join(
+            grouped.select("vec_id", "__members", "__selfdrop"), "vec_id"
+        )
+        .select(
+            F.col("vec_id").alias("__rep"),
+            "cell",
+            "kept",
+            "__selfdrop",
+            F.explode("__members").alias("vec_id"),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("vec_id") == F.col("__rep"), F.col("kept"))
+            .otherwise(~F.col("__selfdrop"))
+            .alias("kept"),
+        )
     )
 
 
