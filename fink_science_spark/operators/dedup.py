@@ -202,17 +202,12 @@ def minhash_lsh_pairs(
     # non-null token — explode_outer semantics) pairs completely. Their
     # exact Jaccard over identical arrays is 1.0 unless the verify set is
     # empty/null, where the pre-collapse algorithm scored 0.0.
-    dup_groups = expand_groups.filter(F.size("__members") >= 2).filter(
-        F.size(F.filter(tokens_col, lambda x: x.isNotNull())) > 0
-    )
+    sig_guard = F.size(F.filter(tokens_col, lambda x: x.isNotNull())) > 0
     within_j = F.when(
         F.size(F.array_distinct(ver_col)) > 0, F.lit(1.0)
     ).otherwise(F.lit(0.0))
-    within_base = (
-        dup_groups.withColumn("__wj", within_j)
-        .select("__wj", F.explode("__members").alias("id_a"), "__members")
-        .select("__wj", "id_a", F.explode("__members").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+    within_base = _within_member_pairs(
+        expand_groups, within_j, ordered=True, guard=sig_guard
     )
 
     if jaccard_threshold is None:
@@ -242,9 +237,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    within = within_base.filter(F.col("__wj") >= jaccard_threshold).select(
-        "id_a", "id_b", F.round("__wj", 6).alias("jaccard")
-    )
+    within = within_base.filter(
+        F.col("__metric") >= jaccard_threshold
+    ).select("id_a", "id_b", F.round("__metric", 6).alias("jaccard"))
     return _expand_members(
         rep_pairs, expand_groups, "jaccard", ordered_output=True
     ).unionByName(within)
@@ -522,17 +517,12 @@ def hamming_pairs(
     # identical-signature members: hamming 0 pairs by definition; a NULL
     # signature never pairs (null chunk keys fail the equi-join in the
     # pre-collapse algorithm, mirrored here by the isNotNull guard)
-    within = (
-        groups.filter(F.col("__sim").isNotNull() & (F.size("__members") >= 2))
-        .select(F.explode("__members").alias("id_a"), "__members")
-        .select("id_a", F.explode("__members").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.lit(0).cast("long")).alias("hamming"),
-        )
-    )
+    within = _within_member_pairs(
+        groups,
+        F.lit(0).cast("integer"),
+        ordered=True,
+        guard=F.col("__sim").isNotNull(),
+    ).select("id_a", "id_b", F.col("__metric").alias("hamming"))
     return cross.unionByName(within)
 
 
@@ -722,6 +712,35 @@ def _expand_members(
     )
 
 
+def _within_member_pairs(
+    groups: DataFrame,
+    metric: F.Column | None,
+    *,
+    ordered: bool,
+    guard: F.Column | None = None,
+) -> DataFrame:
+    """The member pairs INSIDE each exact-duplicate group — the pairs the
+    collapse removed from the candidate join, reconstructed directly.
+
+    ``metric`` is evaluated against the GROUP row (a constant or a
+    group-derived expression) and carried onto every pair as
+    ``__metric``; ``ordered`` emits each pair once as (id_a < id_b),
+    otherwise both directions (containment); ``guard`` optionally
+    filters groups first (e.g. only groups whose content can collide at
+    all). Callers rename/filter ``__metric`` to their contract."""
+    g = groups.filter(F.size("__members") >= 2)
+    if guard is not None:
+        g = g.filter(guard)
+    carry = [] if metric is None else [metric.alias("__metric")]
+    names = [] if metric is None else ["__metric"]
+    base = g.select(
+        *carry, F.explode("__members").alias("id_a"), "__members"
+    ).select(*names, "id_a", F.explode("__members").alias("id_b"))
+    if ordered:
+        return base.filter(F.col("id_a") < F.col("id_b"))
+    return base.filter(F.col("id_a") != F.col("id_b"))
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -800,15 +819,13 @@ def containment_pairs(
     )
     cross = _expand_members(rep_pairs, groups, "containment", ordered_output=False)
     # exact-duplicate members contain each other fully, BOTH directions
-    # (the pre-collapse operator emitted them as ordinary verified pairs)
-    within = (
-        groups.filter(F.size("__members") >= 2)
-        .select(F.explode("__members").alias("id_a"), "__members")
-        .select("id_a", F.explode("__members").alias("id_b"))
-        .filter(F.col("id_a") != F.col("id_b"))
-        .filter(F.lit(1.0) >= F.lit(t))
-        .select("id_a", "id_b", F.round(F.lit(1.0), 6).alias("containment"))
-    )
+    # (the pre-collapse operator emitted them as ordinary verified pairs);
+    # a threshold above 1.0 excludes them, decided at plan-build time
+    within = _within_member_pairs(
+        groups, F.round(F.lit(1.0), 6), ordered=False
+    ).select("id_a", "id_b", F.col("__metric").alias("containment"))
+    if t > 1.0:
+        within = within.filter(F.lit(False))
     return cross.unionByName(within)
 
 
@@ -909,14 +926,12 @@ def jaccard_ppjoin_pairs(
     cross = _expand_members(rep_pairs, groups, "jaccard", ordered_output=True)
     # exact-duplicate members are Jaccard-1.0 pairs by definition — the
     # pre-collapse operator verified them one by one; here they are free
-    within = (
-        groups.filter(F.size("__members") >= 2)
-        .select(F.explode("__members").alias("id_a"), "__members")
-        .select("id_a", F.explode("__members").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.lit(1.0) >= F.lit(t))
-        .select("id_a", "id_b", F.round(F.lit(1.0), 6).alias("jaccard"))
-    )
+    # (a threshold above 1.0 excludes them, decided at plan-build time)
+    within = _within_member_pairs(
+        groups, F.round(F.lit(1.0), 6), ordered=True
+    ).select("id_a", "id_b", F.col("__metric").alias("jaccard"))
+    if t > 1.0:
+        within = within.filter(F.lit(False))
     return cross.unionByName(within)
 
 

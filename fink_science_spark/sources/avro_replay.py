@@ -99,6 +99,11 @@ def _source_files(path: str) -> list[str]:
 _INDEX_MEMO_CAP = 64
 _INDEX_MEMO: dict = {}
 
+#: max decoded Arrow bytes _read_run may buffer for its all-or-nothing
+#: pre-validation before it abandons the Arrow path for streaming row
+#: mode (see _read_run's docstring)
+_RUN_BUFFER_CAP = 256 << 20
+
 
 def _index_files(path: str):
     """(avro_schema, [(file, codec, sync, offset, n, size), ...]) across
@@ -127,6 +132,10 @@ def _index_files(path: str):
                 f"avro_replay: schema mismatch between {files[0]} and {f}"
             )
         blocks.extend((f, codec, sync, off, n, size) for off, n, size in idx)
+    # pop before reassigning (as the hit path does): re-assigning an
+    # existing key keeps its OLD insertion position, so a rebuilt entry
+    # for a rewritten container would be the first evicted — FIFO, not LRU
+    _INDEX_MEMO.pop(path, None)
     _INDEX_MEMO[path] = (fp, (schema, blocks))
     while len(_INDEX_MEMO) > _INDEX_MEMO_CAP:
         _INDEX_MEMO.pop(next(iter(_INDEX_MEMO)))
@@ -166,25 +175,34 @@ def _read_run(partition, codecs, avro_schema, spark_type, arrow_schema):
     buffered batch list) before yielding anything; any failure anywhere
     discards the buffer and re-decodes the run in row mode. A read can
     therefore never hard-fail because of the serialization fast path —
-    correctness never depends on Arrow. The buffer holds one run of
-    COLUMNAR batches (compressed-block-sized, bounded by
-    records_per_block × blocks-per-run) — the price of never emitting a
-    half-arrow run; row mode streams block by block as before."""
+    correctness never depends on Arrow.
+
+    The buffer is BOUNDED: holding an unbounded run of columnar batches
+    would re-create the O(run)-memory hazard this path once documented
+    (a small max_partitions can pack an entire container into one run).
+    Past ``_RUN_BUFFER_CAP`` Arrow bytes the buffer is discarded and the
+    run re-decodes in streaming row mode — slower serialization, O(block)
+    memory. Typical runs (a handful of blocks) stay comfortably under
+    the cap and keep the one-decode Arrow path."""
     items = list(partition.items)
     if arrow_schema is not None:
         batches = []
         try:
             import pyarrow as pa
 
+            buffered = 0
             for path, off in items:
                 codec, sync = codecs[(path, off)]
                 records = read_block(path, avro_schema, codec, sync, off)
                 if records:
-                    batches.append(
-                        pa.RecordBatch.from_pylist(
-                            records, schema=arrow_schema
-                        )
+                    b = pa.RecordBatch.from_pylist(
+                        records, schema=arrow_schema
                     )
+                    batches.append(b)
+                    buffered += b.nbytes
+                    if buffered > _RUN_BUFFER_CAP:
+                        batches = None
+                        break
         except Exception:  # noqa: BLE001 - fall back to the row path
             batches = None
         if batches is not None:
@@ -347,20 +365,26 @@ def with_decoded_avro(df, payload_col: str, avro_schema: dict, out_col: str):
 def _pythonize(v):
     """numpy scalars / Rows from Arrow-pandas back to plain Python so the
     spec-level codec (which type-dispatches unions on Python types) sees
-    canonical values."""
-    if hasattr(v, "item") and not isinstance(v, (bytes, bytearray, str)):
-        try:
-            return v.item()
-        except (ValueError, AttributeError):
-            pass
+    canonical values.
+
+    Containers dispatch BEFORE the ``.item()`` scalar branch: a SIZE-1
+    ndarray's ``.item()`` succeeds (returning the element, not the list),
+    so checking ``.item`` first silently turned one-element array columns
+    into bare scalars on the write path — a data-dependent corruption the
+    array encoder then rejects."""
+    if type(v).__name__ == "ndarray":  # Arrow list columns arrive as numpy
+        return [_pythonize(x) for x in v.tolist()]
     if hasattr(v, "asDict"):
         v = v.asDict()
     if isinstance(v, dict):
         return {k: _pythonize(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_pythonize(x) for x in v]
-    if type(v).__name__ == "ndarray":  # Arrow list columns arrive as numpy
-        return [_pythonize(x) for x in v.tolist()]
+    if hasattr(v, "item") and not isinstance(v, (bytes, bytearray, str)):
+        try:
+            return v.item()
+        except (ValueError, AttributeError):
+            pass
     return v
 
 
@@ -376,7 +400,18 @@ def write_avro_dir(
     spark-avro's writer produces and :class:`AvroReplaySource` reads back
     as a directory). The write happens WHERE the data lives — rows never
     move to the driver; driver traffic is one (path, row-count) summary
-    per partition, returned for logging/assertions."""
+    per partition, returned for logging/assertions.
+
+    Filesystem contract: ``out_dir`` must be visible to executors AND
+    the reading driver under the same path — local mode (this repo's
+    fixture builders and tests) or a shared mount. A production cluster
+    writing to HDFS/S3 uses spark-avro's committer-backed
+    ``format("avro")`` sink instead (ROADMAP jar-drop runbook); this
+    sink deliberately stays filesystem-simple as the jar-less twin.
+    Task retries/speculation are safe: each ATTEMPT writes to a
+    temp name and atomically renames into ``part-<partition>.avro``
+    (last-finisher-wins on POSIX rename — attempts serialize the same
+    partition content, so any winner is correct)."""
     import os
 
     from pyspark import TaskContext
@@ -386,7 +421,8 @@ def write_avro_dir(
     def sink(batches):
         import pandas as pd
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         rows = []
         for pdf in batches:
             rows.extend(_pythonize(r) for r in pdf.to_dict("records"))
@@ -394,8 +430,10 @@ def write_avro_dir(
         if rows:
             from fink_science_spark.sources.avro_codec import write_container
 
-            write_container(path, avro_schema, rows, codec=codec,
+            tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
+            write_container(tmp, avro_schema, rows, codec=codec,
                             records_per_block=records_per_block)
+            os.replace(tmp, path)
             yield pd.DataFrame({"path": [path], "n": [len(rows)]})
 
     return (

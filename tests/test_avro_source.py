@@ -618,3 +618,53 @@ def test_index_memo_invalidates_on_rewrite(spark, tmp_path):
     os.utime(path)
     _, blocks2 = ar._index_files(path)
     assert sum(n for _f, _c, _s, _o, n, _sz in blocks2) == 25
+
+
+def test_pythonize_single_element_arrays_stay_lists():
+    """Regression: a SIZE-1 ndarray's .item() succeeds, so dispatching on
+    .item before the container types silently turned one-element array
+    columns into bare scalars on the distributed-sink write path."""
+    import numpy as np
+
+    from fink_science_spark.sources.avro_replay import _pythonize
+
+    assert _pythonize(np.array([5])) == [5]
+    assert _pythonize(np.array([1, 2])) == [1, 2]
+    assert _pythonize({"h": np.array([3.5])}) == {"h": [3.5]}
+    assert _pythonize(np.int64(7)) == 7
+    assert _pythonize(np.array(["a"], dtype=object)) == ["a"]
+
+
+def test_index_memo_rebuild_refreshes_lru_position(tmp_path):
+    """Regression: reassigning an existing dict key keeps its OLD
+    insertion position, so a rebuilt (rewritten-container) entry was the
+    FIRST evicted — FIFO, not LRU — exactly for the hottest path."""
+    import os
+    import time as _time
+
+    from fink_science_spark.sources import avro_replay as ar
+    from fink_science_spark.sources.avro_codec import write_container
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    saved = dict(ar._INDEX_MEMO)
+    ar._INDEX_MEMO.clear()
+    try:
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"m{i}.avro")
+            write_container(p, schema, [{"id": i}], records_per_block=4)
+            ar._index_files(p)
+            paths.append(p)
+        # rewrite the OLDEST entry -> rebuild must move it to the tail
+        _time.sleep(0.01)
+        write_container(paths[0], schema, [{"id": 9}], records_per_block=4)
+        os.utime(paths[0])
+        ar._index_files(paths[0])
+        assert list(ar._INDEX_MEMO) == [paths[1], paths[2], paths[0]]
+    finally:
+        ar._INDEX_MEMO.clear()
+        ar._INDEX_MEMO.update(saved)
