@@ -365,8 +365,6 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
     """Shared PQ pieces: (subs, assign, cb1) — the subspace explode, the
     argmin assigner, and the one-Lloyd-round codebook. Used by both
     pq_compression (codes + error) and pq_adc_topk (ADC search)."""
-    from pyspark.sql.window import Window
-
     from fink_science_spark.functions.hashing import hash64
     from fink_science_spark.queries import _t
 
@@ -394,15 +392,30 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
             - F.lit(2.0) * _pq_ip(F.col("sv"), F.col("cv")),
             9,
         )
-        w = Window.partitionBy("vec_id", "s").orderBy(
-            score.asc(), F.col("cell").asc()
+        # Reduce the N·K scored join with a map-side-combinable
+        # min(struct(score, cell)) hash aggregate — identical winner to
+        # the (score ASC, cell ASC) row_number it replaces (struct
+        # comparison is lexicographic; scores have no nulls). The
+        # previous window form SORTED the full N·K join output with
+        # both subspace arrays on every row — ~70 GB of spill at the
+        # ×64 replica stress (131M rows × ~550 B), a multi-minute hang;
+        # here the arrays are projected out before the shuffle, the
+        # partial aggregate reduces each partition to its (vec, s)
+        # groups, and cv re-attaches from the broadcast codebook.
+        scored = subs.join(F.broadcast(cb), "s").select(
+            "vec_id",
+            "s",
+            "sv",
+            F.struct(score.alias("sc"), F.col("cell").alias("cell")).alias(
+                "__b"
+            ),
         )
-        return (
-            subs.join(F.broadcast(cb), "s")
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+        best = (
+            scored.groupBy("vec_id", "s")
+            .agg(F.min("__b").alias("__b"), F.first("sv").alias("sv"))
+            .select("vec_id", "s", "sv", F.col("__b.cell").alias("cell"))
         )
+        return best.join(F.broadcast(cb), ["s", "cell"])
 
     cb1_data = _PQ_CB_CACHE.get(sf_dir)
     if cb1_data is None:
