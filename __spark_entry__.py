@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext11 import QUERIES_EXT11
     from fink_science_spark.queries_ext12 import QUERIES_EXT12
     from fink_science_spark.queries_ext13 import QUERIES_EXT13
+    from fink_science_spark.queries_ext14 import QUERIES_EXT14
 
     return {
         **QUERIES,
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT11,
         **QUERIES_EXT12,
         **QUERIES_EXT13,
+        **QUERIES_EXT14,
     }
 
 
@@ -73,6 +75,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext11 import ORACLES_EXT11
     from fink_science_spark.queries_ext12 import ORACLES_EXT12
     from fink_science_spark.queries_ext13 import ORACLES_EXT13
+    from fink_science_spark.queries_ext14 import ORACLES_EXT14
 
     return {
         **ORACLES,
@@ -89,4 +92,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT11,
         **ORACLES_EXT12,
         **ORACLES_EXT13,
+        **ORACLES_EXT14,
     }
