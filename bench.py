@@ -195,6 +195,19 @@ HEADLINE = [
     "fk_integrity_audit",
     "calibration_bins",
     "gap_islands",
+    # wave 16: decision-support decorrelation suite
+    "min_cost_supplier",
+    "market_share",
+    "product_profit",
+    "important_parts",
+    "custorder_distribution",
+    "top_supplier",
+    "supplier_part_counts",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "sole_late_supplier",
+    "dormant_customers",
 ]
 
 

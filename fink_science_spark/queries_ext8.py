@@ -576,18 +576,34 @@ _AVRO_INPUT_BUILT: set[str] = set()
 
 
 def _build_input_once(path: str, build) -> None:
+    """Build the container at ``path`` exactly once per process.
+
+    The encode happens in a process-private staging dir that is RENAMED
+    into place, so a concurrent reader in another process never lists a
+    half-written container (directory rename is atomic on POSIX; a
+    reader that already opened files under the old path keeps its fds).
+    ``build(dst)`` must write to the dst it is given, not to ``path``.
+    """
     import os as _os
     import shutil as _shutil
 
     if path in _AVRO_INPUT_BUILT and _os.path.exists(path):
         return
-    # clear anything a previous process left at the path (e.g. the
+    tmp = f"{path}.build-{_os.getpid()}"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    # clear anything a previous process left at the final path (e.g. the
     # pre-round-5 single-file layout where the sink now writes a dir)
     if _os.path.isdir(path):
         _shutil.rmtree(path, ignore_errors=True)
     elif _os.path.exists(path):
         _os.remove(path)
-    build()
+    try:
+        _os.rename(tmp, path)
+    except OSError:
+        # another process won the swap between our rmtree and rename;
+        # its container holds the same logical rows — use it
+        _shutil.rmtree(tmp, ignore_errors=True)
     _AVRO_INPUT_BUILT.add(path)
 
 
@@ -621,7 +637,7 @@ def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "n_chars", "type": "long"},
         ],
     }
-    def _build():
+    def _build(dst):
         # distributed sink: each task serializes its partition in place —
         # fixture construction scales with SF instead of funneling every
         # row through a driver collect()
@@ -629,7 +645,7 @@ def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "documents")
             .select("doc_id", "lang", "n_chars")
             .repartition(8),
-            path, schema, codec="deflate", records_per_block=200,
+            dst, schema, codec="deflate", records_per_block=200,
         )
 
     _build_input_once(path, _build)
@@ -685,13 +701,13 @@ def q_stream_avro_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "n_chars", "type": "long"},
         ],
     }
-    def _build():
+    def _build(dst):
         # distributed sink (see q_avro_scan): no driver-side collect
         write_avro_dir(
             _t(spark, sf_dir, "documents")
             .select("doc_id", "source", "n_chars")
             .repartition(8),
-            path, schema, codec="deflate", records_per_block=200,
+            dst, schema, codec="deflate", records_per_block=200,
         )
 
     _build_input_once(path, _build)
@@ -810,14 +826,14 @@ def q_stream_avro_alert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              "type": {"type": "array", "items": "cand"}},
         ],
     }
-    def _build():
+    def _build(dst):
         # distributed sink (see q_avro_scan): nested alert packets are
         # serialized where they live, never collected to the driver
         ev = _events_us(spark, sf_dir).select(
             "user_id", "ts_us", "value", "event_type"
         )
         alerts = build_alerts(ev, "user_id", "ts_us", ["value", "event_type"])
-        write_avro_dir(alerts.repartition(8), path, alert_schema,
+        write_avro_dir(alerts.repartition(8), dst, alert_schema,
                        codec="deflate", records_per_block=50)
 
     _build_input_once(path, _build)

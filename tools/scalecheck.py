@@ -99,6 +99,20 @@ QUERIES = [
     "ab_welch_ttest",
     "calibration_bins",
     "gap_islands",
+    # round-5 wave 16: decision-support decorrelation suite (all driven by
+    # the scaled fact tables; dims deliberately unscaled stay broadcast)
+    "min_cost_supplier",
+    "market_share",
+    "product_profit",
+    "important_parts",
+    "custorder_distribution",
+    "top_supplier",
+    "supplier_part_counts",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "sole_late_supplier",
+    "dormant_customers",
 ]
 
 OFFSET = 1 << 40
