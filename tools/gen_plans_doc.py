@@ -207,6 +207,37 @@ COMMENTARY = {
         "the same parquet scan), then a partial-agg 4-class conditional "
         "count — the classification never re-scans."
     ),
+    "min_cost_supplier": (
+        "Correlated-MIN decorrelation (Q2 shape): the supply relation "
+        "aggregates once on (partkey, suppkey); the per-part minimum is "
+        "a second hash agg on the SUBSET of those keys, so it rides the "
+        "same partitioning; the join-back on (partkey, cost) keeps every "
+        "minimizer. Part and regional-supplier dims are "
+        "BroadcastHashJoin — the fact never shuffles for a dimension."
+    ),
+    "sole_late_supplier": (
+        "EXISTS + NOT-EXISTS double correlation (Q21 shape) decorrelated "
+        "to ONE per-order aggregate emitting both counts (n_supp, "
+        "n_late_supp); the classic form would re-probe the fact twice "
+        "per outer row. The filter join-back reuses the orderkey "
+        "partitioning; the per-supplier count is a tiny second exchange; "
+        "top-50 is TakeOrderedAndProject."
+    ),
+    "disjunctive_revenue": (
+        "OR-of-ANDs join predicate (Q19 shape): Catalyst does not derive "
+        "cross-branch implied predicates, so the per-side superset "
+        "conjuncts are written explicitly — PushedFilters shows the "
+        "brand/size IN-range on the part scan and the quantity range on "
+        "the lineitem scan; the residual OR evaluates above the "
+        "BroadcastHashJoin."
+    ),
+    "custorder_distribution": (
+        "Zero-preserving distribution (Q13 shape): orders pre-aggregate "
+        "to one row per custkey BEFORE the customer join, shrinking the "
+        "probe side from |orders| to |active customers|; the zero bucket "
+        "survives via left join + coalesce; the final histogram agg is "
+        "map-combinable on ~tens of distinct counts."
+    ),
 }
 
 
