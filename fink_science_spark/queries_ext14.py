@@ -16,8 +16,9 @@ lineitem) — each one exercising a distinct Catalyst-relevant plan shape:
   fraction compare done in exact integer cross-multiplication).
 - custorder_distribution (Q13 shape): left-outer join preserving
   zero-count groups → distribution histogram (double aggregation).
-- top_supplier (Q15 shape): aggregate view + scalar MAX subquery →
-  1-row broadcast + equality filter.
+- top_supplier (Q15 shape): aggregate view + scalar MAX subquery → the
+  MAX as a global window over the dimension-bounded per-supplier
+  aggregate (ONE fact scan; the scalar-subquery form re-scans).
 - supplier_part_counts (Q16 shape): NOT-IN blocklist → broadcast
   anti-join, then COUNT(DISTINCT) over a deduplicated supply relation.
 - small_qty_revenue (Q17 shape): per-key correlated AVG threshold →
@@ -30,9 +31,10 @@ lineitem) — each one exercising a distinct Catalyst-relevant plan shape:
   `p_brand IN (...) AND p_size <= 15` / `l_quantity BETWEEN 1 AND 30`
   manually is what keeps both scans pruned at scale).
 - sole_late_supplier (Q21 shape): EXISTS + NOT-EXISTS double
-  correlation → decorrelated as ONE per-order aggregate producing both
-  counts (n_suppliers, n_late_suppliers); the oracle is written in the
-  classic correlated EXISTS form, so parity independently proves the
+  correlation → decorrelated as TWO windows over one orderkey
+  partitioning producing both counts (n_suppliers, n_late_suppliers)
+  in a single fact pass; the oracle is written in the classic
+  correlated EXISTS form, so parity independently proves the
   decorrelation is semantics-preserving.
 - dormant_customers (Q22 shape): scalar AVG threshold (exact integer
   cross-multiply) + NOT-EXISTS anti-join against recent orders.
@@ -493,13 +495,19 @@ ORACLES_EXT14["custorder_distribution"] = ORACLE_CUSTORDER_DISTRIBUTION
 # --------------------------------------------------------------------------
 # top_supplier (Q15 shape): the supplier(s) with the maximum revenue on
 # lineitems shipped in 1996-Q1. Aggregate "view" + scalar MAX subquery
-# → per-supplier exact-int revenue agg, 1-row max broadcast, equality
-# filter (ALL maximizers survive, deterministically — no arbitrary
-# tie pick).
+# — the MAX runs as a global window over the PER-SUPPLIER aggregate,
+# whose row count is bounded by the supplier dimension, not by data
+# volume (the single-partition window is safe by the same bounded-
+# cardinality argument as acf_lags' day series). The scalar-subquery
+# formulation would re-derive the aggregate from a second fact scan
+# (AQE grants it no exchange reuse — measured); this form scans the
+# fact ONCE. ALL maximizers survive the equality, deterministically.
 # --------------------------------------------------------------------------
 
 
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     rev = (
         _t(spark, sf_dir, "lineitem")
         .filter(
@@ -510,10 +518,11 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum("rev_micro").alias("total_micro"))
     )
-    mx = rev.agg(F.max("total_micro").alias("max_micro"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn(
+            "max_micro", F.max("total_micro").over(Window.partitionBy())
+        )
         .filter(F.col("total_micro") == F.col("max_micro"))
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .select(
@@ -785,17 +794,20 @@ ORACLES_EXT14["disjunctive_revenue"] = ORACLE_DISJUNCTIVE_REVENUE
 # than 90 days after the order date). The classic form is a double
 # correlation — EXISTS(another supplier on the order) AND NOT
 # EXISTS(another LATE supplier on the order) — each of which would
-# re-probe lineitem per outer row. Decorrelated here as ONE per-order
-# aggregate producing both counts, then a join back:
+# re-probe lineitem per outer row. Decorrelated here as two windows
+# over one orderkey partitioning producing both counts in a single
+# fact pass:
 #   n_supp >= 2        ⇔ EXISTS other-supplier line
 #   n_late_supp == 1   ⇔ (self late) AND NOT EXISTS other-late-supplier
 # The ORACLE is written in the correlated EXISTS/NOT-EXISTS form, so
 # parity proves the rewrite, not just the arithmetic.
 #
-# Plan shape: lineitem⋈orders('F') on orderkey; the per-order distinct
-# counts and the join back both ride the same orderkey partitioning;
-# final count per supplier is a second (tiny) shuffle; supplier names
-# broadcast. Top-50 via TakeOrderedAndProject.
+# Plan shape: lineitem⋈orders('F') on orderkey; both count windows, the
+# sole-late filter, and the (orderkey, suppkey) distinct all ride that
+# one orderkey partitioning (hashpartitioning(orderkey) satisfies the
+# distinct's clustering — no second wide exchange); final count per
+# supplier name is a tiny shuffle; supplier names broadcast. Top-50 via
+# TakeOrderedAndProject.
 # --------------------------------------------------------------------------
 
 
@@ -813,16 +825,27 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("late"),
     )
-    per_order = lf.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
-    cand = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    # Both per-order counts as windows over the SAME orderkey
+    # partitioning (per-window state is bounded by lines-per-order, a
+    # schema constant) — the groupBy + join-back alternative computes
+    # the fact-fact join twice (AQE grants it no exchange reuse —
+    # measured). The distinct below needs clustering on (orderkey,
+    # suppkey), which hashpartitioning(orderkey) already satisfies — no
+    # second exchange for the whole chain.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
     waiters = (
-        lf.filter(F.col("late"))
-        .join(cand.select("l_orderkey"), "l_orderkey")
+        lf.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+            ),
+        )
+        .filter(
+            F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )

@@ -217,11 +217,14 @@ COMMENTARY = {
     ),
     "sole_late_supplier": (
         "EXISTS + NOT-EXISTS double correlation (Q21 shape) decorrelated "
-        "to ONE per-order aggregate emitting both counts (n_supp, "
-        "n_late_supp); the classic form would re-probe the fact twice "
-        "per outer row. The filter join-back reuses the orderkey "
-        "partitioning; the per-supplier count is a tiny second exchange; "
-        "top-50 is TakeOrderedAndProject."
+        "to two windows over ONE orderkey partitioning emitting both "
+        "counts (n_supp, n_late_supp) in a single fact pass; the classic "
+        "form would re-probe the fact twice per outer row, and the "
+        "groupBy + join-back alternative computes the fact-fact join "
+        "twice (no AQE exchange reuse — measured). The (orderkey, "
+        "suppkey) distinct rides the same partitioning; the per-supplier "
+        "count is a tiny second exchange; top-50 is "
+        "TakeOrderedAndProject."
     ),
     "disjunctive_revenue": (
         "OR-of-ANDs join predicate (Q19 shape): Catalyst does not derive "
