@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext12 import QUERIES_EXT12
     from fink_science_spark.queries_ext13 import QUERIES_EXT13
     from fink_science_spark.queries_ext14 import QUERIES_EXT14
+    from fink_science_spark.queries_ext15 import QUERIES_EXT15
 
     return {
         **QUERIES,
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT12,
         **QUERIES_EXT13,
         **QUERIES_EXT14,
+        **QUERIES_EXT15,
     }
 
 
@@ -76,6 +78,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext12 import ORACLES_EXT12
     from fink_science_spark.queries_ext13 import ORACLES_EXT13
     from fink_science_spark.queries_ext14 import ORACLES_EXT14
+    from fink_science_spark.queries_ext15 import ORACLES_EXT15
 
     return {
         **ORACLES,
@@ -93,4 +96,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT12,
         **ORACLES_EXT13,
         **ORACLES_EXT14,
+        **ORACLES_EXT15,
     }

@@ -208,6 +208,11 @@ HEADLINE = [
     "disjunctive_revenue",
     "sole_late_supplier",
     "dormant_customers",
+    # wave 17: scale-ops planning family
+    "partition_skew_report",
+    "zipf_skew_fit",
+    "compaction_plan",
+    "balanced_ranges",
 ]
 
 

@@ -113,6 +113,11 @@ QUERIES = [
     "disjunctive_revenue",
     "sole_late_supplier",
     "dormant_customers",
+    # round-5 wave 17: scale-ops planners (documents/lineitem driven)
+    "partition_skew_report",
+    "zipf_skew_fit",
+    "compaction_plan",
+    "balanced_ranges",
 ]
 
 OFFSET = 1 << 40
