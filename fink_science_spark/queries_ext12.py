@@ -29,10 +29,9 @@ from pyspark.sql import functions as F
 from fink_science_spark.queries import _t
 
 
-def _halfup6(col: F.Column) -> F.Column:
-    """round-half-up at 6 decimals via the shared floor idiom (identical
-    text on the DuckDB side) — engine-agnostic for ratios of exact ints."""
-    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+# canonical home: functions/exact.py (re-exported here because every
+# later wave already imports the underscore name from this module)
+from fink_science_spark.functions.exact import halfup6 as _halfup6  # noqa: E402
 
 
 # --------------------------------------------------------------------------

@@ -11,9 +11,9 @@ lineitem) — each one exercising a distinct Catalyst-relevant plan shape:
   multi-dimension star join.
 - product_profit (Q9 shape): multi-way star join with a LIKE-filtered
   dimension and exact integer profit arithmetic.
-- important_parts (Q11 shape): GROUP BY ... HAVING > fraction of a
-  GLOBAL scalar aggregate (scalar subquery → 1-row broadcast join,
-  fraction compare done in exact integer cross-multiplication).
+- important_parts (Q11 shape): GROUP BY ... HAVING > multiple of the
+  GLOBAL average (scalar subquery → 1-row broadcast join; the compare
+  is overflow-free exact integer arithmetic via the DIV form).
 - custorder_distribution (Q13 shape): left-outer join preserving
   zero-count groups → distribution histogram (double aggregation).
 - top_supplier (Q15 shape): aggregate view + scalar MAX subquery → the
@@ -52,9 +52,9 @@ Scale shapes, per the engine contract:
 - Scalar aggregates (global total, global max, global avg) are 1-row
   DataFrames crossJoin(broadcast(...)) — never a driver collect.
 - The Q21 decorrelation replaces two correlated subqueries (each a
-  re-scan of lineitem per outer row in the naive plan) with one
-  per-order aggregate + one join — at 100 TB that is the difference
-  between 2 extra fact scans and 1 reused shuffle partitioning.
+  re-scan of lineitem per outer row in the naive plan) with two window
+  functions on one orderkey partitioning — at 100 TB that is the
+  difference between 2 extra fact scans and 1 shuffle, total.
 """
 
 from __future__ import annotations
@@ -64,30 +64,25 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fink_science_spark.functions.exact import (
+    REV_MICRO_SQL as _REV_MICRO_SQL,
+)
+from fink_science_spark.functions.exact import (
+    cents as _cents,
+)
+from fink_science_spark.functions.exact import (
+    cents_sql as _cents_sql,
+)
+from fink_science_spark.functions.exact import (
+    halfup6 as _halfup6,
+)
+from fink_science_spark.functions.exact import (
+    rev_micro as _rev_micro,
+)
 from fink_science_spark.queries import _t
-from fink_science_spark.queries_ext12 import _halfup6
 
 QUERIES_EXT14: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES_EXT14: dict[str, str] = {}
-
-
-def _cents(col: str) -> F.Column:
-    """Exact integer cents of a 2-dp money double (half-up)."""
-    return F.floor(F.col(col) * F.lit(100) + F.lit(0.5)).cast("long")
-
-
-def _rev_micro() -> F.Column:
-    """l_extendedprice*(1-l_discount) in exact 1e-4-dollar micro-units:
-    price_cents * (100 - disc_cents), both factors exact ints."""
-    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
-
-
-# The same expressions as DuckDB SQL text (identical arithmetic shape).
-_CENTS_SQL = "CAST(floor({c} * 100 + 0.5) AS BIGINT)"
-_REV_MICRO_SQL = (
-    f"{_CENTS_SQL.format(c='l_extendedprice')}"
-    f" * (100 - {_CENTS_SQL.format(c='l_discount')})"
-)
 
 
 # --------------------------------------------------------------------------
@@ -356,7 +351,7 @@ ORACLE_PRODUCT_PROFIT = f"""
 WITH profit AS (
   SELECT n_name, year(o_orderdate) AS o_year,
          {_REV_MICRO_SQL}
-           - {_CENTS_SQL.format(c='p_retailprice')}
+           - {_cents_sql('p_retailprice')}
              * CAST(l_quantity AS BIGINT) * 100 AS profit_micro
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
@@ -376,11 +371,16 @@ ORACLES_EXT14["product_profit"] = ORACLE_PRODUCT_PROFIT
 
 # --------------------------------------------------------------------------
 # important_parts (Q11 shape): parts whose supplied value (revenue from
-# AMERICA-region suppliers) exceeds 0.05% of the global such value.
-# GROUP BY + HAVING-against-global-scalar: the scalar total is a 1-row
-# broadcast; the fraction compare is the exact integer cross-multiply
-# value_cents * 10000 > total_cents * 5 (0.0005 = 5/10000) — no float
-# threshold wobble at any scale.
+# AMERICA-region suppliers) exceeds 2× the average part's value.
+# GROUP BY + HAVING-against-global-scalar: the scalar (total, n_parts)
+# is a 1-row broadcast. The threshold is RELATIVE to the average so the
+# query keeps meaningful selectivity at every scale factor (a fixed
+# fraction-of-total goes vacuous as the part count grows — caught by
+# review at sf0.1). The compare is exact integer arithmetic with no
+# overflow at any scale: value > 2·avg ⟺ value·n > 2·total ⟺
+# value > (2·total) DIV n for positive ints (the DIV form bounds every
+# intermediate by 2·total_cents, where the cross-multiply's value·n
+# would overflow int64 on extreme inputs).
 #
 # Plan shape: one hash agg on partkey over the region-filtered fact
 # (map-combined), one global 1-row agg REUSING the per-part aggregate
@@ -411,10 +411,16 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("price_cents").alias("value_cents"))
     )
-    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_cents") * F.lit(10000) > F.col("total_cents") * F.lit(5))
+        .filter(
+            F.col("value_cents")
+            > F.expr("(2 * total_cents) div n_parts")
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             (F.col("value_cents") / F.lit(100.0)).alias("value"),
@@ -425,7 +431,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_IMPORTANT_PARTS = f"""
 WITH per_part AS (
   SELECT l_partkey,
-         CAST(SUM({_CENTS_SQL.format(c='l_extendedprice')}) AS BIGINT) AS value_cents
+         CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT) AS value_cents
   FROM lineitem
   WHERE l_suppkey IN (
     SELECT s_suppkey FROM supplier
@@ -437,7 +443,8 @@ WITH per_part AS (
 )
 SELECT l_partkey AS p_partkey, value_cents / 100.0 AS value
 FROM per_part
-WHERE value_cents * 10000 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM per_part) * 5
+WHERE value_cents > (SELECT (2 * CAST(SUM(value_cents) AS BIGINT)) // COUNT(*)
+                     FROM per_part)
 """
 
 QUERIES_EXT14["important_parts"] = q_important_parts
@@ -653,7 +660,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SMALL_QTY_REVENUE = f"""
 WITH li AS (
   SELECT l_partkey, l_quantity,
-         {_CENTS_SQL.format(c='l_extendedprice')} AS price_cents
+         {_cents_sql('l_extendedprice')} AS price_cents
   FROM lineitem
   WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
 ),
@@ -938,7 +945,7 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DORMANT_CUSTOMERS = f"""
 WITH seg AS (
   SELECT c_custkey, c_nationkey,
-         {_CENTS_SQL.format(c='c_acctbal')} AS acct_cents
+         {_cents_sql('c_acctbal')} AS acct_cents
   FROM customer
   WHERE c_nationkey IN {_DORMANT_NATIONS!r}
 ),

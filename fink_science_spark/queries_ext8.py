@@ -578,32 +578,63 @@ _AVRO_INPUT_BUILT: set[str] = set()
 def _build_input_once(path: str, build) -> None:
     """Build the container at ``path`` exactly once per process.
 
-    The encode happens in a process-private staging dir that is RENAMED
-    into place, so a concurrent reader in another process never lists a
-    half-written container (directory rename is atomic on POSIX; a
-    reader that already opened files under the old path keeps its fds).
+    The encode happens in a process-private staging dir; the install is
+    two atomic renames (move the old container aside, move the staged
+    one in), so a concurrent reader never lists a HALF-WRITTEN
+    container. Same-path builders in concurrent processes can still
+    interleave the two renames (the external gate is single-process;
+    this guards the builder's own parallel test runs), in which case
+    whichever complete container wins carries the same logical rows.
     ``build(dst)`` must write to the dst it is given, not to ``path``.
     """
+    import glob as _glob
     import os as _os
     import shutil as _shutil
 
+    def _rm(target: str) -> None:
+        if _os.path.isdir(target):
+            _shutil.rmtree(target, ignore_errors=True)
+        else:
+            try:
+                _os.remove(target)
+            except OSError:
+                pass
+
     if path in _AVRO_INPUT_BUILT and _os.path.exists(path):
         return
+    # reap staging/trash dirs leaked by CRASHED builds (only those whose
+    # owning pid is gone — a live sibling's in-flight staging dir must
+    # not be deleted out from under it)
+    for stale in _glob.glob(f"{path}.build-*") + _glob.glob(f"{path}.old-*"):
+        pid = stale.rsplit("-", 1)[-1]
+        if pid.isdigit() and not _os.path.exists(f"/proc/{pid}"):
+            _rm(stale)
     tmp = f"{path}.build-{_os.getpid()}"
-    _shutil.rmtree(tmp, ignore_errors=True)
-    build(tmp)
-    # clear anything a previous process left at the final path (e.g. the
-    # pre-round-5 single-file layout where the sink now writes a dir)
-    if _os.path.isdir(path):
-        _shutil.rmtree(path, ignore_errors=True)
-    elif _os.path.exists(path):
-        _os.remove(path)
+    try:
+        build(tmp)
+    except BaseException:
+        _rm(tmp)
+        raise
+    # move any previous container (including the pre-round-5 single-file
+    # layout) aside atomically, then the staged dir in
+    trash = f"{path}.old-{_os.getpid()}"
+    try:
+        _os.rename(path, trash)
+    except FileNotFoundError:
+        trash = None
     try:
         _os.rename(tmp, path)
     except OSError:
-        # another process won the swap between our rmtree and rename;
-        # its container holds the same logical rows — use it
-        _shutil.rmtree(tmp, ignore_errors=True)
+        _rm(tmp)
+        if not _os.path.exists(path):
+            # not a lost race — restore the old container and surface it
+            if trash is not None:
+                _os.rename(trash, path)
+                trash = None
+            raise
+        # another process installed a complete container first; use it
+    if trash is not None:
+        _rm(trash)
     _AVRO_INPUT_BUILT.add(path)
 
 

@@ -143,6 +143,66 @@ def test_dormant_customers_strict_threshold(spark, tmp_path):
     assert rows == []  # 2 is recent, 3 is at-threshold, 1 is below avg
 
 
+def test_important_parts_strict_2x_average(spark, tmp_path):
+    from fink_science_spark.queries_ext14 import q_important_parts
+
+    _write(
+        spark, tmp_path, "region",
+        [(0, "AMERICA")],
+        "r_regionkey int, r_name string",
+    )
+    _write(
+        spark, tmp_path, "nation",
+        [(0, "NATION_0", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    _write(
+        spark, tmp_path, "supplier",
+        [(10, 0)],
+        "s_suppkey long, s_nationkey int",
+    )
+    # values {100,100,100,300}: total 600, threshold (2*600) DIV 4 =
+    # 300 -> the part valued EXACTLY 2x the average must NOT qualify
+    _write(
+        spark, tmp_path, "lineitem",
+        [(1, 10, 100.0), (2, 10, 100.0), (3, 10, 100.0), (4, 10, 300.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    rows = {r["p_partkey"]: r["value"] for r in
+            q_important_parts(spark, str(tmp_path)).collect()}
+    assert rows == {}
+
+
+def test_important_parts_above_threshold(spark, tmp_path):
+    from fink_science_spark.queries_ext14 import q_important_parts
+
+    _write(
+        spark, tmp_path, "region",
+        [(0, "AMERICA")],
+        "r_regionkey int, r_name string",
+    )
+    _write(
+        spark, tmp_path, "nation",
+        [(0, "NATION_0", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    _write(
+        spark, tmp_path, "supplier",
+        [(10, 0)],
+        "s_suppkey long, s_nationkey int",
+    )
+    # values {100,100,100,301}: total 601, threshold (2*601) DIV 4 =
+    # 300 -> one cent past the 2x-average boundary qualifies
+    _write(
+        spark, tmp_path, "lineitem",
+        [(1, 10, 100.0), (2, 10, 100.0), (3, 10, 100.0), (4, 10, 301.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    rows = {r["p_partkey"]: r["value"] for r in
+            q_important_parts(spark, str(tmp_path)).collect()}
+    assert rows == {4: 301.0}
+
+
 def test_min_cost_supplier_keeps_cost_ties(spark, tmp_path):
     from fink_science_spark.queries_ext14 import q_min_cost_supplier
 
