@@ -250,9 +250,15 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("rev_micro").alias("total_micro"),
     )
+    # total_micro = 0 is reachable (all-zero prices) and would
+    # DIVIDE_BY_ZERO under ANSI — share is undefined there, so NULL,
+    # with the identical CASE on the DuckDB side
     return agg.select(
         "o_year",
-        _halfup6(F.col("n5_micro") / F.col("total_micro")).alias("mkt_share"),
+        F.when(
+            F.col("total_micro") > 0,
+            _halfup6(F.col("n5_micro") / F.col("total_micro")),
+        ).alias("mkt_share"),
         (F.col("total_micro") / F.lit(10000.0)).alias("total_revenue"),
     )
 
@@ -280,7 +286,9 @@ agg AS (
   FROM joined GROUP BY o_year
 )
 SELECT o_year,
-       floor(n5_micro / total_micro * 1e6 + 0.5) / 1e6 AS mkt_share,
+       CASE WHEN total_micro > 0
+            THEN floor(n5_micro / total_micro * 1e6 + 0.5) / 1e6 END
+         AS mkt_share,
        total_micro / 10000.0 AS total_revenue
 FROM agg
 """

@@ -179,19 +179,28 @@ def q_zipf_skew_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     den_y = s["n"] * F.col("syy") - F.col("sy") * F.col("sy")
     # num/den are exact int64 (bounds in the header comment); num² would
     # overflow, so r² squares AFTER the cast — double ops exact-rounded
-    # in the same order on both engines
+    # in the same order on both engines. den_x = 0 (single distinct key)
+    # and den_y = 0 (all counts equal — a plain uniform distribution)
+    # are REACHABLE and would DIVIDE_BY_ZERO under ANSI: the fit is
+    # undefined there, so NULL, identical CASEs on the DuckDB side.
     return s.select(
         "n",
-        _halfup6(num / den_x).alias("slope"),
-        _halfup6(
-            (F.col("sy") - (num / den_x) * F.col("sx"))
-            / F.col("n")
-            / F.lit(1e6)
+        F.when(den_x > 0, _halfup6(num / den_x)).alias("slope"),
+        F.when(
+            den_x > 0,
+            _halfup6(
+                (F.col("sy") - (num / den_x) * F.col("sx"))
+                / F.col("n")
+                / F.lit(1e6)
+            ),
         ).alias("intercept"),
-        _halfup6(
-            num.cast("double")
-            * num.cast("double")
-            / (den_x.cast("double") * den_y.cast("double"))
+        F.when(
+            (den_x > 0) & (den_y > 0),
+            _halfup6(
+                num.cast("double")
+                * num.cast("double")
+                / (den_x.cast("double") * den_y.cast("double"))
+            ),
         ).alias("r2"),
     )
 
@@ -218,15 +227,19 @@ s AS (
   FROM q
 )
 SELECT n,
-       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
-         AS slope,
-       floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-             / n / 1e6 * 1e6 + 0.5) / 1e6 AS intercept,
-       floor(CAST(n * sxy - sx * sy AS DOUBLE)
-             * CAST(n * sxy - sx * sy AS DOUBLE)
-             / (CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6
-         AS r2
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+               / n / 1e6 * 1e6 + 0.5) / 1e6
+       END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       END AS r2
 FROM s
 """
 

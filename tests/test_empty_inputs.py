@@ -421,3 +421,108 @@ def test_welch_zero_variance_cohorts_yield_null_stats(spark, tmp_path):
     r = rows[0]
     assert r["mean_a"] == 5.0 and r["mean_b"] == 5.0
     assert r["t_stat"] is None and r["welch_dof"] is None
+
+
+def test_wave16_wave17_queries_empty(spark, tmp_path):
+    """Every wave-16/17 query must survive fully-empty inputs — no ANSI
+    crash on a null stats row, and the expected frame shape: empty for
+    row-producing queries, a single all-null/zero row for the global
+    scalar reductions."""
+    import fink_science_spark.queries_ext14 as w16
+    import fink_science_spark.queries_ext15 as w17
+
+    d = str(tmp_path / "w16_empty")
+    schemas = {
+        "region": "r_regionkey int, r_name string",
+        "nation": "n_nationkey int, n_name string, n_regionkey int",
+        "customer": "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double",
+        "supplier": "s_suppkey long, s_name string, s_nationkey int,"
+        " s_acctbal double",
+        "part": "p_partkey long, p_name string, p_brand string,"
+        " p_type string, p_size int, p_retailprice double",
+        "orders": "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+        "lineitem": "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+        "documents": "doc_id long, text string, lang string,"
+        " source string, n_chars long",
+    }
+    for t, s in schemas.items():
+        spark.createDataFrame([], s).write.mode("overwrite").parquet(
+            f"{d}/{t}.parquet"
+        )
+    one_null_row = {"small_qty_revenue", "disjunctive_revenue",
+                    "zipf_skew_fit"}
+    for name, q in {**w16.QUERIES_EXT14, **w17.QUERIES_EXT15}.items():
+        out = q(spark, d)
+        if name in one_null_row:
+            rows = out.collect()
+            assert len(rows) == 1, name
+        elif name == "partition_skew_report":
+            rows = out.collect()
+            assert len(rows) == 3 and all(r["n_keys"] == 0 for r in rows)
+        else:
+            assert out.count() == 0, name
+
+
+def test_wave16_wave17_degenerate_constant_inputs(spark, tmp_path):
+    """ANSI fuzz for waves 16/17, the crash classes the empty sweep
+    cannot reach: zero total revenue (market_share ratio), a single
+    distinct key (zipf den_x = 0), and a perfectly uniform key
+    distribution (zipf den_y = 0) must yield NULL, never
+    DIVIDE_BY_ZERO."""
+    import datetime
+
+    from fink_science_spark.queries_ext14 import q_market_share
+    from fink_science_spark.queries_ext15 import q_zipf_skew_fit
+
+    od = datetime.datetime(1996, 1, 1)
+
+    # --- market_share: every price 0.00 -> total_micro = 0 ---
+    d1 = str(tmp_path / "zero_rev")
+    spark.createDataFrame(
+        [(0, "ASIA")], "r_regionkey int, r_name string"
+    ).write.mode("overwrite").parquet(f"{d1}/region.parquet")
+    spark.createDataFrame(
+        [(0, "NATION_5", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.mode("overwrite").parquet(f"{d1}/nation.parquet")
+    spark.createDataFrame(
+        [(1, 0)], "c_custkey long, c_nationkey int"
+    ).write.mode("overwrite").parquet(f"{d1}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 0)], "s_suppkey long, s_nationkey int"
+    ).write.mode("overwrite").parquet(f"{d1}/supplier.parquet")
+    spark.createDataFrame(
+        [(100, 1, od)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d1}/orders.parquet")
+    spark.createDataFrame(
+        [(100, 10, 0.0, 0.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double,"
+        " l_discount double",
+    ).write.mode("overwrite").parquet(f"{d1}/lineitem.parquet")
+    rows = q_market_share(spark, d1).collect()
+    assert len(rows) == 1
+    assert rows[0]["mkt_share"] is None and rows[0]["total_revenue"] == 0.0
+
+    # --- zipf: one distinct key -> den_x = 0 -> all-NULL fit ---
+    d2 = str(tmp_path / "one_key")
+    spark.createDataFrame(
+        [(1, 7)] * 5, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(f"{d2}/lineitem.parquet")
+    r = q_zipf_skew_fit(spark, d2).collect()[0]
+    assert r["n"] == 1 and r["slope"] is None and r["r2"] is None
+
+    # --- zipf: uniform counts -> den_y = 0 -> slope 0, r2 NULL ---
+    d3 = str(tmp_path / "uniform")
+    spark.createDataFrame(
+        [(i, k) for k in range(4) for i in range(3)],
+        "l_orderkey long, l_partkey long",
+    ).write.mode("overwrite").parquet(f"{d3}/lineitem.parquet")
+    r = q_zipf_skew_fit(spark, d3).collect()[0]
+    assert r["n"] == 4 and r["slope"] == 0.0 and r["r2"] is None
