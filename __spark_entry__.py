@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext13 import QUERIES_EXT13
     from fink_science_spark.queries_ext14 import QUERIES_EXT14
     from fink_science_spark.queries_ext15 import QUERIES_EXT15
+    from fink_science_spark.queries_ext16 import QUERIES_EXT16
 
     return {
         **QUERIES,
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT13,
         **QUERIES_EXT14,
         **QUERIES_EXT15,
+        **QUERIES_EXT16,
     }
 
 
@@ -79,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext13 import ORACLES_EXT13
     from fink_science_spark.queries_ext14 import ORACLES_EXT14
     from fink_science_spark.queries_ext15 import ORACLES_EXT15
+    from fink_science_spark.queries_ext16 import ORACLES_EXT16
 
     return {
         **ORACLES,
@@ -97,4 +100,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT13,
         **ORACLES_EXT14,
         **ORACLES_EXT15,
+        **ORACLES_EXT16,
     }

@@ -213,6 +213,9 @@ HEADLINE = [
     "zipf_skew_fit",
     "compaction_plan",
     "balanced_ranges",
+    # wave 18: multimodal sequence analysis
+    "video_scene_cuts",
+    "audio_silence_map",
 ]
 
 

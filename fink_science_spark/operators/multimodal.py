@@ -303,6 +303,41 @@ def sample_frames(
     return frames.filter(F.length("frame_bytes") > 0)
 
 
+def window_mad(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    n_bytes: int = 16,
+    center: int = 128,
+) -> DataFrame:
+    """Mean absolute deviation of a byte window from ``center`` — the
+    pcm8 silence/loudness feature (|sample − 128| averaged over the
+    window). Integer sum inside the kernel, one exact /n at the end, so
+    the differential oracle reproduces it bit-for-bit from byte values
+    in SQL. numpy per Arrow batch; bytes never leave the kernel."""
+    import numpy as np
+
+    out_schema = f"{id_col} long, mad double"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, mads = [], []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                raw = bytes(blob)[:n_bytes]
+                if len(raw) < n_bytes:
+                    continue
+                s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                ids.append(rid)
+                mads.append(float(np.abs(s - center).sum() / n_bytes))
+            yield pd.DataFrame({id_col: ids, "mad": mads})
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
+
+
 def image_resize_pool(
     df: DataFrame,
     id_col: str,

@@ -118,6 +118,9 @@ QUERIES = [
     "zipf_skew_fit",
     "compaction_plan",
     "balanced_ranges",
+    # round-5 wave 18: multimodal sequence analysis (documents-driven)
+    "video_scene_cuts",
+    "audio_silence_map",
 ]
 
 OFFSET = 1 << 40
