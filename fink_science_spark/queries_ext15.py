@@ -287,10 +287,10 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_COMPACTION_PLAN = f"""
 WITH binned AS (
   SELECT source, doc_id, n_chars,
-         COALESCE(SUM(n_chars) OVER (
+         CAST(COALESCE(SUM(n_chars) OVER (
            PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           // {_COMPACT_TARGET} AS bin
+           // {_COMPACT_TARGET} AS BIGINT) AS bin
   FROM documents
 )
 SELECT source, bin, COUNT(*) AS n_files,
@@ -361,10 +361,10 @@ WITH counts AS (
 ),
 assigned AS (
   SELECT l_partkey, cnt,
-         ({_RANGE_K} * COALESCE(SUM(cnt) OVER (
+         CAST(({_RANGE_K} * COALESCE(SUM(cnt) OVER (
             ORDER BY l_partkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
-           // (SUM(cnt) OVER ()) AS bucket
+           // (SUM(cnt) OVER ()) AS BIGINT) AS bucket
   FROM counts
 )
 SELECT bucket, MIN(l_partkey) AS lo_key, MAX(l_partkey) AS hi_key,
