@@ -241,6 +241,28 @@ COMMENTARY = {
         "survives via left join + coalesce; the final histogram agg is "
         "map-combinable on ~tens of distinct counts."
     ),
+    "partition_skew_report": (
+        "Scale-ops planner: per candidate shuffle key, ONE map-combined "
+        "count aggregate over a single-column pruned scan (ReadSchema "
+        "shows exactly one field), then a 1-row reduction of the "
+        "bounded per-key table — heaviest key via max(struct), no "
+        "argmax window, no second fact pass. Three reports union into "
+        "a 3-row frame."
+    ),
+    "balanced_ranges": (
+        "Exact range-partitioner boundaries: the fact contributes one "
+        "map-combined count; the cumulative window and bucket rollup "
+        "run on the key-cardinality-bounded histogram (documented "
+        "single-reducer, the acf_lags argument); assignment is integer "
+        "K*cum DIV total — no float boundary wobble, keys never split."
+    ),
+    "video_scene_cuts": (
+        "Multimodal sequence shape: pixel bytes are consumed inside "
+        "ONE MapInPandas kernel that emits a scalar luma per frame — "
+        "binary never shuffles; the lag window and cut aggregation "
+        "ride a single doc_id exchange over a 6-rows-per-doc relation "
+        "(schema constant, not data volume)."
+    ),
 }
 
 
