@@ -31,9 +31,10 @@ lineitem) — each one exercising a distinct Catalyst-relevant plan shape:
   `p_brand IN (...) AND p_size <= 15` / `l_quantity BETWEEN 1 AND 30`
   manually is what keeps both scans pruned at scale).
 - sole_late_supplier (Q21 shape): EXISTS + NOT-EXISTS double
-  correlation → decorrelated as TWO windows over one orderkey
-  partitioning producing both counts (n_suppliers, n_late_suppliers)
-  in a single fact pass; the oracle is written in the classic
+  correlation → decorrelated as ONE per-order hash aggregate whose
+  late-supplier set both counts the correlation AND carries the
+  answer (|set| == 1 ⇒ its element IS the sole late supplier — no
+  join-back, no window); the oracle is written in the classic
   correlated EXISTS form, so parity independently proves the
   decorrelation is semantics-preserving.
 - dormant_customers (Q22 shape): scalar AVG threshold (exact integer
@@ -52,9 +53,10 @@ Scale shapes, per the engine contract:
 - Scalar aggregates (global total, global max, global avg) are 1-row
   DataFrames crossJoin(broadcast(...)) — never a driver collect.
 - The Q21 decorrelation replaces two correlated subqueries (each a
-  re-scan of lineitem per outer row in the naive plan) with two window
-  functions on one orderkey partitioning — at 100 TB that is the
-  difference between 2 extra fact scans and 1 shuffle, total.
+  re-scan of lineitem per outer row in the naive plan) with one
+  shuffle-hash join + one hash aggregate — at 100 TB that is the
+  difference between 2 extra fact scans and 1 shuffle, total, with no
+  sort anywhere (SMJ's fact sort measured 4.5× the whole query).
 """
 
 from __future__ import annotations
@@ -809,20 +811,21 @@ ORACLES_EXT14["disjunctive_revenue"] = ORACLE_DISJUNCTIVE_REVENUE
 # than 90 days after the order date). The classic form is a double
 # correlation — EXISTS(another supplier on the order) AND NOT
 # EXISTS(another LATE supplier on the order) — each of which would
-# re-probe lineitem per outer row. Decorrelated here as two windows
-# over one orderkey partitioning producing both counts in a single
-# fact pass:
-#   n_supp >= 2        ⇔ EXISTS other-supplier line
-#   n_late_supp == 1   ⇔ (self late) AND NOT EXISTS other-late-supplier
+# re-probe lineitem per outer row. Decorrelated here as ONE per-order
+# hash aggregate whose late-supplier set carries both the correlation
+# test and the answer:
+#   n_supp >= 2      ⇔ EXISTS other-supplier line
+#   |late_supps| == 1 ⇔ exactly one late supplier — and that set's
+#                       single element IS the sole late supplier, so
+#                       there is no join-back and no window.
 # The ORACLE is written in the correlated EXISTS/NOT-EXISTS form, so
 # parity proves the rewrite, not just the arithmetic.
 #
-# Plan shape: lineitem⋈orders('F') on orderkey; both count windows, the
-# sole-late filter, and the (orderkey, suppkey) distinct all ride that
-# one orderkey partitioning (hashpartitioning(orderkey) satisfies the
-# distinct's clustering — no second wide exchange); final count per
-# supplier name is a tiny shuffle; supplier names broadcast. Top-50 via
-# TakeOrderedAndProject.
+# Plan shape: lineitem⋈orders('F') as a SHUFFLE-HASH join (nothing
+# downstream needs sort order; SMJ's fact sort measured 98 s vs 22 s
+# at ×64) feeding a map-combinable ObjectHashAggregate on the same
+# orderkey partitioning; final count per supplier name is a tiny
+# shuffle; supplier names broadcast. Top-50 via TakeOrderedAndProject.
 # --------------------------------------------------------------------------
 
 
@@ -833,36 +836,42 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    lf = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+    # shuffle-hash on purpose: nothing downstream needs sort order (the
+    # per-order reduction is a hash aggregate), so SMJ's full sort of
+    # the fact is pure waste — measured 98 s vs 22 s at ×64 replicas.
+    # The build side is 1-row-per-order, skew-free (≤ lines-per-order
+    # fan-in), and per-partition-bounded under AQE sizing; at small SFs
+    # AQE upgrades it to broadcast regardless of the hint.
+    lf = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    ).select(
         "l_orderkey",
         "l_suppkey",
         (
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("late"),
     )
-    # Both per-order counts as windows over the SAME orderkey
-    # partitioning (per-window state is bounded by lines-per-order, a
-    # schema constant) — the groupBy + join-back alternative computes
-    # the fact-fact join twice (AQE grants it no exchange reuse —
-    # measured). The distinct below needs clustering on (orderkey,
-    # suppkey), which hashpartitioning(orderkey) already satisfies — no
-    # second exchange for the whole chain.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("l_orderkey")
+    # ONE per-order aggregate carries everything the double correlation
+    # needs: the distinct-supplier count AND the set of late suppliers —
+    # when that set has exactly one element on a multi-supplier order,
+    # ITS element IS the sole late supplier, so there is no join-back
+    # and no window at all. (Both rejected alternatives re-walk the
+    # fact: groupBy + join-back computes the fact-fact join twice — AQE
+    # grants it no exchange reuse; windowed counts force a 12.8M-row
+    # sort that measured ×58 wall at ×64 replicas where this hash
+    # aggregate holds the family's sub-linear curve.) collect_set
+    # partials merge map-side; per-group state is bounded by
+    # lines-per-order, a schema constant.
     waiters = (
-        lf.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
-        .withColumn(
-            "n_late_supp",
-            F.size(
-                F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
-            ),
+        lf.groupBy("l_orderkey")
+        .agg(
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).alias("late_supps"),
         )
-        .filter(
-            F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .filter((F.col("n_supp") >= 2) & (F.size("late_supps") == 1))
+        .select(F.element_at("late_supps", 1).alias("l_suppkey"))
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
