@@ -598,3 +598,62 @@ def test_udtf_sessions_is_documentation_native_twin_is_scale_path(
     # must build on the native twin, never the UDTF
     consumer = plan_of(registry["interval_overlap_join"](spark, SF))
     assert "PythonUDTF" not in consumer
+
+
+# --------------------------------------------------------------------------
+# Waves 16-18 (round 5): decision-support decorrelations, scale-ops
+# planners, multimodal sequences
+# --------------------------------------------------------------------------
+
+
+def test_disjunctive_revenue_superset_pushdown_both_scans(spark, registry):
+    """Q19 shape: the hand-derived OR-superset conjuncts must reach BOTH
+    parquet scans — Catalyst does not infer them, so losing the manual
+    predicates silently unprunes the scans."""
+    plan = plan_of(registry["disjunctive_revenue"](spark, SF))
+    assert re.search(r"PushedFilters:.*In\(p_brand", plan), plan
+    assert re.search(
+        r"PushedFilters:.*GreaterThanOrEqual\(l_quantity,1\.0", plan
+    ), plan
+
+
+def test_sole_late_supplier_no_window_no_smj(spark, registry):
+    """Q21 shape: the set-carrying aggregate form — no Window operator
+    (the windowed variant forced a 12.8M-row sort, x58 at x64 replicas)
+    and no SortMergeJoin for the fact join (shuffle-hash by hint; AQE
+    may upgrade to broadcast at tiny SFs, never to SMJ)."""
+    plan = plan_of(registry["sole_late_supplier"](spark, SF))
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ObjectHashAggregate" in plan, plan
+
+
+def test_top_supplier_single_fact_scan(spark, registry):
+    """Q15 shape: the window-over-aggregate form scans lineitem ONCE
+    (the scalar-subquery form re-derived the aggregate from a second
+    scan with no AQE exchange reuse)."""
+    plan = plan_of(registry["top_supplier"](spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+
+
+def test_skew_report_scans_prune_to_single_key_column(spark, registry):
+    """Wave-17 planner: each candidate key's count aggregate must read
+    exactly one column (a full-width lineitem scan for a key histogram
+    is the regression this pins against)."""
+    plan = plan_of(registry["partition_skew_report"](spark, SF))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        cols = [c for c in s.split(",") if c]
+        assert len(cols) == 1, s
+
+
+def test_video_scene_cuts_binary_stays_in_kernel(spark, registry):
+    """Wave-18 sequence shape: pixel bytes are consumed inside ONE
+    MapInPandas kernel; the window/lag logic must run on the scalar
+    luma relation, never on the binary column."""
+    plan = plan_of(registry["video_scene_cuts"](spark, SF))
+    # formatted mode lists each node in the tree AND the details section
+    assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 1, plan
+    # the lag window exists and is partitioned by doc_id
+    assert re.search(r"Window.*doc_id", plan, re.S), plan
