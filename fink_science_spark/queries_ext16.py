@@ -57,8 +57,16 @@ ORACLES_EXT16: dict[str, str] = {}
 # frame — 6 rows per doc, one doc_id exchange.
 # --------------------------------------------------------------------------
 
+# Both sequence queries pack (doc_id, position) into one id as
+# doc_id * _SEQ_STRIDE + position so the scalar kernels (which contract
+# to a single id column) carry the pair through; the asserts keep a
+# future "more frames/windows" tweak from silently colliding adjacent
+# documents' positions.
+_SEQ_STRIDE = 16
+
 _VSC_FRAMES = 6
 _VSC_CUT = 30.0
+assert _VSC_FRAMES <= _SEQ_STRIDE
 
 
 def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,6 +74,10 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = (
         _t(spark, sf_dir, "documents")
+        # NULL text ⇒ NULL blobs, which the kernel skips while the
+        # oracle's generator would still emit frame rows — both twins
+        # define the query over non-null documents explicitly
+        .filter(F.col("text").isNotNull())
         .select(
             "doc_id",
             "text",
@@ -74,7 +86,7 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            (F.col("doc_id") * 16 + F.col("frame_idx")).alias("fid"),
+            (F.col("doc_id") * _SEQ_STRIDE + F.col("frame_idx")).alias("fid"),
             F.unhex(
                 F.md5(
                     F.concat(
@@ -87,8 +99,8 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     luma = image_matrix_stats(frames, "fid", "blob", width=4, height=4).select(
-        F.expr("fid div 16").alias("doc_id"),
-        (F.col("fid") % 16).alias("frame_idx"),
+        F.expr(f"fid div {_SEQ_STRIDE}").alias("doc_id"),
+        (F.col("fid") % _SEQ_STRIDE).alias("frame_idx"),
         F.col("px_mean").alias("luma"),
     )
     w = Window.partitionBy("doc_id").orderBy("frame_idx")
@@ -113,6 +125,7 @@ WITH m AS (
          list_avg([('0x' || substr(md5(text || '#' || i), 2*j - 1, 2))::INT
                    for j in generate_series(1, 16)]) AS luma
   FROM documents, (SELECT unnest(generate_series(0, {_VSC_FRAMES - 1})) AS i)
+  WHERE text IS NOT NULL
 ),
 j AS (
   SELECT doc_id, frame_idx,
@@ -143,6 +156,7 @@ ORACLES_EXT16["video_scene_cuts"] = ORACLE_VIDEO_SCENE_CUTS
 
 _ASM_WINDOWS = 8
 _ASM_SILENT = 58.0
+assert _ASM_WINDOWS <= _SEQ_STRIDE
 
 
 def q_audio_silence_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,7 +172,7 @@ def q_audio_silence_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            (F.col("doc_id") * 16 + F.col("win_idx")).alias("wid"),
+            (F.col("doc_id") * _SEQ_STRIDE + F.col("win_idx")).alias("wid"),
             F.unhex(
                 F.md5(
                     F.concat(
@@ -171,11 +185,11 @@ def q_audio_silence_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mad = window_mad(wins, "wid", "blob", n_bytes=16).select(
-        F.expr("wid div 16").alias("doc_id"),
-        (F.col("wid") % 16).alias("win_idx"),
+        F.expr(f"wid div {_SEQ_STRIDE}").alias("doc_id"),
+        (F.col("wid") % _SEQ_STRIDE).alias("win_idx"),
         (F.col("mad") < _ASM_SILENT).alias("silent"),
     )
-    w = Window.partitionBy("doc_id", "silent").orderBy("win_idx")
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
     runs = (
         mad.filter("silent")
         .withColumn("grp", F.col("win_idx") - F.row_number().over(w))
@@ -187,7 +201,13 @@ def q_audio_silence_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("run_len").alias("longest_silence"),
         )
     )
-    totals = mad.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    # n_windows is the schema constant — deriving it by re-counting the
+    # mad relation would re-run the md5 generation and the kernel a
+    # second time (no AQE reuse across the filtered/unfiltered
+    # branches); the oracle hardcodes the same constant
+    totals = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lit(_ASM_WINDOWS).cast("long").alias("n_windows")
+    )
     return totals.join(runs, "doc_id", "left").select(
         "doc_id",
         "n_windows",

@@ -430,6 +430,7 @@ def test_wave16_wave17_queries_empty(spark, tmp_path):
     scalar reductions."""
     import fink_science_spark.queries_ext14 as w16
     import fink_science_spark.queries_ext15 as w17
+    import fink_science_spark.queries_ext16 as w18
 
     d = str(tmp_path / "w16_empty")
     schemas = {
@@ -457,7 +458,11 @@ def test_wave16_wave17_queries_empty(spark, tmp_path):
         )
     one_null_row = {"small_qty_revenue", "disjunctive_revenue",
                     "zipf_skew_fit"}
-    for name, q in {**w16.QUERIES_EXT14, **w17.QUERIES_EXT15}.items():
+    for name, q in {
+        **w16.QUERIES_EXT14,
+        **w17.QUERIES_EXT15,
+        **w18.QUERIES_EXT16,
+    }.items():
         out = q(spark, d)
         if name in one_null_row:
             rows = out.collect()

@@ -25,9 +25,17 @@ money = st.integers(min_value=-(10**9), max_value=10**9).map(
 
 
 def _duck(expr_sql: str, **params):
+    # CAST every param to DOUBLE/BIGINT: a bare literal like 2.675
+    # parses as DECIMAL(4,3) and would exercise DuckDB's exact decimal
+    # path instead of the double arithmetic the oracles actually run on
+    # parquet columns — the whole point is pinning the DOUBLE behavior
     con = duckdb.connect()
     try:
-        cols = ", ".join(f"{v!r} AS {k}" for k, v in params.items())
+        cols = ", ".join(
+            f"CAST({v!r} AS {'DOUBLE' if isinstance(v, float) else 'BIGINT'})"
+            f" AS {k}"
+            for k, v in params.items()
+        )
         return con.execute(
             f"SELECT {expr_sql} AS out FROM (SELECT {cols})"
         ).fetchone()[0]

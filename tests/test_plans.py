@@ -657,3 +657,12 @@ def test_video_scene_cuts_binary_stays_in_kernel(spark, registry):
     assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 1, plan
     # the lag window exists and is partitioned by doc_id
     assert re.search(r"Window.*doc_id", plan, re.S), plan
+
+
+def test_audio_silence_map_single_kernel(spark, registry):
+    """Wave-18 islands variant: exactly ONE window_mad kernel — the
+    n_windows total must come from the documents scan as a literal, not
+    from re-counting the kernel relation (which would re-run the md5
+    generation and the kernel with no AQE reuse; caught in review)."""
+    plan = plan_of(registry["audio_silence_map"](spark, SF))
+    assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 1, plan

@@ -262,6 +262,15 @@ COMMENTARY = {
         "ride a single doc_id exchange over a 6-rows-per-doc relation "
         "(schema constant, not data volume)."
     ),
+    "audio_silence_map": (
+        "Multimodal sequence shape, islands variant: sample bytes feed "
+        "ONE window_mad kernel; silence classify, the gaps-and-islands "
+        "group id, and both run aggregates share the doc_id "
+        "partitioning. n_windows is the schema constant taken from the "
+        "documents scan — re-counting the kernel relation would run "
+        "the md5 generation and the kernel twice (no AQE reuse across "
+        "the filtered/unfiltered branches; caught in review)."
+    ),
 }
 
 
