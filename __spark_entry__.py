@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fink_science_spark.queries_ext14 import QUERIES_EXT14
     from fink_science_spark.queries_ext15 import QUERIES_EXT15
     from fink_science_spark.queries_ext16 import QUERIES_EXT16
+    from fink_science_spark.queries_ext17 import QUERIES_EXT17
 
     return {
         **QUERIES,
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT14,
         **QUERIES_EXT15,
         **QUERIES_EXT16,
+        **QUERIES_EXT17,
     }
 
 
@@ -82,6 +84,7 @@ def oracle_sql() -> dict[str, str]:
     from fink_science_spark.queries_ext14 import ORACLES_EXT14
     from fink_science_spark.queries_ext15 import ORACLES_EXT15
     from fink_science_spark.queries_ext16 import ORACLES_EXT16
+    from fink_science_spark.queries_ext17 import ORACLES_EXT17
 
     return {
         **ORACLES,
@@ -101,4 +104,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT14,
         **ORACLES_EXT15,
         **ORACLES_EXT16,
+        **ORACLES_EXT17,
     }
