@@ -1,0 +1,219 @@
+"""REAL sklearn model artifacts — vectorized kernels + exact SQL twins.
+
+The reference scores several modules with pickled sklearn models:
+
+* microlensing (`mulens`): LIA RandomForest (1000 trees, 47 stats) +
+  whitened PCA — ztf/microlensing/classifier.py:61 (rf.sav / pca.sav)
+* kilonova: RandomForest heads (KN_model_1PC.pkl pipeline with a
+  RobustScaler, kilonova_model.pkl) — ztf/kilonova/processor.py
+* Rubin orphans: GradientBoostingClassifier —
+  rubin/orphans/classifier.py:137 (model_orphans.pkl)
+
+``tools/extract_sklearn_models.py`` transcribes each pickle with a stub
+unpickler (no sklearn import) into gzipped-JSON checkpoints of flat
+node arrays. This module re-implements the sklearn inference contracts:
+
+* RandomForestClassifier.predict_proba — per tree, route rows down
+  ``x[feature] <= threshold ? left : right`` (sklearn's convention),
+  normalize the leaf's class-count vector, average over trees.
+* GradientBoostingClassifier.predict_proba (binary log_loss) —
+  sigmoid(log-odds prior + learning_rate * sum of regressor leaves).
+* PCA.transform (whiten) — ((x - mean) @ components.T) / sqrt(var).
+* RobustScaler.transform — (x - center) / scale.
+
+Kernels are vectorized numpy: each tree is walked level-synchronously
+with integer node-index arrays (O(depth) passes over the batch, no
+Python per row). The SQL generators emit the IDENTICAL forest as nested
+CASE WHEN expressions with leaf probabilities pre-normalized at
+generation time — the DuckDB differential oracle for the kernel.
+
+100 TB design: checkpoints are 50-300 KB artifacts, loaded once per
+executor (ExecutorRegistry); scoring is per-row map work behind native
+pre-filters — no shuffle, no collect.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import numpy as np
+
+from fink_science_spark.operators.enrich import ExecutorRegistry
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
+
+
+def checkpoint_path(name: str) -> str:
+    env = os.environ.get(f"SPARK_GRAFT_{name.upper()}_CKPT")
+    return env or os.path.normpath(os.path.join(_DATA_DIR, f"{name}.json.gz"))
+
+
+def load_checkpoint(name: str) -> dict:
+    p = checkpoint_path(name)
+
+    def _load():
+        with gzip.open(p, "rt") as f:
+            art = json.load(f)
+        prepped = dict(art)
+        if art["kind"] == "rf_classifier":
+            prepped["trees"] = [_prep_tree(t, True) for t in art["trees"]]
+        elif art["kind"] == "gbt_binary_classifier":
+            prepped["trees"] = [_prep_tree(t, False) for t in art["trees"]]
+        elif art["kind"] == "pipeline":
+            steps = []
+            for s in art["steps"]:
+                s = dict(s)
+                if s.get("kind") == "rf_classifier":
+                    s["trees"] = [_prep_tree(t, True) for t in s["trees"]]
+                steps.append(s)
+            prepped["steps"] = steps
+        return prepped
+
+    return ExecutorRegistry.get(f"sklearn_ckpt_v1:{p}", _load)
+
+
+def _prep_tree(t: dict, normalize: bool) -> dict:
+    value = np.asarray(t["value"], dtype=np.float64)
+    if normalize:
+        value = value / value.sum(axis=1, keepdims=True)
+    return {
+        "left": np.asarray(t["left"], dtype=np.int64),
+        "right": np.asarray(t["right"], dtype=np.int64),
+        "feature": np.asarray(t["feature"], dtype=np.int64),
+        "threshold": np.asarray(t["threshold"], dtype=np.float64),
+        "value": value,
+    }
+
+
+def _tree_leaf_rows(X: np.ndarray, t: dict) -> np.ndarray:
+    """Leaf node index per row: level-synchronous descent."""
+    node = np.zeros(len(X), dtype=np.int64)
+    feature, thr = t["feature"], t["threshold"]
+    left, right = t["left"], t["right"]
+    while True:
+        f = feature[node]
+        internal = f >= 0  # sklearn leaves carry feature = -2
+        if not internal.any():
+            return node
+        fx = X[np.arange(len(X)), np.where(internal, f, 0)]
+        nxt = np.where(fx <= thr[node], left[node], right[node])
+        node = np.where(internal, nxt, node)
+
+
+def rf_proba(X: np.ndarray, ckpt: dict) -> np.ndarray:
+    """(n, k) class probabilities, sklearn predict_proba semantics.
+    Accumulates tree-by-tree in declaration order (the SQL twin's sum
+    order)."""
+    X = np.asarray(X, dtype=np.float64)
+    trees = ckpt["trees"]
+    acc = np.zeros((len(X), trees[0]["value"].shape[1]))
+    for t in trees:
+        acc = acc + t["value"][_tree_leaf_rows(X, t)]
+    return acc / float(len(trees))
+
+
+def gbt_proba(X: np.ndarray, ckpt: dict) -> np.ndarray:
+    """P(class 1) for a binary log_loss GradientBoostingClassifier."""
+    X = np.asarray(X, dtype=np.float64)
+    raw = np.full(len(X), float(ckpt["init_raw"]))
+    lr = float(ckpt["learning_rate"])
+    for t in ckpt["trees"]:
+        raw = raw + lr * t["value"][_tree_leaf_rows(X, t), 0]
+    return 1.0 / (1.0 + np.exp(-raw))
+
+
+def pca_transform(X: np.ndarray, ckpt: dict) -> np.ndarray:
+    comp = np.asarray(ckpt["components"], dtype=np.float64)
+    mean = np.asarray(ckpt["mean"], dtype=np.float64)
+    out = (np.asarray(X, dtype=np.float64) - mean) @ comp.T
+    if ckpt.get("whiten"):
+        out = out / np.sqrt(
+            np.asarray(ckpt["explained_variance"], dtype=np.float64)
+        )
+    return out
+
+
+def robust_scaler(X: np.ndarray, step: dict) -> np.ndarray:
+    X = np.asarray(X, dtype=np.float64)
+    if step.get("center") is not None:
+        X = X - np.asarray(step["center"], dtype=np.float64)
+    if step.get("scale") is not None:
+        X = X / np.asarray(step["scale"], dtype=np.float64)
+    return X
+
+
+# --------------------------------------------------------------------------
+# SQL twins
+# --------------------------------------------------------------------------
+
+
+def _tree_case_sql(t: dict, feats: list[str], col: int) -> str:
+    """One tree as nested CASE returning the leaf's class-`col` value."""
+    left, right = t["left"], t["right"]
+    feature, thr, value = t["feature"], t["threshold"], t["value"]
+
+    def node(i: int) -> str:
+        if feature[i] < 0:
+            return repr(float(value[i][col]))
+        return (
+            f"CASE WHEN ({feats[feature[i]]}) <= ({float(thr[i])!r}) "
+            f"THEN {node(int(left[i]))} ELSE {node(int(right[i]))} END"
+        )
+
+    return node(0)
+
+
+def rf_proba_sql(ckpt: dict, feats: list[str], class_idx: int) -> str:
+    """The forest's class-probability as one SQL expression (sum of
+    per-tree leaf probabilities / n_trees, declaration order)."""
+    trees = ckpt["trees"]
+    # list_sum over a flat list literal: summation stays sequential (the
+    # kernel's accumulation order) while expression DEPTH stays at the
+    # per-tree CASE nesting — a chained `+` of 1000 trees exceeds
+    # DuckDB's max_expression_depth.
+    votes = ",".join(f"({_tree_case_sql(t, feats, class_idx)})" for t in trees)
+    return f"(list_sum([{votes}]) / {float(len(trees))!r})"
+
+
+def gbt_proba_sql(ckpt: dict, feats: list[str]) -> str:
+    terms = ",".join(
+        f"({_tree_case_sql(t, feats, 0)})" for t in ckpt["trees"]
+    )
+    raw = (
+        f"({float(ckpt['init_raw'])!r} + {float(ckpt['learning_rate'])!r}"
+        f" * (list_sum([{terms}])))"
+    )
+    return f"(1.0/(1.0+exp(-{raw})))"
+
+
+def pca_transform_sql(ckpt: dict, feats: list[str]) -> list[str]:
+    """One expression per component: sum((x_j - mean_j) * c_kj) [/ sqrt(var_k)].
+    Left-to-right sum order matches the kernel's row-vector matmul only
+    to ulp; callers round outputs (the engine-wide contract)."""
+    comp = ckpt["components"]
+    mean = ckpt["mean"]
+    out = []
+    for k, row in enumerate(comp):
+        s = " + ".join(
+            f"(({feats[j]}) - ({float(mean[j])!r})) * ({float(c)!r})"
+            for j, c in enumerate(row)
+        )
+        e = f"({s})"
+        if ckpt.get("whiten"):
+            e = f"({e} / sqrt({float(ckpt['explained_variance'][k])!r}))"
+        out.append(e)
+    return out
+
+
+def robust_scaler_sql(step: dict, feats: list[str]) -> list[str]:
+    out = []
+    for j, f in enumerate(feats):
+        e = f
+        if step.get("center") is not None:
+            e = f"(({e}) - ({float(step['center'][j])!r}))"
+        if step.get("scale") is not None:
+            e = f"(({e}) / ({float(step['scale'][j])!r}))"
+        out.append(e)
+    return out

@@ -188,12 +188,517 @@ FROM {last}
 ORACLE_SNN_IA_REAL = None  # built lazily: see ORACLES_EXT17 below
 
 
+# --------------------------------------------------------------------------
+# mulens_real: the REAL LIA microlensing artifacts (rf.sav 1000-tree
+# RandomForest over 47 statistics, pca.sav whitened 47->44 PCA —
+# ztf/microlensing/classifier.py:61). The reference's LIA feature
+# extractor lives in an external package; the engine exercises both
+# artifacts faithfully to their sklearn contracts on a documented
+# 47-statistic recipe over per-user event aggregates (dyadic mixing
+# constants — exact in both engines). Native aggregation + projection;
+# only the forest/PCA evaluation is an Arrow kernel; the oracle carries
+# all 31k tree nodes as nested CASE expressions.
+# --------------------------------------------------------------------------
+
+_MULENS_N_FEATS = 47
+_MULENS_MIN_PTS = 10
+# dyadic mixing constants (exact binary fractions, shared verbatim with
+# the SQL twin through repr)
+_MULENS_A = [((j * 37) % 13) / 8.0 - 0.5 for j in range(_MULENS_N_FEATS)]
+_MULENS_B = [((j * 17) % 7) / 16.0 for j in range(_MULENS_N_FEATS)]
+_MULENS_C = [((j * 5) % 11) / 32.0 for j in range(_MULENS_N_FEATS)]
+
+
+def _mulens_feat_cols():
+    mean = F.col("vsum") / F.col("n")
+    spread = F.col("vmax") - F.col("vmin")
+    return [
+        F.round(
+            mean * F.lit(_MULENS_A[j])
+            + spread * F.lit(_MULENS_B[j])
+            + F.col("n") * F.lit(_MULENS_C[j]),
+            6,
+        ).alias(f"f{j}")
+        for j in range(_MULENS_N_FEATS)
+    ]
+
+
+def _mulens_feat_sql() -> list[str]:
+    mean = "(vsum / n)"
+    spread = "(vmax - vmin)"
+    return [
+        f"round({mean} * ({_MULENS_A[j]!r}) + {spread} * ({_MULENS_B[j]!r})"
+        f" + n * ({_MULENS_C[j]!r}), 6)"
+        for j in range(_MULENS_N_FEATS)
+    ]
+
+
+def q_mulens_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        pca_transform,
+        rf_proba,
+    )
+
+    ev = _events_us(spark, sf_dir)
+    base = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("vsum"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    feats = base.select("user_id", "n", *_mulens_feat_cols())
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("pc1", DoubleType()),
+            StructField("p_ml", DoubleType()),
+        ]
+    )
+    fcols = [f"f{j}" for j in range(_MULENS_N_FEATS)]
+
+    def kernel(batches):
+        import numpy as np
+
+        rf = load_checkpoint("mulens_rf")
+        pca = load_checkpoint("mulens_pca")
+        ml_idx = rf["classes"].index("ML")
+        for pdf in batches:
+            X = pdf[fcols].to_numpy(dtype=np.float64)
+            out = pdf[["user_id", "n"]].copy()
+            if len(X):
+                out["pc1"] = np.round(pca_transform(X, pca)[:, 0], 6)
+                out["p_ml"] = np.round(rf_proba(X, rf)[:, ml_idx], 6)
+            else:
+                out["pc1"] = np.zeros(0)
+                out["p_ml"] = np.zeros(0)
+            yield out
+
+    scored = feats.mapInPandas(kernel, schema=schema)
+    return scored.select(
+        "user_id",
+        "n",
+        "pc1",
+        F.when(F.col("n") >= _MULENS_MIN_PTS, F.col("p_ml"))
+        .otherwise(F.lit(0.0))
+        .alias("p_ml"),
+    )
+
+
+def _oracle_mulens_real() -> str:
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        pca_transform_sql,
+        rf_proba_sql,
+    )
+
+    rf = load_checkpoint("mulens_rf")
+    pca = load_checkpoint("mulens_pca")
+    feats = [f"f{j}" for j in range(_MULENS_N_FEATS)]
+    fdefs = ", ".join(
+        f"{e} AS f{j}" for j, e in enumerate(_mulens_feat_sql())
+    )
+    pml = rf_proba_sql(rf, feats, rf["classes"].index("ML"))
+    pc1 = pca_transform_sql(pca, feats)[0]
+    return f"""
+WITH base AS (
+  SELECT user_id, count(*) AS n, sum(value) AS vsum,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events GROUP BY user_id
+),
+feats AS (SELECT user_id, n, {fdefs} FROM base)
+SELECT user_id, n, round({pc1}, 6) AS pc1,
+       CASE WHEN n >= {_MULENS_MIN_PTS} THEN round({pml}, 6)
+            ELSE 0.0 END AS p_ml
+FROM feats
+"""
+
+
+# --------------------------------------------------------------------------
+# orphan_real: the REAL Rubin orphan-afterglow GradientBoosting model
+# (model_orphans.pkl, 100 log_loss stages, DummyClassifier log-odds
+# prior — rubin/orphans/classifier.py:137). The 12 features mirror the
+# reference frame's shape (duration, rates, colours, fit params) from
+# per-user light-curve aggregates, with dyadic scales placing each into
+# the trained model's split-threshold range (the reference gets there
+# via a row-max normalize of its physical features; dividing by exact
+# powers of two keeps both engines bit-identical). <5-point curves take
+# the reference's 0.0 sentinel without reaching the kernel.
+# --------------------------------------------------------------------------
+
+_ORPHAN_N_FEATS = 12
+_ORPHAN_MIN_PTS = 5
+# (numerator expression index, dyadic divisor) per feature — spans each
+# trained split range (see tests/test_sklearn_real.py spread guard)
+_ORPHAN_RECIPE = [
+    ("dur", 64.0),
+    ("mean", 256.0),
+    ("dur", 16384.0),
+    ("mean", 65536.0),
+    ("vmax", 256.0),
+    ("vmin", 256.0),
+    ("vspan_neg", 256.0),
+    ("n", 64.0),
+    ("mean_minus_max", 256.0),
+    ("dur", 1024.0),
+    ("min_minus_mean", 8192.0),
+    ("mean", 1024.0),
+]
+
+
+def q_orphan_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fink_science_spark.operators.sklearn_forest import (
+        gbt_proba,
+        load_checkpoint,
+    )
+
+    ev = _events_us(spark, sf_dir)
+    base = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        ((F.max("ts_us") - F.min("ts_us")) / F.lit(86400e6)).alias(
+            "duration"
+        ),
+        F.sum("value").alias("vsum"),
+        F.max("value").alias("vmax"),
+        F.min("value").alias("vmin"),
+    )
+    mean = F.col("vsum") / F.col("n")
+    nums = {
+        "dur": F.col("duration"),
+        "mean": mean,
+        "vmax": F.col("vmax"),
+        "vmin": F.col("vmin"),
+        "vspan_neg": F.col("vmin") - F.col("vmax"),
+        "n": F.col("n"),
+        "mean_minus_max": mean - F.col("vmax"),
+        "min_minus_mean": F.col("vmin") - mean,
+    }
+    fcols = [
+        F.round(nums[num] / F.lit(div), 6).alias(f"f{j}")
+        for j, (num, div) in enumerate(_ORPHAN_RECIPE)
+    ]
+    feats = base.select("user_id", "n", *fcols)
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("p_orphan", DoubleType()),
+        ]
+    )
+    names = [f"f{j}" for j in range(_ORPHAN_N_FEATS)]
+
+    def kernel(batches):
+        import numpy as np
+
+        gbt = load_checkpoint("orphans_gbt")
+        for pdf in batches:
+            X = pdf[names].to_numpy(dtype=np.float64)
+            out = pdf[["user_id", "n"]].copy()
+            out["p_orphan"] = (
+                np.round(gbt_proba(X, gbt), 6) if len(X) else np.zeros(0)
+            )
+            yield out
+
+    scored = feats.mapInPandas(kernel, schema=schema)
+    return scored.select(
+        "user_id",
+        "n",
+        F.when(F.col("n") >= _ORPHAN_MIN_PTS, F.col("p_orphan"))
+        .otherwise(F.lit(0.0))
+        .alias("p_orphan"),
+    )
+
+
+def _oracle_orphan_real() -> str:
+    from fink_science_spark.operators.sklearn_forest import (
+        gbt_proba_sql,
+        load_checkpoint,
+    )
+
+    gbt = load_checkpoint("orphans_gbt")
+    nums = {
+        "dur": "duration",
+        "mean": "(vsum / n)",
+        "vmax": "vmax",
+        "vmin": "vmin",
+        "vspan_neg": "(vmin - vmax)",
+        "n": "n",
+        "mean_minus_max": "((vsum / n) - vmax)",
+        "min_minus_mean": "(vmin - (vsum / n))",
+    }
+    fdefs = ", ".join(
+        f"round({nums[num]} / ({div!r}), 6) AS f{j}"
+        for j, (num, div) in enumerate(_ORPHAN_RECIPE)
+    )
+    p = gbt_proba_sql(gbt, [f"f{j}" for j in range(_ORPHAN_N_FEATS)])
+    return f"""
+WITH base AS (
+  SELECT user_id, count(*) AS n,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) / 86400e6 AS duration,
+         sum(value) AS vsum, max(value) AS vmax, min(value) AS vmin
+  FROM events GROUP BY user_id
+),
+feats AS (SELECT user_id, n, {fdefs} FROM base)
+SELECT user_id, n,
+       CASE WHEN n >= {_ORPHAN_MIN_PTS} THEN round({p}, 6)
+            ELSE 0.0 END AS p_orphan
+FROM feats
+"""
+
+
+# --------------------------------------------------------------------------
+# kn_rf_real: the REAL kilonova head — KN_model_1PC.pkl's
+# RobustScaler + 50-tree RandomForest — stacked on the REAL kndetect
+# PCA projection that landed in round 5 (operators/kn_pca.py,
+# KN_PC_all_bands.npy transcription). Same veto cascade and curve prep
+# as kn_score; 8 features = 4 peak-aligned PCA coefficients + per-band
+# depth/amplitude terms, rounded before the scaler so both engines
+# compare bit-identical inputs against the real thresholds.
+# --------------------------------------------------------------------------
+
+
+def q_kn_rf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        rf_proba,
+        robust_scaler,
+    )
+    from fink_science_spark.queries import _t
+    from fink_science_spark.queries_ext8 import (
+        _KN_GAINS,
+        _KN_PCS,
+        _KN_SEGMENTS,
+        _kn_coef_col,
+        _kn_prep_cols,
+    )
+
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    curves = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
+            ).alias("h")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("h.value").alias("vals"),
+            F.size("h").alias("npts"),
+        )
+    )
+    g = curves.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("vals").alias("g_vals"), F.col("npts").alias("n_g")
+    )
+    r = curves.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("vals").alias("r_vals"), F.col("npts").alias("n_r")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    both = (
+        g.join(r, "user_id", "full_outer")
+        .join(F.broadcast(cust), "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("n_g", F.lit(0)).alias("n_g"),
+            F.coalesce("n_r", F.lit(0)).alias("n_r"),
+            "g_vals",
+            "r_vals",
+            "c_mktsegment",
+        )
+    )
+    eligible = (
+        (F.col("n_g") >= 2)
+        & (F.col("n_r") >= 2)
+        & F.col("c_mktsegment").isin(*_KN_SEGMENTS)
+    )
+    prepped = both.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        eligible.alias("__ok"),
+        *_kn_prep_cols("g_vals", "kg"),
+        *_kn_prep_cols("r_vals", "kr"),
+    )
+    feats = prepped.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        "__ok",
+        F.round(
+            _kn_coef_col("kg_s", "kg_m", "kg_sh", _KN_PCS["g"][0], _KN_GAINS[0]),
+            6,
+        ).alias("f0"),
+        F.round(
+            _kn_coef_col("kg_s", "kg_m", "kg_sh", _KN_PCS["g"][1], _KN_GAINS[1]),
+            6,
+        ).alias("f1"),
+        F.round(
+            _kn_coef_col("kr_s", "kr_m", "kr_sh", _KN_PCS["r"][0], _KN_GAINS[2]),
+            6,
+        ).alias("f2"),
+        F.round(
+            _kn_coef_col("kr_s", "kr_m", "kr_sh", _KN_PCS["r"][1], _KN_GAINS[3]),
+            6,
+        ).alias("f3"),
+        F.round(F.log(F.lit(1.0) + F.col("n_g")), 6).alias("f4"),
+        F.round(F.log(F.lit(1.0) + F.col("n_r")), 6).alias("f5"),
+        F.round(F.log(F.col("kg_m")), 6).alias("f6"),
+        F.round(F.log(F.col("kr_m")), 6).alias("f7"),
+    )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_g", IntegerType()),
+            StructField("n_r", IntegerType()),
+            StructField("__ok", DoubleType()),
+            StructField("p_kn", DoubleType()),
+        ]
+    )
+    names = [f"f{j}" for j in range(8)]
+
+    def kernel(batches):
+        import numpy as np
+
+        art = load_checkpoint("kn_rf_1pc")
+        scaler = next(
+            s for s in art["steps"] if s.get("kind") == "robust_scaler"
+        )
+        rf = next(s for s in art["steps"] if s.get("kind") == "rf_classifier")
+        true_idx = rf["classes"].index("True")
+        for pdf in batches:
+            X = pdf[names].to_numpy(dtype=np.float64)
+            out = pdf[["user_id", "n_g", "n_r"]].copy()
+            out["__ok"] = pdf["__ok"].astype(float)
+            out["p_kn"] = (
+                np.round(
+                    rf_proba(robust_scaler(X, scaler), rf)[:, true_idx], 6
+                )
+                if len(X)
+                else np.zeros(0)
+            )
+            yield out
+
+    scored = feats.mapInPandas(kernel, schema=schema)
+    return scored.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        F.when(F.col("__ok") > 0.5, F.col("p_kn"))
+        .otherwise(F.lit(0.0))
+        .alias("p_kn"),
+    )
+
+
+def _oracle_kn_rf_real() -> str:
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        rf_proba_sql,
+        robust_scaler_sql,
+    )
+    from fink_science_spark.queries_ext8 import (
+        _KN_GAINS,
+        _KN_PCS,
+        _KN_PREP_G,
+        _KN_PREP_R,
+        _kn_coef_sql,
+    )
+
+    art = load_checkpoint("kn_rf_1pc")
+    scaler = next(s for s in art["steps"] if s.get("kind") == "robust_scaler")
+    rf = next(s for s in art["steps"] if s.get("kind") == "rf_classifier")
+    feats = [
+        f"round({_kn_coef_sql('kg_s', 'kg_m', 'kg_sh', _KN_PCS['g'][0], _KN_GAINS[0])}, 6)",
+        f"round({_kn_coef_sql('kg_s', 'kg_m', 'kg_sh', _KN_PCS['g'][1], _KN_GAINS[1])}, 6)",
+        f"round({_kn_coef_sql('kr_s', 'kr_m', 'kr_sh', _KN_PCS['r'][0], _KN_GAINS[2])}, 6)",
+        f"round({_kn_coef_sql('kr_s', 'kr_m', 'kr_sh', _KN_PCS['r'][1], _KN_GAINS[3])}, 6)",
+        "round(ln(1.0 + n_g), 6)",
+        "round(ln(1.0 + n_r), 6)",
+        "round(ln(kg_m), 6)",
+        "round(ln(kr_m), 6)",
+    ]
+    fdefs = ", ".join(f"{e} AS f{j}" for j, e in enumerate(feats))
+    scaled = robust_scaler_sql(scaler, [f"f{j}" for j in range(8)])
+    p = rf_proba_sql(rf, scaled, rf["classes"].index("True"))
+    return f"""
+WITH curves AS (
+  SELECT user_id, event_type,
+         list(value ORDER BY epoch_us(ts), value) AS vals,
+         count(*) AS npts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id, event_type
+),
+both_bands AS (
+  SELECT coalesce(g.user_id, r.user_id) AS user_id,
+         coalesce(g.npts, 0) AS n_g, coalesce(r.npts, 0) AS n_r,
+         g.vals AS g_vals, r.vals AS r_vals
+  FROM (SELECT * FROM curves WHERE event_type = 'click') g
+  FULL OUTER JOIN (SELECT * FROM curves WHERE event_type = 'purchase') r
+    ON g.user_id = r.user_id
+),
+with_seg AS (
+  SELECT b.*, c.c_mktsegment FROM both_bands b
+  LEFT JOIN customer c ON b.user_id = c.c_custkey
+),
+prepped AS (
+  SELECT user_id, n_g, n_r, c_mktsegment,
+         {_KN_PREP_G[0]} AS kg_s, {_KN_PREP_G[1]} AS kg_m,
+         {_KN_PREP_G[2]} AS kg_sh,
+         {_KN_PREP_R[0]} AS kr_s, {_KN_PREP_R[1]} AS kr_m,
+         {_KN_PREP_R[2]} AS kr_sh
+  FROM with_seg
+),
+feats AS (SELECT user_id, n_g, n_r, c_mktsegment, {fdefs} FROM prepped)
+SELECT user_id, n_g, n_r,
+       CASE WHEN n_g >= 2 AND n_r >= 2
+                 AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+            THEN round({p}, 6)
+            ELSE 0.0 END AS p_kn
+FROM feats
+"""
+
+
 def _lazy_oracles() -> dict[str, str]:
-    return {"snn_ia_real": _oracle_snn_real()}
+    return {
+        "snn_ia_real": _oracle_snn_real(),
+        "mulens_real": _oracle_mulens_real(),
+        "orphan_real": _oracle_orphan_real(),
+        "kn_rf_real": _oracle_kn_rf_real(),
+    }
 
 
 QUERIES_EXT17 = {
     "snn_ia_real": q_snn_ia_real,
+    "mulens_real": q_mulens_real,
+    "orphan_real": q_orphan_real,
+    "kn_rf_real": q_kn_rf_real,
 }
 
 
