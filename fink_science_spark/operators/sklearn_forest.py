@@ -59,7 +59,10 @@ def load_checkpoint(name: str) -> dict:
         prepped = dict(art)
         if art["kind"] == "rf_classifier":
             prepped["trees"] = [_prep_tree(t, True) for t in art["trees"]]
-        elif art["kind"] == "gbt_binary_classifier":
+        elif art["kind"] in (
+            "gbt_binary_classifier",
+            "onnx_tree_ensemble_sum",
+        ):
             prepped["trees"] = [_prep_tree(t, False) for t in art["trees"]]
         elif art["kind"] == "pipeline":
             steps = []
@@ -122,6 +125,18 @@ def gbt_proba(X: np.ndarray, ckpt: dict) -> np.ndarray:
     for t in ckpt["trees"]:
         raw = raw + lr * t["value"][_tree_leaf_rows(X, t), 0]
     return 1.0 / (1.0 + np.exp(-raw))
+
+
+def onnx_ensemble_raw(X: np.ndarray, ckpt: dict) -> np.ndarray:
+    """ai.onnx.ml TreeEnsembleRegressor with SUM aggregation (the AAD
+    anomaly forests): raw score = base + Σ_trees leaf weight. Same
+    level-synchronous descent as the sklearn forests (BRANCH_LEQ:
+    x <= threshold routes to the true/left branch)."""
+    X = np.asarray(X, dtype=np.float64)
+    raw = np.full(len(X), float(ckpt["base"]))
+    for t in ckpt["trees"]:
+        raw = raw + t["value"][_tree_leaf_rows(X, t), 0]
+    return raw
 
 
 def pca_transform(X: np.ndarray, ckpt: dict) -> np.ndarray:
@@ -205,6 +220,74 @@ def pca_transform_sql(ckpt: dict, feats: list[str]) -> list[str]:
             e = f"({e} / sqrt({float(ckpt['explained_variance'][k])!r}))"
         out.append(e)
     return out
+
+
+def onnx_nodes_cte(ckpt: dict, cte_name: str) -> str:
+    """The ensemble's node table as ONE CTE of zipped unnest() list
+    literals — flat text, flat expression depth (155k-node forests
+    exceed both the nested-CASE depth limit and any sane parse time).
+    Columns: tree, node, feat (-2 at leaves), thr, lid, rid, w."""
+    tree_l, node_l, feat_l, thr_l, lid_l, rid_l, w_l = [], [], [], [], [], [], []
+    for ti, t in enumerate(ckpt["trees"]):
+        n = len(t["left"])
+        tree_l.extend([ti] * n)
+        node_l.extend(range(n))
+        feat_l.extend(int(f) for f in t["feature"])
+        thr_l.extend(float(x) for x in t["threshold"])
+        lid_l.extend(int(x) for x in t["left"])
+        rid_l.extend(int(x) for x in t["right"])
+        w_l.extend(float(v[0]) for v in t["value"])
+
+    # Arrays ride as ONE comma-joined string literal each, decoded with
+    # string_split: a 150k-element LIST literal costs ~13s of parse +
+    # constant-fold per table, the equivalent string costs ~0.1s (it is
+    # a single token). repr() round-trips every double exactly.
+    def ints(vals):
+        s = ",".join(str(v) for v in vals)
+        return f"unnest(string_split('{s}', ','))::INTEGER"
+
+    def dbls(vals):
+        s = ",".join(repr(v) for v in vals)
+        return f"unnest(string_split('{s}', ','))::DOUBLE"
+
+    # MATERIALIZED: the recursive walk joins this table once per depth
+    # level — re-evaluating the unnest each iteration is ~10x the cost.
+    return (
+        f"{cte_name} AS MATERIALIZED (SELECT {ints(tree_l)} AS tree, "
+        f"{ints(node_l)} AS node, {ints(feat_l)} AS feat, "
+        f"{dbls(thr_l)} AS thr, {ints(lid_l)} AS lid, "
+        f"{ints(rid_l)} AS rid, {dbls(w_l)} AS w)"
+    )
+
+
+def onnx_walk_sql(
+    cte_name: str,
+    feats_cte: str,
+    key: str,
+    xs_col: str,
+    base: float,
+    out_cte: str,
+) -> str:
+    """Recursive-CTE traversal of an :func:`onnx_nodes_cte` table over a
+    features CTE exposing ``key`` and ``xs_col`` (DOUBLE[]). Emits two
+    CTEs: ``{out_cte}_walk`` (the descent — rows = keys × trees ×
+    depth) and ``{out_cte}`` (key, score = base + Σ leaf weights)."""
+    return f"""{out_cte}_walk AS (
+  SELECT f.{key} AS k, n.tree AS tree, 0 AS node
+  FROM {feats_cte} f CROSS JOIN (SELECT DISTINCT tree FROM {cte_name}) n
+  UNION ALL
+  SELECT w.k, w.tree,
+         CASE WHEN f.{xs_col}[n.feat + 1] <= n.thr THEN n.lid ELSE n.rid END
+  FROM {out_cte}_walk w
+  JOIN {cte_name} n ON n.tree = w.tree AND n.node = w.node AND n.feat >= 0
+  JOIN {feats_cte} f ON f.{key} = w.k
+),
+{out_cte} AS (
+  SELECT w.k AS {key}, {base!r} + sum(n.w) AS score
+  FROM {out_cte}_walk w
+  JOIN {cte_name} n ON n.tree = w.tree AND n.node = w.node AND n.feat < 0
+  GROUP BY w.k
+)"""
 
 
 def robust_scaler_sql(step: dict, feats: list[str]) -> list[str]:

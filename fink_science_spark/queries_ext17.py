@@ -685,12 +685,225 @@ FROM feats
 """
 
 
+# --------------------------------------------------------------------------
+# anomaly_real: the REAL AAD anomaly-detection forests — two ONNX
+# TreeEnsembleRegressors (150 depth-12 trees, ~150k nodes per band,
+# forest_{g,r}_AAD_beta.onnx read with the stdlib protobuf walker in
+# tools/extract_onnx_forest.py; ztf/anomaly_detection/processor.py:
+# 92-133). Reference semantics reproduced end to end: per-band raw
+# score = Σ leaf weights (SUM ensemble), then the TwoBandModel combine —
+# min of the valid bands, single valid band passes through, neither ->
+# 0.0 sentinel. The 25 features per band place per-user aggregates
+# inside each feature's trained threshold span (bounds read off the
+# checkpoint itself, embedded as literals in BOTH engines). The oracle
+# walks the full node tables via recursive CTEs over zipped unnest()
+# lists — flat text, flat depth.
+# --------------------------------------------------------------------------
+
+_ANOM_N_FEATS = 25
+_ANOM_MIN_PTS = 5
+# per-feature mixing constants (dyadic)
+_ANOM_C = [((j * 11) % 16 + 1) / 16.0 for j in range(_ANOM_N_FEATS)]
+_ANOM_D = [((j * 7) % 8 + 1) / 32.0 for j in range(_ANOM_N_FEATS)]
+
+
+def _anom_bounds(band: str) -> list[tuple[float, float]]:
+    """Per-feature (lo, hi) threshold span read off the REAL forest."""
+    from fink_science_spark.operators.sklearn_forest import load_checkpoint
+
+    ckpt = load_checkpoint(f"anomaly_forest_{band}")
+    lo = [float("inf")] * _ANOM_N_FEATS
+    hi = [float("-inf")] * _ANOM_N_FEATS
+    for t in ckpt["trees"]:
+        for f, th in zip(t["feature"], t["threshold"]):
+            if f >= 0:
+                lo[f] = min(lo[f], float(th))
+                hi[f] = max(hi[f], float(th))
+    return list(zip(lo, hi))
+
+
+def _anom_feat_cols(band: str, vsum, vmax):
+    bounds = _anom_bounds(band)
+    cols = []
+    for j, (lo, hi) in enumerate(bounds):
+        mix = vsum * F.lit(_ANOM_C[j]) + vmax * F.lit(_ANOM_D[j])
+        u = mix - F.floor(mix)
+        cols.append(
+            F.round(F.lit(lo) + u * F.lit(hi - lo), 6).alias(f"{band}{j}")
+        )
+    return cols
+
+
+def _anom_feat_sql(band: str, vsum: str, vmax: str) -> list[str]:
+    bounds = _anom_bounds(band)
+    out = []
+    for j, (lo, hi) in enumerate(bounds):
+        mix = f"({vsum} * ({_ANOM_C[j]!r}) + {vmax} * ({_ANOM_D[j]!r}))"
+        u = f"({mix} - floor({mix}))"
+        out.append(f"round(({lo!r}) + {u} * ({hi - lo!r}), 6)")
+    return out
+
+
+def q_anomaly_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        onnx_ensemble_raw,
+    )
+
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    per_band = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("vsum"),
+        F.max("value").alias("vmax"),
+    )
+    g = per_band.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("n").alias("n_g"),
+        F.col("vsum").alias("gsum"),
+        F.col("vmax").alias("gmax"),
+    )
+    r = per_band.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("n").alias("n_r"),
+        F.col("vsum").alias("rsum"),
+        F.col("vmax").alias("rmax"),
+    )
+    both = g.join(r, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n_g", F.lit(0)).alias("n_g"),
+        F.coalesce("n_r", F.lit(0)).alias("n_r"),
+        F.coalesce("gsum", F.lit(0.0)).alias("gsum"),
+        F.coalesce("gmax", F.lit(0.0)).alias("gmax"),
+        F.coalesce("rsum", F.lit(0.0)).alias("rsum"),
+        F.coalesce("rmax", F.lit(0.0)).alias("rmax"),
+    )
+    feats = both.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        *_anom_feat_cols("g", F.col("gsum"), F.col("gmax")),
+        *_anom_feat_cols("r", F.col("rsum"), F.col("rmax")),
+    )
+    gcols = [f"g{j}" for j in range(_ANOM_N_FEATS)]
+    rcols = [f"r{j}" for j in range(_ANOM_N_FEATS)]
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_g", LongType()),
+            StructField("n_r", LongType()),
+            StructField("score_g", DoubleType()),
+            StructField("score_r", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        fg = load_checkpoint("anomaly_forest_g")
+        fr = load_checkpoint("anomaly_forest_r")
+        for pdf in batches:
+            out = pdf[["user_id", "n_g", "n_r"]].copy()
+            if len(pdf):
+                out["score_g"] = np.round(
+                    onnx_ensemble_raw(
+                        pdf[gcols].to_numpy(dtype=np.float64), fg
+                    ),
+                    6,
+                )
+                out["score_r"] = np.round(
+                    onnx_ensemble_raw(
+                        pdf[rcols].to_numpy(dtype=np.float64), fr
+                    ),
+                    6,
+                )
+            else:
+                out["score_g"] = np.zeros(0)
+                out["score_r"] = np.zeros(0)
+            yield out
+
+    scored = feats.mapInPandas(kernel, schema=schema)
+    ok_g = F.col("n_g") >= _ANOM_MIN_PTS
+    ok_r = F.col("n_r") >= _ANOM_MIN_PTS
+    return scored.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        F.when(ok_g & ok_r, F.least("score_g", "score_r"))
+        .when(ok_g, F.col("score_g"))
+        .when(ok_r, F.col("score_r"))
+        .otherwise(F.lit(0.0))
+        .alias("anomaly"),
+    )
+
+
+def _oracle_anomaly_real() -> str:
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        onnx_nodes_cte,
+        onnx_walk_sql,
+    )
+
+    fg = load_checkpoint("anomaly_forest_g")
+    fr = load_checkpoint("anomaly_forest_r")
+    gfeats = _anom_feat_sql("g", "gsum", "gmax")
+    rfeats = _anom_feat_sql("r", "rsum", "rmax")
+    gxs = "[" + ",".join(gfeats) + "]"
+    rxs = "[" + ",".join(rfeats) + "]"
+    return f"""
+WITH RECURSIVE per_band AS (
+  SELECT user_id, event_type, count(*) AS n, sum(value) AS vsum,
+         max(value) AS vmax
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id, event_type
+),
+both_bands AS (
+  SELECT coalesce(g.user_id, r.user_id) AS user_id,
+         coalesce(g.n, 0) AS n_g, coalesce(r.n, 0) AS n_r,
+         coalesce(g.vsum, 0.0) AS gsum, coalesce(g.vmax, 0.0) AS gmax,
+         coalesce(r.vsum, 0.0) AS rsum, coalesce(r.vmax, 0.0) AS rmax
+  FROM (SELECT * FROM per_band WHERE event_type = 'click') g
+  FULL OUTER JOIN (SELECT * FROM per_band WHERE event_type = 'purchase') r
+    ON g.user_id = r.user_id
+),
+feats AS (
+  SELECT user_id, n_g, n_r, {gxs}::DOUBLE[] AS gxs, {rxs}::DOUBLE[] AS rxs
+  FROM both_bands
+),
+{onnx_nodes_cte(fg, "nodes_g")},
+{onnx_nodes_cte(fr, "nodes_r")},
+{onnx_walk_sql("nodes_g", "feats", "user_id", "gxs", fg["base"], "score_g")},
+{onnx_walk_sql("nodes_r", "feats", "user_id", "rxs", fr["base"], "score_r")}
+SELECT f.user_id, f.n_g, f.n_r,
+       CASE
+         WHEN f.n_g >= {_ANOM_MIN_PTS} AND f.n_r >= {_ANOM_MIN_PTS}
+           THEN least(round(sg.score, 6), round(sr.score, 6))
+         WHEN f.n_g >= {_ANOM_MIN_PTS} THEN round(sg.score, 6)
+         WHEN f.n_r >= {_ANOM_MIN_PTS} THEN round(sr.score, 6)
+         ELSE 0.0
+       END AS anomaly
+FROM feats f
+LEFT JOIN score_g sg ON sg.user_id = f.user_id
+LEFT JOIN score_r sr ON sr.user_id = f.user_id
+"""
+
+
 def _lazy_oracles() -> dict[str, str]:
     return {
         "snn_ia_real": _oracle_snn_real(),
         "mulens_real": _oracle_mulens_real(),
         "orphan_real": _oracle_orphan_real(),
         "kn_rf_real": _oracle_kn_rf_real(),
+        "anomaly_real": _oracle_anomaly_real(),
     }
 
 
@@ -699,6 +912,7 @@ QUERIES_EXT17 = {
     "mulens_real": q_mulens_real,
     "orphan_real": q_orphan_real,
     "kn_rf_real": q_kn_rf_real,
+    "anomaly_real": q_anomaly_real,
 }
 
 

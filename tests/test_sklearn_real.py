@@ -194,6 +194,52 @@ def test_pca_and_scaler_formulas():
     )
 
 
+ANOM_ZIP = (
+    "/root/reference/fink_science/data/models/anomaly_detection/"
+    "anomaly_detection_forest_AAD_beta.zip"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(ANOM_ZIP), reason="reference anomaly zip absent"
+)
+def test_onnx_anomaly_checkpoints_verbatim():
+    """Fresh stdlib-protobuf extraction of the ONNX forests equals the
+    committed checkpoints bit for bit (both bands, every tree)."""
+    import zipfile
+
+    from extract_onnx_forest import extract_tree_ensemble, to_checkpoint
+
+    z = zipfile.ZipFile(ANOM_ZIP)
+    for band in ("g", "r"):
+        fresh = to_checkpoint(
+            extract_tree_ensemble(z.read(f"forest_{band}_AAD_beta.onnx")),
+            f"forest_{band}_AAD_beta.onnx",
+        )
+        art = _ckpt_raw(f"anomaly_forest_{band}")
+        assert len(art["trees"]) == len(fresh["trees"]) == 150
+        assert art["base"] == fresh["base"]
+        for a, b in zip(art["trees"], fresh["trees"]):
+            assert a == b
+
+
+def test_onnx_ensemble_matches_scalar_walk():
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        onnx_ensemble_raw,
+    )
+
+    ckpt = load_checkpoint("anomaly_forest_g")
+    rng = np.random.default_rng(17)
+    X = rng.uniform(0, 20, size=(5, 25))
+    got = onnx_ensemble_raw(X, ckpt)
+    for r in range(5):
+        want = ckpt["base"] + sum(
+            _scalar_tree_value(t, X[r], 0) for t in ckpt["trees"]
+        )
+        assert abs(got[r] - want) < 1e-12
+
+
 def test_real_forest_queries_non_degenerate(spark, sf_smoke):
     """Constant outputs would vacuously pass hash parity — require
     spread in each real-model query's score column."""
@@ -204,6 +250,7 @@ def test_real_forest_queries_non_degenerate(spark, sf_smoke):
         ("orphan_real", "p_orphan"),
         ("kn_rf_real", "p_kn"),
         ("snn_ia_real", "snn_ia_real"),
+        ("anomaly_real", "anomaly"),
     ]:
         vals = [
             r[0]
