@@ -216,6 +216,12 @@ HEADLINE = [
     # wave 18: multimodal sequence analysis
     "video_scene_cuts",
     "audio_silence_map",
+    # wave 19: REAL extracted model weights (round 6)
+    "snn_ia_real",
+    "mulens_real",
+    "orphan_real",
+    "kn_rf_real",
+    "anomaly_real",
 ]
 
 
@@ -350,6 +356,21 @@ def main() -> None:
     calibration = (
         round(statistics.median(cal_samples), 3) if cal_samples else -1.0
     )
+    # Self-adjudicating record: alongside the raw medians, emit each
+    # query's calibration-NORMALIZED median — median × (idle-host probe /
+    # this run's probe) — so a reader can compare rounds without
+    # archaeology. CAL_IDLE is the probe's measured value on this host
+    # with no external load (median of repeated idle runs, 2026-08-16);
+    # a contended window inflates probe and queries alike, so the ratio
+    # cancels the contention to first order.
+    CAL_IDLE = 0.406
+    queries_cal_norm: dict[str, float] = {}
+    if calibration > 0:
+        scale = CAL_IDLE / calibration
+        for name, t in timings.items():
+            if t >= 0:
+                queries_cal_norm[name] = round(t * scale, 3)
+    total_cal_norm = round(sum(queries_cal_norm.values()), 3)
     rows_per_s = {}
     for name, table in SCAN_BOUND.items():
         t = timings.get(name)
@@ -375,6 +396,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cal_norm": queries_cal_norm,
+                "total_cal_norm": total_cal_norm,
+                "cal_idle": CAL_IDLE,
                 "calibration": calibration,
                 "rows_per_s": rows_per_s,
                 "sf": _sf_from_dir(SF_DIR),
@@ -401,6 +425,7 @@ def main() -> None:
                 "n_queries": sum(1 for t in timings.values() if t >= 0),
                 "n_failed": len(failed),
                 "calibration": calibration,
+                "total_cal_norm": total_cal_norm,
                 "slowest": {n: t for t, n in slowest},
                 "sf": _sf_from_dir(SF_DIR),
             },

@@ -422,6 +422,7 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
         seed_rows = (
             e.orderBy(hash64(F.col("vec_id").cast("string")), "vec_id")
             .limit(_PQ_K)
+            # bounded-collect: PQ codebook seed rows, hard limit(_PQ_K) above
             .collect()
         )
         cb0 = spark.createDataFrame(
@@ -444,6 +445,7 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
                     lambda t: t["m"],
                 ).alias("cv")
             )
+            # bounded-collect: _PQ_S*_PQ_K centroid rows (Lloyd partials aggregated distributed-side)
             .collect()
         )
         cb1_data = [(r["s"], r["cell"], list(r["cv"])) for r in cb1_rows]
@@ -731,6 +733,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("token", "cnt")
+        # bounded-collect: BPE merge-state, m-bounded token table (row_number==1)
         .collect()
     )
     spark.catalog.dropTempView(name)

@@ -124,6 +124,7 @@ def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("price").alias("lo"),
         F.max("price").alias("hi"),
+    # bounded-collect: single-row stats frame (count/min/max)
     ).collect()[0]
     if stats["n"] == 0:
         return local.orderBy("price", "p_partkey")
@@ -672,6 +673,7 @@ def q_median_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = li.agg(
         F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    # bounded-collect: single-row stats frame (count/min/max)
     ).collect()[0]
     n = stats["n"]
     if n == 0:
@@ -692,6 +694,7 @@ def q_median_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(bin_col.alias("b"))
         .agg(F.count("*").alias("c"))
         .orderBy("b")
+        # bounded-collect: fixed _MB_BINS-row histogram
         .collect()
     )
     cum = 0

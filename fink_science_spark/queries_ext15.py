@@ -139,9 +139,19 @@ ORACLES_EXT15["partition_skew_report"] = ORACLE_PARTITION_SKEW_REPORT
 # Exactness: ln() is quantized to 1e-6 integers BEFORE summation, so
 # the five sufficient statistics (Sx, Sy, Sxx, Sxy, Syy) are exact
 # int64 sums — no float accumulation order anywhere; the closed-form
-# slope/intercept/r² divide exact integers once at the end. (Int
-# bounds: |x_q|,|y_q| ≤ ~2·10⁷ for any realistic count, so Sxy ≤
-# K·4·10¹⁴ ≪ 2⁶³.)
+# slope/intercept/r² divide exact integers once at the end.
+#
+# Int bounds — the BINDING term is n·Syy, not Sxy: with per-key counts
+# up to c, yq = round(1e6·ln c) so n·Syy ≈ K²·yq². At c = 10²⁸ (yq ≈
+# 6.4·10⁷, K = 100) n·Syy ≈ 4.2·10¹⁹ > 2⁶³ — but any count above
+# ~e^(2⁶³/K²)^½/1e6 ≈ 10¹²·⁵ rows PER KEY is orders beyond a 100 TB
+# table (≈10¹² rows TOTAL), so the practical ceiling is ~6·10¹⁸ at
+# c ≈ 2.7·10⁷ per key, ~1.2× under int64. Past it DuckDB raises while
+# Spark wraps silently, so the parity gate would NOT catch a wrong
+# slope — keep K at 100 and re-derive this bound before raising it.
+# (Casting the stats to double instead would remove the cliff but break
+# the EXACT den_y == 0 detection below — near-uniform counts would give
+# a tiny nonzero den_y that the two engines round differently.)
 # --------------------------------------------------------------------------
 
 _ZIPF_TOP_K = 100

@@ -162,8 +162,13 @@ assert _ASM_WINDOWS <= _SEQ_STRIDE
 def q_audio_silence_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_science_spark.operators.multimodal import window_mad
 
+    # NULL-text documents are EXCLUDED (same contract as
+    # video_scene_cuts): they have no decodable windows, and reporting
+    # n_windows=8 / n_silent=0 for them would claim analysis that never
+    # happened (round-5 advice item).
     wins = (
         _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
         .select(
             "doc_id",
             "text",
@@ -205,8 +210,10 @@ def q_audio_silence_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mad relation would re-run the md5 generation and the kernel a
     # second time (no AQE reuse across the filtered/unfiltered
     # branches); the oracle hardcodes the same constant
-    totals = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.lit(_ASM_WINDOWS).cast("long").alias("n_windows")
+    totals = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.lit(_ASM_WINDOWS).cast("long").alias("n_windows"))
     )
     return totals.join(runs, "doc_id", "left").select(
         "doc_id",
@@ -222,7 +229,8 @@ WITH m AS (
          list_avg([abs(('0x' || substr(md5(text || '~' || i), 2*j - 1, 2))::INT
                        - 128)
                    for j in generate_series(1, 16)]) AS loudness
-  FROM documents, (SELECT unnest(generate_series(0, {_ASM_WINDOWS - 1})) AS i)
+  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents,
+       (SELECT unnest(generate_series(0, {_ASM_WINDOWS - 1})) AS i)
 ),
 s AS (
   SELECT doc_id, win_idx FROM m WHERE loudness < {_ASM_SILENT!r}
@@ -244,7 +252,8 @@ agg AS (
 SELECT d.doc_id, {_ASM_WINDOWS} AS n_windows,
        COALESCE(agg.n_silent, 0) AS n_silent,
        COALESCE(agg.longest_silence, 0) AS longest_silence
-FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+FROM (SELECT * FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 QUERIES_EXT16["audio_silence_map"] = q_audio_silence_map

@@ -604,10 +604,26 @@ def _build_input_once(path: str, build) -> None:
         return
     # reap staging/trash dirs leaked by CRASHED builds (only those whose
     # owning pid is gone — a live sibling's in-flight staging dir must
-    # not be deleted out from under it)
+    # not be deleted out from under it). Liveness via kill(pid, 0):
+    # portable (procfs is Linux-only; on macOS/BSD every live sibling
+    # would look dead); EPERM means alive-but-foreign, which also must
+    # not be reaped. NOTE the rename pair below leaves a brief window
+    # where `path` does not exist — a concurrent READER can see
+    # FileNotFound (not a half-written container); callers in this repo
+    # serialize through the same build gate, so only half-written
+    # containers needed ruling out.
+    def _alive(pid: int) -> bool:
+        try:
+            _os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+
     for stale in _glob.glob(f"{path}.build-*") + _glob.glob(f"{path}.old-*"):
         pid = stale.rsplit("-", 1)[-1]
-        if pid.isdigit() and not _os.path.exists(f"/proc/{pid}"):
+        if pid.isdigit() and not _alive(int(pid)):
             _rm(stale)
     tmp = f"{path}.build-{_os.getpid()}"
     try:
@@ -777,13 +793,19 @@ def q_fits_catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from fink_science_spark.queries_ext2 import _SCRATCH
-    from fink_science_spark.sources.catalogs import CatalogRegistry
+    from fink_science_spark.sources.catalogs import (
+        CatalogRegistry,
+        bounded_to_pandas,
+    )
     from fink_science_spark.sources.fits_codec import write_bintable
 
     tag = _os.path.basename(sf_dir.rstrip("/"))
     path = _os.path.join(_SCRATCH, f"nation_{tag}.fits")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    write_bintable(path, nation.toPandas())
+    # nation is a FIXED 25-row dimension at every TPC-H SF; the bounded
+    # gate PROVES that (engine policy: no unbounded collect in any
+    # registered query's input construction)
+    write_bintable(path, bounded_to_pandas(nation, 64, "nation fixture"))
     reg = CatalogRegistry(spark)
     cat = reg.register_fits("nation_fits", path)
     cust = _t(spark, sf_dir, "customer").select(

@@ -125,3 +125,18 @@ def sexagesimal_to_degrees(ra_col: str, dec_col: str) -> tuple:
         + dec_p.getItem(2).cast("double") / 3600.0
     )
     return ra_deg, dec_deg
+
+
+def bounded_to_pandas(df: DataFrame, bound: int, why: str) -> pd.DataFrame:
+    """Driver-side materialization with a PROVEN bound: takes bound+1
+    rows and refuses if the relation exceeds it. The engine-wide policy
+    is that no registered query's input construction may collect
+    unbounded data at any SF; fixed-size dimension tables (nation: 25
+    rows at every TPC-H scale) go through this gate so the bound is
+    enforced, not assumed."""
+    rows = df.take(bound + 1)
+    if len(rows) > bound:
+        raise ValueError(
+            f"bounded_to_pandas({why}): relation exceeds bound={bound}"
+        )
+    return pd.DataFrame([r.asDict() for r in rows], columns=df.columns)

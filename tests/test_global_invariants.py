@@ -98,3 +98,38 @@ def test_bench_headline_names_resolve():
     assert not dupes, f"duplicate HEADLINE entries: {dupes}"
     unscanned = [n for n in bench.SCAN_BOUND if n not in bench.HEADLINE]
     assert not unscanned, f"SCAN_BOUND names outside HEADLINE: {unscanned}"
+
+
+def test_no_unbounded_topandas_in_query_modules():
+    """Engine policy (round-4, finished round 6): no registered query's
+    input construction calls .toPandas()/.collect() on a relation —
+    bounded driver-side materialization must go through
+    sources.catalogs.bounded_to_pandas, which PROVES its bound with a
+    take(bound+1) gate. Scans every query module's source text."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "fink_science_spark")
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(root, "queries*.py"))):
+        lines = open(path).read().splitlines()
+        for i, line in enumerate(lines, 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.toPandas\(\)", code):
+                offenders.append(f"{os.path.basename(path)}:{i}")
+            # .collect() is allowed ONLY at sites annotated with a
+            # `bounded-collect:` comment within the surrounding lines —
+            # each annotation documents WHY the result is bounded by
+            # contract (seed limit(K), m-bounded sketch state, 1-row
+            # stats frame, fixed-bin histogram); everything else is a
+            # policy violation.
+            if re.search(r"\.collect\(\)", code):
+                ctx = "\n".join(lines[max(0, i - 4) : min(len(lines), i + 3)])
+                if "bounded-collect:" not in ctx:
+                    offenders.append(f"{os.path.basename(path)}:{i}")
+    assert not offenders, (
+        "unbounded driver-side materialization in query modules "
+        "(use sources.catalogs.bounded_to_pandas, or annotate an audited "
+        f"bounded site with `# bounded-collect: <why>`): {offenders}"
+    )
