@@ -81,9 +81,19 @@ NORMED = FEATURES[:5]
 Z_CLAMP = 30.0
 
 
-def checkpoint_path() -> str:
-    return os.environ.get("SPARK_GRAFT_SNN_LSTM") or os.path.normpath(
-        _DEFAULT_JSON
+def checkpoint_path(model: str = "snn_snia_vs_nonia") -> str:
+    """Per-model artifact resolution: both of the reference's ZTF
+    SuperNNova classifiers (snn_snia_vs_nonia, snn_sn_vs_all — identical
+    2x32 bi-LSTM architecture, different trained weights + data_norm)
+    ship as committed checkpoints; env SPARK_GRAFT_SNN_LSTM overrides
+    the default model's path."""
+    if model == "snn_snia_vs_nonia":
+        env = os.environ.get("SPARK_GRAFT_SNN_LSTM")
+        if env:
+            return env
+        return os.path.normpath(_DEFAULT_JSON)
+    return os.path.normpath(
+        os.path.join(os.path.dirname(__file__), "..", "data", f"{model}_lstm.json")
     )
 
 

@@ -157,7 +157,7 @@ def test_forward_padding_invariance_f32():
     assert np.allclose(batched, solo, atol=1e-7)
 
 
-def _alert_frame(spark):
+def _alert_frame(spark, prod_col="snn_snia_vs_nonia"):
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(ALERTS_DIR)
@@ -173,7 +173,7 @@ def _alert_frame(spark):
     return df.select(
         "candid",
         "objectId",
-        F.col("snn_snia_vs_nonia").alias("prod"),
+        F.col(prod_col).alias("prod"),
         hist("jd", "array<double>", empty).alias("cjd"),
         hist("fid", "array<int>", intempty).alias("cfid"),
         hist("magpsf", "array<double>", empty).alias("cmagpsf"),
@@ -202,6 +202,48 @@ def test_production_value_pin_via_spark(spark):
     assert len(hard) == 1 and float(
         (hard["snn_ia"] - hard["prod"]).abs().iloc[0]
     ) < 1e-4
+
+
+@needs_alerts
+def test_production_value_pin_second_model(spark):
+    """SAME pipeline, SECOND real classifier (snn_sn_vs_all): its shipped
+    production scores reproduce for the batch-uncontaminated curves too —
+    two independent weight sets through one kernel, both matching their
+    own production columns, rules out any per-model fitting."""
+    from fink_science_spark.operators.snn_lstm import (
+        checkpoint_path,
+        snn_ia_alert_scores,
+    )
+
+    scored = snn_ia_alert_scores(
+        _alert_frame(spark, prod_col="snn_sn_vs_all"),
+        model_path=checkpoint_path("snn_sn_vs_all"),
+    ).select("objectId", "prod", "snn_ia")
+    pdf = scored.toPandas()
+    assert len(pdf) == 124
+    delta = (pdf["snn_ia"] - pdf["prod"]).abs()
+    assert (delta < 1e-4).sum() >= 35, f"only {(delta < 1e-4).sum()} exact"
+
+
+@needs_ref
+def test_second_model_artifact_verbatim():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from extract_snn_weights import load_torch_legacy
+
+    from fink_science_spark.operators.snn_lstm import (
+        checkpoint_path,
+        load_snn_lstm,
+    )
+
+    ref_dir = REF_MODEL_DIR.replace("snn_snia_vs_nonia", "snn_sn_vs_all")
+    fresh = load_torch_legacy(os.path.join(ref_dir, "model.pt"))
+    art = load_snn_lstm(checkpoint_path("snn_sn_vs_all"))
+    for name, a in fresh.items():
+        assert a.tobytes() == art["tensors"][name].tobytes(), name
+    with open(os.path.join(ref_dir, "data_norm.json")) as f:
+        assert art["norm"] == json.load(f)
 
 
 @needs_alerts

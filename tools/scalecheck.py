@@ -121,6 +121,11 @@ QUERIES = [
     # round-5 wave 18: multimodal sequence analysis (documents-driven)
     "video_scene_cuts",
     "audio_silence_map",
+    # round-6: applyInPandasWithState stateful streaming family — state
+    # size is the scaling hazard (×4 parallel-absorbs it; ×64 does not)
+    "stream_heavy_hitters",
+    "stream_sequence_packing",
+    "stream_dedup_lsh",
 ]
 
 OFFSET = 1 << 40
