@@ -765,11 +765,16 @@ def q_stream_weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_shuffle_partitions(spark, 8):
         # file-stream sources require a directory: stream the sf_dir with a
         # glob pinned to the events table
-        stream = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
+        from fink_science_spark.streaming.shell import stream_table_load
+
+        stream = stream_table_load(
+
+            spark.readStream.schema(schema).format("parquet"),
+
+            sf_dir,
+
+            "events",
+
         )
         enriched = stream.withColumn(
             "ts_event", _ts_event_col(stream)

@@ -695,11 +695,16 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"token": [key[0]], "cnt": [n]})
 
     with scoped_shuffle_partitions(spark, 8):
-        stream = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("pathGlobFilter", "documents.parquet")
-            .load(sf_dir)
+        from fink_science_spark.streaming.shell import stream_table_load
+
+        stream = stream_table_load(
+
+            spark.readStream.schema(schema).format("parquet"),
+
+            sf_dir,
+
+            "documents",
+
         )
         toks = stream.select(
             F.explode(F.split("text", " ")).alias("token")
@@ -1854,12 +1859,18 @@ def q_stream_dedup_lsh(
     # count, not core count.
     n_part = n_state_partitions if n_state_partitions is not None else 4
     with scoped_shuffle_partitions(spark, n_part):
+        from fink_science_spark.streaming.shell import stream_table_load
+
         reader = spark.readStream.schema(schema).format("parquet")
-        if source_dir is None:
-            reader = reader.option("pathGlobFilter", "documents.parquet")
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        stream = reader.load(source_dir or sf_dir)
+        if source_dir is not None:
+            stream = reader.load(source_dir)
+        else:
+            # layout-aware load (bare file vs replica part-file dir) —
+            # see stream_table_load; a pathGlobFilter on the parent dir
+            # silently streamed NOTHING for the dir layout (round-6 find)
+            stream = stream_table_load(reader, sf_dir, "documents")
         # the source is file-granular (one task per file per micro-batch);
         # fan the raw rows out across the executors BEFORE the expensive
         # per-doc work (interpreted shingle HOFs + the Python signature

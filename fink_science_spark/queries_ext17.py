@@ -897,6 +897,103 @@ LEFT JOIN score_r sr ON sr.user_id = f.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# cats_real: the REAL CATS broad classifier (517,541 params from the
+# reference's TensorFlow SavedModel, rubin/cats/processor.py:36-169;
+# extraction: tools/extract_tf_cats.py). A CNN+SE / bi-LSTM hybrid over
+# 395-step padded sequences is not SQL-expressible, so this is a
+# rows-only contract by design (the driver records the weaker check);
+# value-level evidence lives in tests/test_cats_real.py: bit-exact
+# transcription pin, independent scalar-implementation equivalence, and
+# a 50-packet REAL Rubin or4 smoke. The query scores a SAMPLED cohort
+# (1-in-20 users) because the reference's fixed 395-step pad makes each
+# curve cost ~0.3 s of kernel time regardless of its real length —
+# exactly how the reference batches it through TFSMLayer.
+# --------------------------------------------------------------------------
+
+_CATS_COHORT_MOD = 20
+_CATS_MAX_EVENTS = 64
+
+
+def q_cats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fink_science_spark.operators.cats_nn import (
+        CLASSES,
+        cats_format_inputs,
+        cats_forward_batch,
+        checkpoint_path,
+        load_cats,
+    )
+
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("user_id") % _CATS_COHORT_MOD == 0
+    )
+    grouped = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
+            ).alias("h")
+        )
+        .select(
+            "user_id",
+            F.slice(F.col("h.ts_us"), 1, _CATS_MAX_EVENTS).alias("ts_arr"),
+            F.slice(F.col("h.value"), 1, _CATS_MAX_EVENTS).alias("val_arr"),
+        )
+    )
+    model_path = checkpoint_path()
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", IntegerType()),
+            StructField("cats_class", IntegerType()),
+            StructField("p_max", DoubleType()),
+            StructField("preds", ArrayType(DoubleType())),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        art = load_cats(model_path)
+        for pdf in batches:
+            seqs, ns = [], []
+            for i in range(len(pdf)):
+                ts = np.asarray(pdf["ts_arr"].iloc[i], dtype=np.float64)
+                vals = np.asarray(pdf["val_arr"].iloc[i], dtype=np.float64)
+                mjd = ts / 86400e6  # days
+                band = 1 + (np.arange(len(vals)) % 6)
+                err = 0.01 + np.abs(vals) / 100.0
+                seqs.append(cats_format_inputs(mjd, vals, err, band))
+                ns.append(len(vals))
+            out = pdf[["user_id"]].copy()
+            out["n"] = np.asarray(ns, dtype=np.int32)
+            if seqs:
+                probs = cats_forward_batch(np.stack(seqs), art)
+                out["cats_class"] = probs.argmax(axis=1).astype(np.int32)
+                out["p_max"] = np.round(probs.max(axis=1), 6)
+                out["preds"] = [
+                    [round(float(x), 6) for x in row] for row in probs
+                ]
+            else:
+                out["cats_class"] = np.zeros(0, dtype=np.int32)
+                out["p_max"] = np.zeros(0)
+                out["preds"] = []
+            yield out
+
+    return grouped.mapInPandas(kernel, schema=schema).select(
+        "user_id", "n", "cats_class", "p_max", "preds"
+    )
+
+
 def _lazy_oracles() -> dict[str, str]:
     return {
         "snn_ia_real": _oracle_snn_real(),
@@ -913,6 +1010,7 @@ QUERIES_EXT17 = {
     "orphan_real": q_orphan_real,
     "kn_rf_real": q_kn_rf_real,
     "anomaly_real": q_anomaly_real,
+    "cats_real": q_cats_real,
 }
 
 

@@ -413,11 +413,16 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     with scoped_shuffle_partitions(spark, 8):
-        stream = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
+        from fink_science_spark.streaming.shell import stream_table_load
+
+        stream = stream_table_load(
+
+            spark.readStream.schema(schema).format("parquet"),
+
+            sf_dir,
+
+            "events",
+
         )
         enriched = stream.withColumn(
             "ts_event", _ts_event_col(stream)
@@ -480,11 +485,16 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     with scoped_shuffle_partitions(spark, 8):
-        stream = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
+        from fink_science_spark.streaming.shell import stream_table_load
+
+        stream = stream_table_load(
+
+            spark.readStream.schema(schema).format("parquet"),
+
+            sf_dir,
+
+            "events",
+
         )
         out = (
             stream.groupBy("user_id")

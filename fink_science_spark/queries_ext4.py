@@ -538,11 +538,16 @@ def q_stream_foreachbatch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         enrich(batch_df).write.mode("append").parquet(out_path)
 
     with scoped_shuffle_partitions(spark, 8):
-        stream = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
+        from fink_science_spark.streaming.shell import stream_table_load
+
+        stream = stream_table_load(
+
+            spark.readStream.schema(schema).format("parquet"),
+
+            sf_dir,
+
+            "events",
+
         )
         q = (
             stream.writeStream.foreachBatch(process)

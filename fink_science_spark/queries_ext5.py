@@ -593,11 +593,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_shuffle_partitions(spark, 8):
 
         def feed():
-            return (
-                spark.readStream.schema(schema)
-                .format("parquet")
-                .option("pathGlobFilter", "events.parquet")
-                .load(sf_dir)
+            from fink_science_spark.streaming.shell import stream_table_load
+
+            return stream_table_load(
+                spark.readStream.schema(schema).format("parquet"),
+                sf_dir,
+                "events",
             )
 
         unioned = feed().union(feed())

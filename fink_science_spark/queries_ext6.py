@@ -504,11 +504,16 @@ def q_stream_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     with scoped_shuffle_partitions(spark, 8):
-        stream = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("pathGlobFilter", "documents.parquet")
-            .load(sf_dir)
+        from fink_science_spark.streaming.shell import stream_table_load
+
+        stream = stream_table_load(
+
+            spark.readStream.schema(schema).format("parquet"),
+
+            sf_dir,
+
+            "documents",
+
         )
         enriched = stream.select(
             "doc_id",
@@ -1036,11 +1041,16 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_shuffle_partitions(spark, 8):
 
         def feed(etype: str) -> DataFrame:
-            s = (
-                spark.readStream.schema(schema)
-                .format("parquet")
-                .option("pathGlobFilter", "events.parquet")
-                .load(sf_dir)
+            from fink_science_spark.streaming.shell import stream_table_load
+
+            s = stream_table_load(
+
+                spark.readStream.schema(schema).format("parquet"),
+
+                sf_dir,
+
+                "events",
+
             )
             from fink_science_spark.queries import _ts_event_col
 

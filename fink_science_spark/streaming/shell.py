@@ -163,3 +163,22 @@ def interval_join_streams(
         ),
         "inner",
     )
+
+
+def stream_table_load(reader, sf_dir: str, table: str):
+    """Resolve a table's streaming load for BOTH on-disk layouts: the
+    generated test dirs store `<table>.parquet` as a bare FILE (the
+    FileStreamSource cannot load a file path directly — its batch read
+    hard-sets basePath to the source path and then requires a
+    directory — so the file layout must glob from the PARENT dir), while
+    Spark-written replicas (tools/scalecheck.py) store it as a part-file
+    DIRECTORY (where a pathGlobFilter on the parent matches no leaf file
+    and the stream silently reads NOTHING — the round-6 ×64 finding).
+    ``reader`` is a configured DataStreamReader; returns the loaded
+    streaming DataFrame."""
+    import os as _os
+
+    p = sf_dir.rstrip("/") + f"/{table}.parquet"
+    if _os.path.isdir(p):
+        return reader.load(p)
+    return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
