@@ -1778,8 +1778,8 @@ def q_stream_dedup_lsh(
         for pdf in batches:
             if not len(pdf):
                 yield pd.DataFrame(
-                    {"doc_id": [], "band": [], "band_hash": []}
-                ).astype({"doc_id": "int64", "band": "int32"})
+                    {"band": [], "band_hash": [], "content": []}
+                ).astype({"band": "int32"})
                 continue
             sh_lists = pdf["shingles"].tolist()
             lens = np.array([len(s) for s in sh_lists], dtype=np.int64)
@@ -1793,61 +1793,74 @@ def q_stream_dedup_lsh(
             perms = (arr_a[:, None] * hs[None, :] + arr_b[:, None]) % MINHASH_PRIME
             sig = np.minimum.reduceat(perms, offsets, axis=1)  # (16, n_docs)
             n_docs = sig.shape[1]
-            doc_ids = pdf["doc_id"].to_numpy()
-            ids, bands, keys = [], [], []
+            # exact-duplicate collapse, streaming edition (the batch
+            # family's round-5 fix): the state pipeline works on
+            # CONTENT keys — md5 of the shingle array (its Spark twin
+            # md5(concat_ws(US, shingles)) re-derives the same key
+            # batch-side for member expansion). k byte-equal clones
+            # collide in EVERY band and would cost C(k,2) emissions per
+            # band (measured: a ×64 replica run blew the 1 GB driver
+            # result cap and timed out); content-keyed state makes
+            # candidate volume track DISTINCT content only.
+            contents = [
+                hashlib.md5("\x1f".join(lst).encode()).hexdigest()
+                for lst in sh_lists
+            ]
+            bands, keys, conts = [], [], []
             for bnd in range(_MH_BANDS):
                 part = sig[bnd * rpb : (bnd + 1) * rpb]
-                ids.append(doc_ids)
                 bands.append(np.full(n_docs, bnd, dtype=np.int32))
                 keys.extend(
                     ",".join(str(x) for x in part[:, j]) for j in range(n_docs)
                 )
+                conts.extend(contents)
             yield pd.DataFrame(
                 {
-                    "doc_id": np.concatenate(ids),
                     "band": np.concatenate(bands),
                     "band_hash": keys,
+                    "content": conts,
                 }
             )
 
     def update(key, pdfs, state: GroupState):
         # Bucket-level state (the cogroup_reconcile lesson): the physical
         # group is (band, bucket) — ~hundreds of groups — and the state
-        # holds EVERY band_hash of the bucket as a dict encoded in three
-        # parallel arrays (hashes, flat ids, cumulative offsets). The
-        # per-group Python/state-ser overhead that dominated the
-        # per-(band, band_hash) form (~20k groups ≈ 6 s at sf0.1) is
-        # amortized ~80×; the logical semantics — a new id pairs with all
-        # ids previously seen under the same band_hash — are unchanged.
+        # holds EVERY band_hash of the bucket as a dict of DISTINCT
+        # content keys encoded in three parallel arrays (hashes, flat
+        # contents, cumulative offsets). A new content pairs with every
+        # OTHER content previously seen under the same band_hash —
+        # candidate volume and state size both track distinct content;
+        # clone MEMBERSHIP (which ids carry each content) is resolved
+        # batch-side at expansion time, so a re-arriving content updates
+        # nothing and emits nothing.
         if state.exists:
             hashes, flat, offs = state.get
-            seen_map: dict[str, list[int]] = {}
+            seen_map: dict[str, list[str]] = {}
             prev = 0
             for h, end in zip(hashes, offs):
-                seen_map[h] = [int(x) for x in flat[prev:end]]
+                seen_map[h] = [str(c) for c in flat[prev:end]]
                 prev = end
         else:
             seen_map = {}
         a_out, b_out = [], []
         for pdf in pdfs:
-            for h, x in zip(pdf["band_hash"], pdf["doc_id"]):
-                xi = int(x)
+            for h, c in zip(pdf["band_hash"], pdf["content"]):
                 lst = seen_map.setdefault(h, [])
-                if xi in lst:
+                if c in lst:
                     continue
                 for old in lst:
-                    lo, hi = (old, xi) if old < xi else (xi, old)
+                    lo, hi = (old, c) if old < c else (c, old)
                     a_out.append(lo)
                     b_out.append(hi)
-                lst.append(xi)
+                lst.append(c)
         hashes_out = list(seen_map)
-        flat_out: list[int] = []
+        flat_out: list[str] = []
         offs_out: list[int] = []
         for h in hashes_out:
             flat_out.extend(seen_map[h])
             offs_out.append(len(flat_out))
         state.update((hashes_out, flat_out, offs_out))
-        yield pd.DataFrame({"id_a": a_out, "id_b": b_out})
+        yield pd.DataFrame({"content_a": a_out, "content_b": b_out})
 
     schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
     # stateful-stage width: with bucket-level state there are only
@@ -1901,7 +1914,7 @@ def q_stream_dedup_lsh(
             F.array_distinct(word_shingles(tokens("text"), 3)).alias("shingles"),
         ).filter(F.size("shingles") > 0)
         rows = docs.mapInPandas(
-            band_rows, schema="doc_id long, band int, band_hash string"
+            band_rows, schema="band int, band_hash string, content string"
         ).withColumn(
             # physical-group key: hash-bucket of the band_hash. Grouping
             # stays deterministic and batch-order-independent; only the
@@ -1912,9 +1925,9 @@ def q_stream_dedup_lsh(
         )
         cands = rows.groupBy("band", "bucket").applyInPandasWithState(
             update,
-            outputStructType="id_a long, id_b long",
+            outputStructType="content_a string, content_b string",
             stateStructType=(
-                "hashes array<string>, flat array<long>, offs array<int>"
+                "hashes array<string>, flat array<string>, offs array<int>"
             ),
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -1961,7 +1974,7 @@ def q_stream_dedup_lsh(
         # dir leaked per invocation.
         pairs = raw_pairs.localCheckpoint(eager=True)
     except AnalysisException:  # zero micro-batches -> no sink dir
-        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        pairs = spark.createDataFrame([], "content_a string, content_b string")
     finally:
         # delete through the Hadoop FileSystem API so a remote sink root
         # (hdfs://, s3a:// — the checkpointLocation case) is actually
@@ -1976,52 +1989,86 @@ def q_stream_dedup_lsh(
             import shutil
 
             shutil.rmtree(pair_dir, ignore_errors=True)
-    # exact-Jaccard verify needs shingle sets ONLY for pair members
-    # (LSH-bounded — orders of magnitude below corpus size): semi-join the
-    # raw docs on the member ids BEFORE tokenizing, so the interpreted
-    # shingle HOFs run over ~2·|pairs| docs, not the whole corpus (at
-    # 100 TB this is the difference between re-tokenizing the corpus and
-    # touching a few thousand rows; the id filter also prunes the scan)
-    # melt pairs to one row per (pair, side), broadcast-join the corpus
-    # ONCE on doc_id (the broadcast prunes the scan and keeps the
-    # interpreted shingle HOFs to ~2·|pairs| docs, not the whole corpus),
-    # then fold the two sides back with one pair-sized groupBy. One corpus
-    # scan + one broadcast + one tiny shuffle — at 100 TB the pair set is
-    # LSH-bounded while the corpus is not, so nothing corpus-sized ever
-    # shuffles. (If dup density ever made the melt non-broadcastable,
-    # drop the hint and this becomes a plain shuffle join over the same
-    # files.)
+    # Batch follow-on: verify once per CONTENT pair, expand to member
+    # pairs combinatorially (the batch family's re-expansion). Content
+    # groups come from ONE corpus scan (md5(concat_ws(US, shingles)) is
+    # the exact Spark twin of the kernel's content key); the same
+    # logical content pair can collide in several bands/files, so a
+    # pair-sized distinct folds duplicates before the shingle verify.
+    # Clone pairs (members of one content group) are exact duplicates by
+    # construction — jaccard exactly 1.0 with no shingle work. Nothing
+    # quadratic-in-clone-multiplicity is ever verified or shuffled: the
+    # ×64 replica stress (64-way clone groups) previously blew the
+    # driver result cap through a forced-broadcast id-level melt.
     from fink_science_spark.queries import _t
 
-    melt = pairs.select(
-        "id_a",
-        "id_b",
-        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id"),
-    )
-    joined = (
+    docs_content = (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .join(F.broadcast(melt), "doc_id")
         .select(
-            "id_a",
-            "id_b",
-            (F.col("doc_id") == F.col("id_a")).alias("__is_a"),
+            "doc_id",
             F.array_distinct(word_shingles(tokens("text"), 3)).alias(
                 "shingles"
             ),
         )
+        .filter(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            "shingles",
+            F.md5(F.concat_ws("\x1f", "shingles")).alias("content"),
+        )
     )
-    both = joined.groupBy("id_a", "id_b").agg(
-        F.first(F.when(F.col("__is_a"), F.col("shingles")), True).alias("__sa"),
-        F.first(F.when(~F.col("__is_a"), F.col("shingles")), True).alias("__sb"),
+    groups = docs_content.groupBy("content").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("members"),
+        F.first("shingles").alias("shingles"),
+    )
+    cpairs = pairs.dropDuplicates(["content_a", "content_b"])
+    ga = groups.select(
+        F.col("content").alias("content_a"),
+        F.col("members").alias("__ma"),
+        F.col("shingles").alias("__sa"),
+    )
+    gb = groups.select(
+        F.col("content").alias("content_b"),
+        F.col("members").alias("__mb"),
+        F.col("shingles").alias("__sb"),
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
     jacc = inter / (F.size("__sa") + F.size("__sb") - inter)
-    return (
-        both.withColumn("jaccard", jacc)
+    cross = (
+        cpairs.join(ga, "content_a")
+        .join(gb, "content_b")
+        .withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            F.explode("__ma").alias("ma"),
+            F.col("__mb"),
+            "jaccard",
+        )
+        .select(
+            "ma",
+            F.explode("__mb").alias("mb"),
+            "jaccard",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     )
+    clones = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("__i", "id_a"), "members")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    "members", F.col("__i") + 2, F.size("members")
+                )
+            ).alias("id_b"),
+        )
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(clones)
 
 
 # --------------------------------------------------------------------------
