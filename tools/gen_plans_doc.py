@@ -271,6 +271,21 @@ COMMENTARY = {
         "the md5 generation and the kernel twice (no AQE reuse across "
         "the filtered/unfiltered branches; caught in review)."
     ),
+    "snn_ia_real": (
+        "REAL-model shape: one groupBy builds the per-user sequence, "
+        "then the 35,970-param bi-LSTM runs in ONE MapInPandas stage — "
+        "weights are a ~145 KB executor-memoized artifact, scoring is "
+        "per-row map work, nothing model-shaped ever shuffles or "
+        "collects. At 100 TB this is scan + one keyed exchange + "
+        "embarrassingly parallel Arrow batches."
+    ),
+    "anomaly_real": (
+        "Two 150k-node ONNX forests evaluate inside ONE Arrow kernel "
+        "stage behind the native per-band aggregation; the TwoBandModel "
+        "min/mask combine is pure column algebra above it. Checkpoints "
+        "load once per executor (ExecutorRegistry); the full-outer band "
+        "join is key-bounded (users), never data-bounded."
+    ),
 }
 
 
