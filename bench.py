@@ -279,78 +279,21 @@ def _calibration(spark) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    from fink_science_spark.session import get_session
-
-    import __spark_entry__ as entrymod
-
-    spark = get_session(app_name="fink_science_spark_bench")
-    queries = entrymod.queries()
-
-    # Warm-up = one extra DISCARDED interleaved round at the bench SF
-    # (round 0 below): it compiles every query's generated code, builds
-    # the memoized artifacts (PQ/IVF codebooks, Avro containers), and
-    # warms JVM/Python workers, so the counted rounds measure pure
-    # steady state. This replaces the old separate sf0.001 warm-up
-    # sweep, which cost ~8 extra minutes of wall while still leaving
-    # cold sf0.1 codegen/build work inside the first counted sample.
-
-    # median-of-N per query (default 3): single runs on a shared host
-    # carry 2-4× scheduling noise; the median is robust to one bad run in
-    # either direction, so round-over-round regressions are attributable.
-    # Rounds are INTERLEAVED (whole suite once per round, median taken
-    # across rounds) rather than back-to-back per query: a sustained
-    # external-load window on a shared host would otherwise inflate ALL
-    # samples of whichever few queries it overlaps — observed as a 10×
-    # phantom regression on consecutive-sample medians — while under
-    # interleaving the same window touches each query at most once.
+def _emit_record(
+    timings: dict[str, float],
+    failed: dict[str, str],
+    cal_samples: list[float],
+    cal_mid_samples: list[float],
+    runs_used: int,
+    runs_requested: int,
+) -> None:
+    """Print the full record + the compact tail summary from whatever
+    samples exist SO FAR.  Called after EVERY counted round (cumulative —
+    the last emission wins for any reader), so a wall-clock kill between
+    rounds still leaves a parseable record in a bounded stdout tail.
+    BENCH_r06 was rc=124 with parsed:null precisely because the old
+    harness printed nothing until all rounds finished."""
     import statistics
-
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    failed: dict[str, str] = {}
-    cal_samples: list[float] = []
-    for rnd in range(runs + 1):  # round 0 is the discarded warm-up
-        # one calibration probe per round, interleaved with the suite so
-        # it samples the same contention window the queries ran under
-        try:
-            cal = _calibration(spark)
-            if rnd > 0:
-                cal_samples.append(cal)
-        except Exception as exc:  # noqa: BLE001 - probe must not sink the bench
-            print(f"bench: calibration failed (round {rnd}): {exc}", file=sys.stderr)
-        for name in HEADLINE:
-            fn = queries.get(name)
-            if fn is None or name in failed:
-                continue
-            try:
-                # drop intra-query persists left by the PREVIOUS run of
-                # the same query: Spark's cache manager substitutes a
-                # cached table into any semantically-equal new plan, so
-                # without this a repeated sample of e.g. the minhash
-                # family reuses the prior run's collapsed/signature
-                # tables and times only the tail of the query. Outside
-                # the timed window — it is harness hygiene, not query
-                # work. (Registry catalog caches recompute lazily.)
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                if rnd > 0:
-                    samples[name].append(time.perf_counter() - t0)
-            except Exception as exc:  # noqa: BLE001 - a failed query must not hide the rest
-                # a failure in the DISCARDED warm-up round must not cost
-                # the query its benchmark: only counted-round failures
-                # skip the remaining rounds (a transient warm-up hiccup
-                # still gets its `runs` timed attempts)
-                if rnd > 0:
-                    failed[name] = str(exc)
-                print(f"bench: {name} failed (round {rnd}): {exc}", file=sys.stderr)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name in failed:
-            timings[name] = -1.0
-        elif samples[name]:
-            timings[name] = round(statistics.median(samples[name]), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     calibration = (
@@ -379,16 +322,6 @@ def main() -> None:
                 rows_per_s[name] = round(_table_rows(SF_DIR, table) / t)
             except Exception:  # noqa: BLE001 - metric is best-effort
                 pass
-    # stop the session BEFORE printing: Spark's shutdown (streaming temp
-    # checkpoint cleanup in particular) writes log noise to the captured
-    # output, and anything printed after the JSON line can push it out of
-    # a bounded tail capture (this is exactly what truncated the round-1/2
-    # driver bench records). The JSON line is the final byte of output,
-    # compact separators, explicitly flushed.
-    try:
-        spark.stop()
-    except Exception:  # noqa: BLE001 - shutdown noise must not eat the result
-        pass
     print(
         json.dumps(
             {
@@ -400,6 +333,10 @@ def main() -> None:
                 "total_cal_norm": total_cal_norm,
                 "cal_idle": CAL_IDLE,
                 "calibration": calibration,
+                "cal_rounds": [round(c, 3) for c in cal_samples],
+                "cal_mid_rounds": [round(c, 3) for c in cal_mid_samples],
+                "runs_used": runs_used,
+                "runs_requested": runs_requested,
                 "rows_per_s": rows_per_s,
                 "sf": _sf_from_dir(SF_DIR),
             },
@@ -408,11 +345,10 @@ def main() -> None:
         flush=True,
     )
     # Second, tail-sized summary line AFTER the full record: the full
-    # per-query JSON line now exceeds 2 KB (155+ queries), and the
-    # driver's bench capture keeps only a bounded tail of stdout — three
-    # straight rounds lost the record to truncation. This compact line
-    # (<300 bytes) is the final output, so a bounded tail always
-    # captures at least the headline number.
+    # per-query JSON line exceeds 2 KB (190+ queries), and the driver's
+    # bench capture keeps only a bounded tail of stdout. This compact
+    # line (<400 bytes) is the final output of each emission, so a
+    # bounded tail always captures at least the headline number.
     slowest = sorted(
         ((t, n) for n, t in timings.items() if t > 0), reverse=True
     )[:5]
@@ -426,12 +362,159 @@ def main() -> None:
                 "n_failed": len(failed),
                 "calibration": calibration,
                 "total_cal_norm": total_cal_norm,
+                "runs_used": runs_used,
+                "runs_requested": runs_requested,
                 "slowest": {n: t for t, n in slowest},
                 "sf": _sf_from_dir(SF_DIR),
             },
             separators=(",", ":"),
         ),
         flush=True,
+    )
+
+
+def _medians(
+    samples: dict[str, list[float]], failed: dict[str, str]
+) -> dict[str, float]:
+    import statistics
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in failed:
+            timings[name] = -1.0
+        elif samples[name]:
+            timings[name] = round(statistics.median(samples[name]), 3)
+    return timings
+
+
+def main() -> None:
+    from fink_science_spark.session import get_session
+
+    import __spark_entry__ as entrymod
+
+    wall_start = time.perf_counter()
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    # debugging aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the suite
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        HEADLINE[:] = [n for n in HEADLINE if n in keep]
+    spark = get_session(app_name="fink_science_spark_bench")
+    queries = entrymod.queries()
+
+    # Warm-up = one extra DISCARDED interleaved round at the bench SF
+    # (round 0 below): it compiles every query's generated code, builds
+    # the memoized artifacts (PQ/IVF codebooks, Avro containers), and
+    # warms JVM/Python workers, so the counted rounds measure pure
+    # steady state. This replaces the old separate sf0.001 warm-up
+    # sweep, which cost ~8 extra minutes of wall while still leaving
+    # cold sf0.1 codegen/build work inside the first counted sample.
+
+    # median-of-N per query (default 3): single runs on a shared host
+    # carry 2-4× scheduling noise; the median is robust to one bad run in
+    # either direction, so round-over-round regressions are attributable.
+    # Rounds are INTERLEAVED (whole suite once per round, median taken
+    # across rounds) rather than back-to-back per query: a sustained
+    # external-load window on a shared host would otherwise inflate ALL
+    # samples of whichever few queries it overlaps — observed as a 10×
+    # phantom regression on consecutive-sample medians — while under
+    # interleaving the same window touches each query at most once.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    failed: dict[str, str] = {}
+    cal_samples: list[float] = []
+    cal_mid_samples: list[float] = []
+    runs_used = 0
+    mid_idx = len(HEADLINE) // 2
+    rnd = 0
+    while rnd <= runs:
+        round_start = time.perf_counter()
+        # one calibration probe per round, interleaved with the suite so
+        # it samples the same contention window the queries ran under
+        try:
+            cal = _calibration(spark)
+            if rnd > 0:
+                cal_samples.append(cal)
+        except Exception as exc:  # noqa: BLE001 - probe must not sink the bench
+            print(f"bench: calibration failed (round {rnd}): {exc}", file=sys.stderr)
+        for qi, name in enumerate(HEADLINE):
+            if qi == mid_idx and rnd > 0:
+                # MID-round calibration probe: a back-to-back heavy-query
+                # session can degrade over its lifetime (observed up to
+                # 5× on later samples in a long session). cal_mid vs
+                # cal_rounds[i] makes a degraded session window
+                # distinguishable from a per-query regression in the
+                # record itself.
+                try:
+                    cal_mid_samples.append(_calibration(spark))
+                except Exception:  # noqa: BLE001 - probe must not sink the bench
+                    pass
+            fn = queries.get(name)
+            if fn is None or name in failed:
+                continue
+            try:
+                # drop intra-query persists left by the PREVIOUS run of
+                # the same query: Spark's cache manager substitutes a
+                # cached table into any semantically-equal new plan, so
+                # without this a repeated sample of e.g. the minhash
+                # family reuses the prior run's collapsed/signature
+                # tables and times only the tail of the query. Outside
+                # the timed window — it is harness hygiene, not query
+                # work. (Registry catalog caches recompute lazily.)
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                if rnd > 0:
+                    samples[name].append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 - a failed query must not hide the rest
+                # a failure in the DISCARDED warm-up round must not cost
+                # the query its benchmark: only counted-round failures
+                # skip the remaining rounds (a transient warm-up hiccup
+                # still gets its `runs` timed attempts)
+                if rnd > 0:
+                    failed[name] = str(exc)
+                print(f"bench: {name} failed (round {rnd}): {exc}", file=sys.stderr)
+        round_wall = time.perf_counter() - round_start
+        elapsed = time.perf_counter() - wall_start
+        if rnd > 0:
+            runs_used = rnd
+            # Cumulative emission: a kill between rounds still leaves the
+            # medians-so-far parseable in a bounded stdout tail.
+            _emit_record(
+                _medians(samples, failed), failed,
+                cal_samples, cal_mid_samples, runs_used, runs,
+            )
+        # Wall-budget guard: BENCH_r06 died rc=124 because 1 warm-up + 3
+        # counted rounds × ~350 s outgrew the driver's time budget on a
+        # slow host window, and the all-or-nothing harness left nothing
+        # parseable. Project the next round from the one just measured
+        # (×1.15 headroom for tail variance) and degrade counted rounds
+        # 3→2→1 instead of being killed mid-flight; runs_used in the
+        # record says how many actually contributed to the medians.
+        # (rnd >= 1: never skip the FIRST counted round — a record with
+        # zero counted samples is worse than overshooting the budget)
+        if 1 <= rnd < runs and elapsed + round_wall * 1.15 > budget_s:
+            print(
+                f"bench: wall budget {budget_s:.0f}s — elapsed {elapsed:.0f}s, "
+                f"projected next round {round_wall:.0f}s; stopping after "
+                f"{runs_used} counted round(s)",
+                file=sys.stderr,
+            )
+            break
+        rnd += 1
+    # stop the session BEFORE the final emission: Spark's shutdown
+    # (streaming temp checkpoint cleanup in particular) writes log noise
+    # to the captured output, and anything printed after the JSON line
+    # can push it out of a bounded tail capture (this truncated the
+    # round-1/2 driver bench records). The final JSON lines are the last
+    # bytes of stdout, compact separators, explicitly flushed.
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 - shutdown noise must not eat the result
+        pass
+    _emit_record(
+        _medians(samples, failed), failed,
+        cal_samples, cal_mid_samples, runs_used, runs,
     )
 
 
