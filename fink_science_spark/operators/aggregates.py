@@ -212,6 +212,11 @@ BAND_FEATURE_COLS = [
     "linear_fit_slope", "linear_fit_chi2", "mpr_40_05", "mpr_20_10",
     "median_buffer_pct", "percent_amplitude", "mean_variance",
     "reduced_chi2", "stetson_k", "anderson_darling_normal",
+    # the two remaining LinearFit/LinearTrend outputs the reference's
+    # anomaly forests consume (ztf/anomaly_detection/processor.py:33-58
+    # MODEL_COLUMNS): sigma of the weighted-fit slope (1/sqrt(Stt), Press
+    # et al. 15.2) and the unweighted-trend residual noise sqrt(SSE/(n-2))
+    "linear_fit_slope_sigma", "linear_trend_noise",
 ]
 
 
@@ -369,6 +374,9 @@ def band_features_per_group(
                 trend_sigma = (
                     np.sqrt(sse / ((n - 2) * st2)) if n > 2 else np.full(g, np.nan)
                 )
+                trend_noise = (
+                    np.sqrt(sse / (n - 2)) if n > 2 else np.full(g, np.nan)
+                )
                 amp_half = (vmax - vmin) / 2.0
                 mbp = (
                     np.abs(V - med[:, None]) < 0.1 * amp_half[:, None]
@@ -419,6 +427,9 @@ def band_features_per_group(
                         if n > 2
                         else np.full(g, np.nan)
                     )
+                    # Var(slope) = S/Δ (Numerical Recipes 15.2.9): with
+                    # centered time, Stt = det/sw, so sigma = sqrt(sw/det)
+                    fit_slope_sigma = np.sqrt(sw / det)
 
             m2_pos, std_pos = m2 > 0, std > 0
             col_mean = opt(mean, np.ones(g, dtype=bool))
@@ -450,6 +461,8 @@ def band_features_per_group(
                 opt(red_chi2, np.ones(g, dtype=bool)) if E is not None else [None] * g,
                 opt(stetson_k, msq > 0) if E is not None else [None] * g,
                 opt(ad, std_pos),
+                opt(fit_slope_sigma, has_fit) if E is not None else [None] * g,
+                opt(trend_noise, has_fit0 & (n > 2)),
             ]
             for r, i in enumerate(idxs):
                 out[i] = tuple(c[r] for c in cols)

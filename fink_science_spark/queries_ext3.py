@@ -590,7 +590,15 @@ SELECT xc.user_id, xc.event_type,
                        / sqrt(avg(((xc.v - p2.wmean) / xc.err)
                                   * ((xc.v - p2.wmean) / xc.err)))
              END, 6) AS stetson_k,
-       round(any_value(ads.ad), 6) AS anderson_darling_normal
+       round(any_value(ads.ad), 6) AS anderson_darling_normal,
+       round(CASE WHEN any_value(p2.b) IS NOT NULL
+                  THEN sqrt(any_value(p2.sw) / any_value(p2.det)) END, 6)
+           AS linear_fit_slope_sigma,
+       round(CASE WHEN any_value(p2.b0) IS NOT NULL AND any_value(p2.n) > 2
+                  THEN sqrt(sum((xc.v - p2.mean - p2.b0 * xc.tc)
+                                * (xc.v - p2.mean - p2.b0 * xc.tc))
+                            / (any_value(p2.n) - 2))
+             END, 6) AS linear_trend_noise
 FROM xc
 JOIN p2 USING (user_id, event_type)
 LEFT JOIN sq USING (user_id, event_type)
