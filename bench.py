@@ -222,6 +222,8 @@ HEADLINE = [
     "orphan_real",
     "kn_rf_real",
     "anomaly_real",
+    # wave 20: real features into real heads (round 7)
+    "anomaly_real_lc",
 ]
 
 

@@ -898,6 +898,212 @@ LEFT JOIN score_r sr ON sr.user_id = f.user_id
 
 
 # --------------------------------------------------------------------------
+# anomaly_real_lc: the same REAL AAD forests, fed with PHYSICALLY-DERIVED
+# light-curve features instead of anomaly_real's documented synthetic
+# recipe — the reference's actual data path (ad_features extracts the
+# 26-feature light-curve vector per band, anomaly_detection consumes the
+# 25 MODEL_COLUMNS of it: ztf/anomaly_detection/processor.py:33-58 +
+# 211-216). Here the engine's own band_features extractor (one shuffle +
+# one Arrow kernel, operators/aggregates.py) produces the per-(user,
+# band) vectors; features are rounded at 6 in BOTH engines before the
+# forests so threshold comparisons see identical doubles; the oracle
+# embeds the shared band-features CTE chain and walks the full node
+# tables with recursive CTEs. TwoBandModel combine: band valid = feature
+# row exists (n >= MIN_PTS) AND no NULL feature (the reference's
+# isna().any(1) mask); min of valid bands, single valid band passes
+# through, neither -> 0.0.
+# --------------------------------------------------------------------------
+
+# The 25 MODEL_COLUMNS in the forests' trained feature order, as
+# BAND_FEATURE_COLS names (reference name in comments where it differs).
+_ANOM_LC_FEATS = [
+    "amplitude",
+    "anderson_darling_normal",
+    "beyond_1_std",
+    "reduced_chi2",  # "chi2"
+    "cusum",
+    "kurt",  # "kurtosis"
+    "linear_fit_slope",
+    "linear_fit_slope_sigma",
+    "linear_trend_noise",
+    "linear_trend_sigma",
+    "mpr_20_10",  # "magnitude_percentage_ratio_20_10"
+    "mpr_40_05",  # "magnitude_percentage_ratio_40_5"
+    "max_slope",  # "maximum_slope"
+    "median",
+    "mad",  # "median_absolute_deviation"
+    "median_buffer_pct",  # "median_buffer_range_percentage_10"
+    "skew",
+    "stetson_k",  # "stetson_K"
+    "percent_amplitude",
+    "linear_fit_chi2",  # "linear_fit_reduced_chi2"
+    "ipr10",  # "inter_percentile_range_10"
+    "linear_trend",
+    "std",  # "standard_deviation"
+    "weighted_mean",
+    "mean",
+]
+
+
+def q_anomaly_real_lc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fink_science_spark.operators.aggregates import (
+        band_features_per_group,
+    )
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        onnx_ensemble_raw,
+    )
+
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    lc = ev.withColumn(
+        "t_days", F.col("ts_us") / F.lit(86400e6)
+    ).withColumn(
+        "err", F.get_json_object("props", "$.k").cast("double") + 1.0
+    )
+    feats = band_features_per_group(
+        lc,
+        ["user_id", "event_type"],
+        "t_days",
+        "value",
+        err_col="err",
+        min_points=_ANOM_MIN_PTS,
+    )
+    rounded = feats.select(
+        "user_id",
+        "event_type",
+        *[F.round(F.col(c), 6).alias(c) for c in _ANOM_LC_FEATS],
+    )
+    gb = rounded.filter(F.col("event_type") == "click").select(
+        "user_id",
+        *[F.col(c).alias(f"g{j}") for j, c in enumerate(_ANOM_LC_FEATS)],
+    )
+    rb = rounded.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        *[F.col(c).alias(f"r{j}") for j, c in enumerate(_ANOM_LC_FEATS)],
+    )
+    universe = ev.select("user_id").distinct()
+    both = universe.join(gb, "user_id", "left").join(rb, "user_id", "left")
+
+    gcols = [f"g{j}" for j in range(len(_ANOM_LC_FEATS))]
+    rcols = [f"r{j}" for j in range(len(_ANOM_LC_FEATS))]
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ok_g", BooleanType()),
+            StructField("ok_r", BooleanType()),
+            StructField("score_g", DoubleType()),
+            StructField("score_r", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        fg = load_checkpoint("anomaly_forest_g")
+        fr = load_checkpoint("anomaly_forest_r")
+
+        def band(X, ckpt):
+            ok = ~np.isnan(X).any(axis=1)
+            score = np.zeros(len(X))
+            if ok.any():
+                score[ok] = np.round(onnx_ensemble_raw(X[ok], ckpt), 6)
+            return ok, score
+
+        for pdf in batches:
+            out = pdf[["user_id"]].copy()
+            if len(pdf):
+                ok_g, s_g = band(
+                    pdf[gcols].to_numpy(dtype=np.float64), fg
+                )
+                ok_r, s_r = band(
+                    pdf[rcols].to_numpy(dtype=np.float64), fr
+                )
+                out["ok_g"], out["ok_r"] = ok_g, ok_r
+                out["score_g"], out["score_r"] = s_g, s_r
+            else:
+                out["ok_g"] = np.zeros(0, dtype=bool)
+                out["ok_r"] = np.zeros(0, dtype=bool)
+                out["score_g"] = np.zeros(0)
+                out["score_r"] = np.zeros(0)
+            yield out
+
+    scored = both.mapInPandas(kernel, schema=schema)
+    ok_g, ok_r = F.col("ok_g"), F.col("ok_r")
+    return scored.select(
+        "user_id",
+        "ok_g",
+        "ok_r",
+        F.when(ok_g & ok_r, F.least("score_g", "score_r"))
+        .when(ok_g, F.col("score_g"))
+        .when(ok_r, F.col("score_r"))
+        .otherwise(F.lit(0.0))
+        .alias("anomaly"),
+    )
+
+
+def _oracle_anomaly_real_lc() -> str:
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        onnx_nodes_cte,
+        onnx_walk_sql,
+    )
+    from fink_science_spark.queries_ext3 import (
+        band_features_ctes,
+        band_features_select,
+    )
+
+    fg = load_checkpoint("anomaly_forest_g")
+    fr = load_checkpoint("anomaly_forest_r")
+    src = "(SELECT * FROM events WHERE event_type IN ('click', 'purchase'))"
+    xs = "[" + ", ".join(_ANOM_LC_FEATS) + "]"
+    nonnull = " AND ".join(f"{c} IS NOT NULL" for c in _ANOM_LC_FEATS)
+    return f"""
+WITH RECURSIVE
+{band_features_ctes(src)},
+featrows AS (
+{band_features_select(_ANOM_LC_FEATS, _ANOM_MIN_PTS)}
+),
+fg AS (
+  SELECT user_id, {xs}::DOUBLE[] AS xs FROM featrows
+  WHERE event_type = 'click' AND {nonnull}
+),
+fr AS (
+  SELECT user_id, {xs}::DOUBLE[] AS xs FROM featrows
+  WHERE event_type = 'purchase' AND {nonnull}
+),
+{onnx_nodes_cte(fg, "nodes_g")},
+{onnx_nodes_cte(fr, "nodes_r")},
+{onnx_walk_sql("nodes_g", "fg", "user_id", "xs", fg["base"], "score_g")},
+{onnx_walk_sql("nodes_r", "fr", "user_id", "xs", fr["base"], "score_r")},
+universe AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT u.user_id,
+       sg.score IS NOT NULL AS ok_g,
+       sr.score IS NOT NULL AS ok_r,
+       CASE
+         WHEN sg.score IS NOT NULL AND sr.score IS NOT NULL
+           THEN least(round(sg.score, 6), round(sr.score, 6))
+         WHEN sg.score IS NOT NULL THEN round(sg.score, 6)
+         WHEN sr.score IS NOT NULL THEN round(sr.score, 6)
+         ELSE 0.0
+       END AS anomaly
+FROM universe u
+LEFT JOIN score_g sg ON sg.user_id = u.user_id
+LEFT JOIN score_r sr ON sr.user_id = u.user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # cats_real: the REAL CATS broad classifier (517,541 params from the
 # reference's TensorFlow SavedModel, rubin/cats/processor.py:36-169;
 # extraction: tools/extract_tf_cats.py). A CNN+SE / bi-LSTM hybrid over
@@ -1001,6 +1207,7 @@ def _lazy_oracles() -> dict[str, str]:
         "orphan_real": _oracle_orphan_real(),
         "kn_rf_real": _oracle_kn_rf_real(),
         "anomaly_real": _oracle_anomaly_real(),
+        "anomaly_real_lc": _oracle_anomaly_real_lc(),
     }
 
 
@@ -1010,6 +1217,7 @@ QUERIES_EXT17 = {
     "orphan_real": q_orphan_real,
     "kn_rf_real": q_kn_rf_real,
     "anomaly_real": q_anomaly_real,
+    "anomaly_real_lc": q_anomaly_real_lc,
     "cats_real": q_cats_real,
 }
 

@@ -448,12 +448,16 @@ def q_band_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_BAND_FEATURES = """
-WITH x AS (
+# The band-features SQL twin is split into a reusable CTE chain + a
+# per-feature expression table so other oracles (anomaly_real_lc in
+# queries_ext17 feeds the REAL anomaly forests with these features) can
+# embed the same text inside their own WITH blocks — one source of
+# truth for every feature's SQL semantics.
+BF_CTES_TEMPLATE = """x AS (
   SELECT user_id, event_type, value AS v,
          epoch_us(ts) / 86400e6 AS t,
          json_extract_string(props, '$.k')::DOUBLE + 1.0 AS err
-  FROM events
+  FROM {src}
 ),
 xc AS (  -- per-row centered time (kills the |t|^2 cancellation in the fits)
   SELECT *, t - avg(t) OVER g AS tc, 1.0 / (err * err) AS w
@@ -534,78 +538,128 @@ ads AS (
          * (1.0 + 4.0 / any_value(n)
             - 25.0 / (any_value(n) * any_value(n))) AS ad
   FROM adp GROUP BY user_id, event_type
-)
-SELECT xc.user_id, xc.event_type,
+)"""
+
+# Per-feature SQL expressions (aggregates over xc joined p2/sq/ads),
+# keyed by the BAND_FEATURE_COLS name. Unrounded — the select builder
+# applies round(..., 6).
+BF_FEATURE_SQL: dict[str, str] = {
+    "mean": "any_value(p2.mean)",
+    "weighted_mean": "any_value(p2.wmean)",
+    "std": "any_value(p2.std)",
+    "median": "any_value(p2.med)",
+    "amplitude": "(any_value(p2.vmax) - any_value(p2.vmin)) / 2.0",
+    "beyond_1_std": (
+        "avg(CASE WHEN abs(xc.v - p2.mean) > p2.std THEN 1.0 ELSE 0.0 END)"
+    ),
+    "mad": "median(abs(xc.v - p2.med))",
+    "skew": (
+        "avg(pow(xc.v - p2.mean, 3))"
+        " / nullif(pow(avg(pow(xc.v - p2.mean, 2)), 1.5), 0)"
+    ),
+    "kurt": (
+        "avg(pow(xc.v - p2.mean, 4))"
+        " / nullif(pow(avg(pow(xc.v - p2.mean, 2)), 2.0), 0) - 3.0"
+    ),
+    "max_slope": "any_value(sq.max_slope)",
+    "cusum": (
+        "CASE WHEN any_value(p2.std) > 0 THEN any_value(sq.s_range)"
+        " / (any_value(p2.n) * any_value(p2.std)) END"
+    ),
+    "ipr10": "any_value(p2.q90) - any_value(p2.q10)",
+    "eta": (
+        "CASE WHEN any_value(p2.var) > 0 THEN any_value(sq.sdd)"
+        " / ((any_value(p2.n) - 1) * any_value(p2.var)) END"
+    ),
+    "linear_trend": "any_value(p2.b0)",
+    "linear_trend_sigma": (
+        "CASE WHEN any_value(p2.b0) IS NOT NULL AND any_value(p2.n) > 2"
+        " THEN sqrt(sum((xc.v - p2.mean - p2.b0 * xc.tc)"
+        " * (xc.v - p2.mean - p2.b0 * xc.tc))"
+        " / ((any_value(p2.n) - 2) * any_value(p2.st2))) END"
+    ),
+    "linear_fit_slope": "any_value(p2.b)",
+    "linear_fit_chi2": (
+        "CASE WHEN any_value(p2.a) IS NOT NULL AND any_value(p2.n) > 2"
+        " THEN sum(xc.w * (xc.v - p2.a - p2.b * xc.tc)"
+        " * (xc.v - p2.a - p2.b * xc.tc)) / (any_value(p2.n) - 2) END"
+    ),
+    "mpr_40_05": (
+        "(any_value(p2.q60) - any_value(p2.q40))"
+        " / nullif(any_value(p2.q95) - any_value(p2.q05), 0)"
+    ),
+    "mpr_20_10": (
+        "(any_value(p2.q80) - any_value(p2.q20))"
+        " / nullif(any_value(p2.q90) - any_value(p2.q10), 0)"
+    ),
+    "median_buffer_pct": (
+        "avg(CASE WHEN abs(xc.v - p2.med) < 0.1"
+        " * ((p2.vmax - p2.vmin) / 2.0) THEN 1.0 ELSE 0.0 END)"
+    ),
+    "percent_amplitude": (
+        "greatest(any_value(p2.vmax) - any_value(p2.med),"
+        " any_value(p2.med) - any_value(p2.vmin))"
+    ),
+    "mean_variance": "any_value(p2.std) / nullif(any_value(p2.mean), 0)",
+    "reduced_chi2": (
+        "sum(((xc.v - p2.wmean) / xc.err) * ((xc.v - p2.wmean) / xc.err))"
+        " / (any_value(p2.n) - 1)"
+    ),
+    "stetson_k": (
+        "CASE WHEN avg(((xc.v - p2.wmean) / xc.err)"
+        " * ((xc.v - p2.wmean) / xc.err)) > 0"
+        " THEN avg(abs((xc.v - p2.wmean) / xc.err))"
+        " / sqrt(avg(((xc.v - p2.wmean) / xc.err)"
+        " * ((xc.v - p2.wmean) / xc.err))) END"
+    ),
+    "anderson_darling_normal": "any_value(ads.ad)",
+    "linear_fit_slope_sigma": (
+        "CASE WHEN any_value(p2.b) IS NOT NULL"
+        " THEN sqrt(any_value(p2.sw) / any_value(p2.det)) END"
+    ),
+    "linear_trend_noise": (
+        "CASE WHEN any_value(p2.b0) IS NOT NULL AND any_value(p2.n) > 2"
+        " THEN sqrt(sum((xc.v - p2.mean - p2.b0 * xc.tc)"
+        " * (xc.v - p2.mean - p2.b0 * xc.tc))"
+        " / (any_value(p2.n) - 2)) END"
+    ),
+}
+
+
+def band_features_ctes(src: str = "events") -> str:
+    """The shared CTE chain (x .. ads) over a source relation exposing
+    user_id, event_type, value, ts, props — embeddable inside a caller's
+    WITH block (including WITH RECURSIVE)."""
+    return BF_CTES_TEMPLATE.format(src=src)
+
+
+def band_features_select(features: list[str], min_pts: int = 3) -> str:
+    """The final per-(user_id, event_type) feature select over the
+    band_features_ctes chain, emitting ``features`` in order (each
+    rounded at 6) plus the leading n column."""
+    cols = ",\n       ".join(
+        f"round({BF_FEATURE_SQL[f]}, 6) AS {f}" for f in features
+    )
+    return f"""SELECT xc.user_id, xc.event_type,
        any_value(p2.n) AS n,
-       round(any_value(p2.mean), 6) AS mean,
-       round(any_value(p2.wmean), 6) AS weighted_mean,
-       round(any_value(p2.std), 6) AS std,
-       round(any_value(p2.med), 6) AS median,
-       round((any_value(p2.vmax) - any_value(p2.vmin)) / 2.0, 6) AS amplitude,
-       round(avg(CASE WHEN abs(xc.v - p2.mean) > p2.std THEN 1.0 ELSE 0.0 END), 6)
-           AS beyond_1_std,
-       round(median(abs(xc.v - p2.med)), 6) AS mad,
-       round(avg(pow(xc.v - p2.mean, 3))
-             / nullif(pow(avg(pow(xc.v - p2.mean, 2)), 1.5), 0), 6) AS skew,
-       round(avg(pow(xc.v - p2.mean, 4))
-             / nullif(pow(avg(pow(xc.v - p2.mean, 2)), 2.0), 0) - 3.0, 6) AS kurt,
-       round(any_value(sq.max_slope), 6) AS max_slope,
-       round(CASE WHEN any_value(p2.std) > 0
-                  THEN any_value(sq.s_range)
-                       / (any_value(p2.n) * any_value(p2.std)) END, 6) AS cusum,
-       round(any_value(p2.q90) - any_value(p2.q10), 6) AS ipr10,
-       round(CASE WHEN any_value(p2.var) > 0
-                  THEN any_value(sq.sdd)
-                       / ((any_value(p2.n) - 1) * any_value(p2.var)) END, 6)
-           AS eta,
-       round(any_value(p2.b0), 6) AS linear_trend,
-       round(CASE WHEN any_value(p2.b0) IS NOT NULL AND any_value(p2.n) > 2
-                  THEN sqrt(sum((xc.v - p2.mean - p2.b0 * xc.tc)
-                                * (xc.v - p2.mean - p2.b0 * xc.tc))
-                            / ((any_value(p2.n) - 2) * any_value(p2.st2)))
-             END, 6) AS linear_trend_sigma,
-       round(any_value(p2.b), 6) AS linear_fit_slope,
-       round(CASE WHEN any_value(p2.a) IS NOT NULL AND any_value(p2.n) > 2
-                  THEN sum(xc.w * (xc.v - p2.a - p2.b * xc.tc)
-                                * (xc.v - p2.a - p2.b * xc.tc))
-                       / (any_value(p2.n) - 2)
-             END, 6) AS linear_fit_chi2,
-       round((any_value(p2.q60) - any_value(p2.q40))
-             / nullif(any_value(p2.q95) - any_value(p2.q05), 0), 6) AS mpr_40_05,
-       round((any_value(p2.q80) - any_value(p2.q20))
-             / nullif(any_value(p2.q90) - any_value(p2.q10), 0), 6) AS mpr_20_10,
-       round(avg(CASE WHEN abs(xc.v - p2.med)
-                           < 0.1 * ((p2.vmax - p2.vmin) / 2.0)
-                      THEN 1.0 ELSE 0.0 END), 6) AS median_buffer_pct,
-       round(greatest(any_value(p2.vmax) - any_value(p2.med),
-                      any_value(p2.med) - any_value(p2.vmin)), 6)
-           AS percent_amplitude,
-       round(any_value(p2.std) / nullif(any_value(p2.mean), 0), 6)
-           AS mean_variance,
-       round(sum(((xc.v - p2.wmean) / xc.err) * ((xc.v - p2.wmean) / xc.err))
-             / (any_value(p2.n) - 1), 6) AS reduced_chi2,
-       round(CASE WHEN avg(((xc.v - p2.wmean) / xc.err)
-                           * ((xc.v - p2.wmean) / xc.err)) > 0
-                  THEN avg(abs((xc.v - p2.wmean) / xc.err))
-                       / sqrt(avg(((xc.v - p2.wmean) / xc.err)
-                                  * ((xc.v - p2.wmean) / xc.err)))
-             END, 6) AS stetson_k,
-       round(any_value(ads.ad), 6) AS anderson_darling_normal,
-       round(CASE WHEN any_value(p2.b) IS NOT NULL
-                  THEN sqrt(any_value(p2.sw) / any_value(p2.det)) END, 6)
-           AS linear_fit_slope_sigma,
-       round(CASE WHEN any_value(p2.b0) IS NOT NULL AND any_value(p2.n) > 2
-                  THEN sqrt(sum((xc.v - p2.mean - p2.b0 * xc.tc)
-                                * (xc.v - p2.mean - p2.b0 * xc.tc))
-                            / (any_value(p2.n) - 2))
-             END, 6) AS linear_trend_noise
+       {cols}
 FROM xc
 JOIN p2 USING (user_id, event_type)
 LEFT JOIN sq USING (user_id, event_type)
 LEFT JOIN ads USING (user_id, event_type)
 GROUP BY xc.user_id, xc.event_type
-HAVING any_value(p2.n) >= 3
-"""
+HAVING any_value(p2.n) >= {min_pts}"""
+
+
+def _oracle_band_features() -> str:
+    from fink_science_spark.operators.aggregates import BAND_FEATURE_COLS
+
+    return (
+        "WITH "
+        + band_features_ctes()
+        + "\n"
+        + band_features_select(BAND_FEATURE_COLS[1:], 3)
+    )
 
 
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,5 +859,5 @@ ORACLES_EXT3: dict[str, str] = {
     "doc_winnowing": ORACLE_DOC_WINNOWING,
     "bpe_token_count": _oracle_bpe_token_count(),
     "alert_pipeline": ORACLE_ALERT_PIPELINE,
-    "band_features": ORACLE_BAND_FEATURES,
+    "band_features": _oracle_band_features(),
 }
