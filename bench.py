@@ -224,6 +224,7 @@ HEADLINE = [
     "anomaly_real",
     # wave 20: real features into real heads (round 7)
     "anomaly_real_lc",
+    "mulens_real_lia",
 ]
 
 

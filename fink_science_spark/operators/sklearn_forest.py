@@ -290,6 +290,81 @@ def onnx_walk_sql(
 )"""
 
 
+def rf_nodes_cte(ckpt: dict, cte_name: str) -> str:
+    """A multi-class RandomForest as ONE node-table CTE (the
+    :func:`onnx_nodes_cte` string-split layout) with per-class
+    NORMALIZED leaf probabilities w0..w{k-1} — so a single table serves
+    every class and every scored relation, instead of k × n_trees
+    nested-CASE expressions per consumer."""
+    n_classes = len(ckpt["classes"])
+    tree_l, node_l, feat_l, thr_l, lid_l, rid_l = [], [], [], [], [], []
+    w_l: list[list[float]] = [[] for _ in range(n_classes)]
+    for ti, t in enumerate(ckpt["trees"]):
+        n = len(t["left"])
+        tree_l.extend([ti] * n)
+        node_l.extend(range(n))
+        feat_l.extend(int(f) for f in t["feature"])
+        thr_l.extend(float(x) for x in t["threshold"])
+        lid_l.extend(int(x) for x in t["left"])
+        rid_l.extend(int(x) for x in t["right"])
+        for k in range(n_classes):
+            w_l[k].extend(float(v[k]) for v in t["value"])
+
+    def ints(vals):
+        s = ",".join(str(v) for v in vals)
+        return f"unnest(string_split('{s}', ','))::INTEGER"
+
+    def dbls(vals):
+        s = ",".join(repr(v) for v in vals)
+        return f"unnest(string_split('{s}', ','))::DOUBLE"
+
+    wcols = ", ".join(
+        f"{dbls(w_l[k])} AS w{k}" for k in range(n_classes)
+    )
+    return (
+        f"{cte_name} AS MATERIALIZED (SELECT {ints(tree_l)} AS tree, "
+        f"{ints(node_l)} AS node, {ints(feat_l)} AS feat, "
+        f"{dbls(thr_l)} AS thr, {ints(lid_l)} AS lid, "
+        f"{ints(rid_l)} AS rid, {wcols})"
+    )
+
+
+def rf_walk_sql(
+    cte_name: str,
+    feats_cte: str,
+    key: str,
+    xs_col: str,
+    out_cte: str,
+    n_classes: int,
+    n_trees: int,
+) -> str:
+    """Recursive traversal of a :func:`rf_nodes_cte` table; emits
+    ``{out_cte}_walk`` and ``{out_cte}`` (key, p0..p{k-1} — sklearn
+    predict_proba: mean over trees of normalized leaf values). NULL
+    array elements route to the right child, matching the kernel's
+    NaN-comparison semantics."""
+    probs = ", ".join(
+        f"sum(n.w{k}) / {float(n_trees)!r} AS p{k}"
+        for k in range(n_classes)
+    )
+    return f"""{out_cte}_walk AS (
+  SELECT f.{key} AS k, n.tree AS tree, 0 AS node
+  FROM {feats_cte} f CROSS JOIN (SELECT DISTINCT tree FROM {cte_name}) n
+  UNION ALL
+  SELECT w.k, w.tree,
+         CASE WHEN f.{xs_col}[n.feat + 1] <= n.thr THEN n.lid ELSE n.rid END
+  FROM {out_cte}_walk w
+  JOIN {cte_name} n ON n.tree = w.tree AND n.node = w.node AND n.feat >= 0
+  JOIN {feats_cte} f ON f.{key} = w.k
+),
+{out_cte} AS (
+  SELECT w.k AS {key}, {probs}
+  FROM {out_cte}_walk w
+  JOIN {cte_name} n ON n.tree = w.tree AND n.node = w.node AND n.feat < 0
+  GROUP BY w.k
+)"""
+
+
 def robust_scaler_sql(step: dict, feats: list[str]) -> list[str]:
     out = []
     for j, f in enumerate(feats):

@@ -323,6 +323,257 @@ FROM feats
 
 
 # --------------------------------------------------------------------------
+# mulens_real_lia: the REAL LIA artifacts fed with the 47-statistic
+# LIA-family feature bank (operators/lia_stats.py) instead of
+# mulens_real's documented synthetic recipe — the reference's actual
+# data path (ztf/microlensing/processor.py:129-190: per-band DC
+# light curves -> LIA extract_all's 47 statistics -> rf.sav) with its
+# gate semantics reproduced literally: >= 20 valid points total,
+# upper bound 100 (the ndethist gate), >= 10 points per band, the
+# forest's argmax class per band, and the final score = mean of the
+# two bands' ML probabilities ONLY when both bands classify as ML,
+# else 0.0. Features are rounded at 6 in both engines before the
+# forest; the oracle embeds the full 47-statistic SQL chain and walks
+# the 1000-tree node table ONCE per band via recursive CTEs
+# (rf_nodes_cte/rf_walk_sql — one shared MATERIALIZED node table, all
+# four class probabilities from a single walk).
+# --------------------------------------------------------------------------
+
+_MULENS_LIA_MIN_BAND = 10  # reference: >= 10 measurements per band
+_MULENS_LIA_MIN_TOT = 20  # reference: >= 20 valid measurements
+_MULENS_LIA_MAX_TOT = 100  # reference: ndethist < 100
+
+
+def q_mulens_real_lia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from fink_science_spark.operators.lia_stats import (
+        lia_features_per_group,
+    )
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        rf_proba,
+    )
+
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    # magnitude-like mapping shared verbatim with the oracle: m in
+    # [16, ~23.7] (ZTF-like, so the raw zp=24 flux lands inside the
+    # forest's trained amplitude span) with <8 mag of in-band spread so
+    # the quantized normalized flux never collapses to 0; err ~ tenths
+    lc = ev.select(
+        "user_id",
+        "event_type",
+        (F.col("ts_us") / F.lit(86400e6)).alias("t_days"),
+        (F.lit(16.0) + F.col("value") / F.lit(64.0)).alias("m"),
+        (
+            (F.get_json_object("props", "$.k").cast("double") + 1.0)
+            / F.lit(64.0)
+        ).alias("err"),
+    )
+    feats = lia_features_per_group(
+        lc,
+        ["user_id", "event_type"],
+        "t_days",
+        "m",
+        "err",
+        min_points=_MULENS_LIA_MIN_BAND,
+    )
+    fcols = [f"f{j}" for j in range(47)]
+    rounded = feats.select(
+        "user_id",
+        "event_type",
+        "n",
+        *[F.round(F.col(c), 6).alias(c) for c in fcols],
+    )
+    gb = rounded.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("n").alias("nb_g"),
+        *[F.col(c).alias(f"g{j}") for j, c in enumerate(fcols)],
+    )
+    rb = rounded.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("n").alias("nb_r"),
+        *[F.col(c).alias(f"r{j}") for j, c in enumerate(fcols)],
+    )
+    universe = ev.groupBy("user_id").agg(F.count("*").alias("n_tot"))
+    both = universe.join(gb, "user_id", "left").join(rb, "user_id", "left")
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_tot", LongType()),
+            StructField("n_g", LongType()),
+            StructField("n_r", LongType()),
+            StructField("class_g", StringType()),
+            StructField("class_r", StringType()),
+            StructField("p_g", DoubleType()),
+            StructField("p_r", DoubleType()),
+        ]
+    )
+    gcols = [f"g{j}" for j in range(47)]
+    rcols = [f"r{j}" for j in range(47)]
+
+    def kernel(batches):
+        rf = load_checkpoint("mulens_rf")
+        classes = rf["classes"]
+        ml = classes.index("ML")
+
+        def band(pdf, cols, nb):
+            cls = np.full(len(pdf), "", dtype=object)
+            pml = np.zeros(len(pdf))
+            ok = ~np.isnan(nb)
+            if ok.any():
+                X = pdf[cols].to_numpy(dtype=np.float64)[ok]
+                P = np.round(rf_proba(X, rf), 6)
+                idx = P.argmax(axis=1)
+                cls[ok] = [classes[i] for i in idx]
+                pml[ok] = P[:, ml]
+            return cls, pml
+
+        for pdf in batches:
+            out = pdf[["user_id", "n_tot"]].copy()
+            if len(pdf):
+                ng = pdf["nb_g"].to_numpy(dtype=np.float64)
+                nr = pdf["nb_r"].to_numpy(dtype=np.float64)
+                cg, pg = band(pdf, gcols, ng)
+                cr, pr = band(pdf, rcols, nr)
+                out["n_g"] = np.nan_to_num(ng, nan=0.0).astype(np.int64)
+                out["n_r"] = np.nan_to_num(nr, nan=0.0).astype(np.int64)
+                out["class_g"], out["class_r"] = cg, cr
+                out["p_g"], out["p_r"] = pg, pr
+            else:
+                for c in ("n_g", "n_r"):
+                    out[c] = np.zeros(0, dtype=np.int64)
+                for c in ("class_g", "class_r"):
+                    out[c] = np.zeros(0, dtype=object)
+                for c in ("p_g", "p_r"):
+                    out[c] = np.zeros(0)
+            yield out
+
+    scored = both.mapInPandas(kernel, schema=schema)
+    gate = (F.col("n_tot") >= _MULENS_LIA_MIN_TOT) & (
+        F.col("n_tot") < _MULENS_LIA_MAX_TOT
+    )
+    cg = F.when(
+        gate & (F.col("n_g") >= _MULENS_LIA_MIN_BAND), F.col("class_g")
+    ).otherwise(F.lit(""))
+    cr = F.when(
+        gate & (F.col("n_r") >= _MULENS_LIA_MIN_BAND), F.col("class_r")
+    ).otherwise(F.lit(""))
+    return scored.select(
+        "user_id",
+        "n_tot",
+        "n_g",
+        "n_r",
+        cg.alias("class_g"),
+        cr.alias("class_r"),
+        # the forests' actual ML probabilities per gated band — the
+        # value-level evidence (the final gated score is 0.0 whenever no
+        # band classifies ML, exactly like the reference's own doctest
+        # over real alerts)
+        F.when(cg != "", F.col("p_g")).otherwise(F.lit(0.0)).alias("p_ml_g"),
+        F.when(cr != "", F.col("p_r")).otherwise(F.lit(0.0)).alias("p_ml_r"),
+        F.when(
+            (cg == "ML") & (cr == "ML"),
+            F.round((F.col("p_g") + F.col("p_r")) / 2.0, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mulens"),
+    )
+
+
+def _oracle_mulens_real_lia() -> str:
+    from fink_science_spark.operators.lia_stats import lia_stats_sql_ctes
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        rf_nodes_cte,
+        rf_walk_sql,
+    )
+
+    rf = load_checkpoint("mulens_rf")
+    classes = rf["classes"]
+    ml = classes.index("ML")
+    n_cls = len(classes)
+    src = (
+        "(SELECT user_id, event_type,"
+        " epoch_us(ts) * 1.0 / 86400e6 AS t,"
+        " 16.0 + value / 64.0 AS m,"
+        " (json_extract_string(props, '$.k')::DOUBLE + 1.0) / 64.0 AS err"
+        " FROM events WHERE event_type IN ('click', 'purchase'))"
+    )
+    fcols = [f"f{j}" for j in range(47)]
+    rounded = ", ".join(f"round({c}, 6) AS {c}" for c in fcols)
+    xs = "[" + ", ".join(fcols) + "]"
+
+    def argmax_case(p: str) -> str:
+        conds = []
+        for k in range(n_cls):
+            geq = " AND ".join(
+                f"round({p}.p{k}, 6) >= round({p}.p{j}, 6)"
+                for j in range(k + 1, n_cls)
+            )
+            conds.append(
+                f"WHEN {geq} THEN '{classes[k]}'"
+                if geq
+                else f"ELSE '{classes[k]}'"
+            )
+        return "CASE " + " ".join(conds) + " END"
+
+    gate = (
+        f"u.n_tot >= {_MULENS_LIA_MIN_TOT}"
+        f" AND u.n_tot < {_MULENS_LIA_MAX_TOT}"
+    )
+    return f"""
+WITH RECURSIVE
+{lia_stats_sql_ctes(src, _MULENS_LIA_MIN_BAND)},
+featsr AS (SELECT user_id, event_type, n, {rounded} FROM lia_feats),
+fg AS (
+  SELECT user_id, n AS nb, {xs}::DOUBLE[] AS xs FROM featsr
+  WHERE event_type = 'click'
+),
+fr AS (
+  SELECT user_id, n AS nb, {xs}::DOUBLE[] AS xs FROM featsr
+  WHERE event_type = 'purchase'
+),
+{rf_nodes_cte(rf, "mlnodes")},
+{rf_walk_sql("mlnodes", "fg", "user_id", "xs", "probs_g", n_cls, len(rf["trees"]))},
+{rf_walk_sql("mlnodes", "fr", "user_id", "xs", "probs_r", n_cls, len(rf["trees"]))},
+universe AS (
+  SELECT user_id, count(*) AS n_tot FROM events
+  WHERE event_type IN ('click', 'purchase') GROUP BY user_id
+),
+final AS (
+  SELECT u.user_id, u.n_tot,
+         coalesce(fg.nb, 0) AS n_g, coalesce(fr.nb, 0) AS n_r,
+         CASE WHEN {gate} AND pg.p0 IS NOT NULL
+              THEN {argmax_case('pg')} ELSE '' END AS class_g,
+         CASE WHEN {gate} AND pr.p0 IS NOT NULL
+              THEN {argmax_case('pr')} ELSE '' END AS class_r,
+         round(pg.p{ml}, 6) AS pml_g, round(pr.p{ml}, 6) AS pml_r
+  FROM universe u
+  LEFT JOIN fg ON fg.user_id = u.user_id
+  LEFT JOIN fr ON fr.user_id = u.user_id
+  LEFT JOIN probs_g pg ON pg.user_id = u.user_id
+  LEFT JOIN probs_r pr ON pr.user_id = u.user_id
+)
+SELECT user_id, n_tot, n_g, n_r, class_g, class_r,
+       CASE WHEN class_g != '' THEN pml_g ELSE 0.0 END AS p_ml_g,
+       CASE WHEN class_r != '' THEN pml_r ELSE 0.0 END AS p_ml_r,
+       CASE WHEN class_g = 'ML' AND class_r = 'ML'
+            THEN round((pml_g + pml_r) / 2.0, 6) ELSE 0.0 END AS mulens
+FROM final
+"""
+
+
+# --------------------------------------------------------------------------
 # orphan_real: the REAL Rubin orphan-afterglow GradientBoosting model
 # (model_orphans.pkl, 100 log_loss stages, DummyClassifier log-odds
 # prior — rubin/orphans/classifier.py:137). The 12 features mirror the
@@ -1204,6 +1455,7 @@ def _lazy_oracles() -> dict[str, str]:
     return {
         "snn_ia_real": _oracle_snn_real(),
         "mulens_real": _oracle_mulens_real(),
+        "mulens_real_lia": _oracle_mulens_real_lia(),
         "orphan_real": _oracle_orphan_real(),
         "kn_rf_real": _oracle_kn_rf_real(),
         "anomaly_real": _oracle_anomaly_real(),
@@ -1214,6 +1466,7 @@ def _lazy_oracles() -> dict[str, str]:
 QUERIES_EXT17 = {
     "snn_ia_real": q_snn_ia_real,
     "mulens_real": q_mulens_real,
+    "mulens_real_lia": q_mulens_real_lia,
     "orphan_real": q_orphan_real,
     "kn_rf_real": q_kn_rf_real,
     "anomaly_real": q_anomaly_real,

@@ -251,9 +251,83 @@ def test_real_forest_queries_non_degenerate(spark, sf_smoke):
         ("kn_rf_real", "p_kn"),
         ("snn_ia_real", "snn_ia_real"),
         ("anomaly_real", "anomaly"),
+        ("anomaly_real_lc", "anomaly"),
+        ("mulens_real_lia", "p_ml_g"),
     ]:
         vals = [
             r[0]
             for r in QUERIES_EXT17[name](spark, sf_smoke).select(col).collect()
         ]
         assert len(set(vals)) >= 3, f"{name}.{col} degenerate: {set(vals)}"
+
+
+def test_bsm_ppf_inverts_normal_cdf():
+    """The Beasley-Springer-Moro inverse-CDF polynomial (shared between
+    the LIA kernel and its SQL twin) must invert the normal CDF to the
+    algorithm's documented ~3e-9 accuracy across both branches."""
+    import math
+
+    import numpy as np
+
+    from fink_science_spark.operators.lia_stats import norm_ppf_bsm
+
+    u = np.concatenate(
+        [
+            np.linspace(1e-6, 1 - 1e-6, 2001),
+            [1e-9, 5e-8, 0.08, 0.5, 0.92, 1 - 5e-8, 1 - 1e-9],
+        ]
+    )
+    z = norm_ppf_bsm(u)
+    phi = 0.5 * (1.0 + np.array([math.erf(v / math.sqrt(2.0)) for v in z]))
+    assert np.max(np.abs(phi - u)) < 1e-7
+
+
+def test_lia_features_exercise_trained_splits(spark, sf_smoke):
+    """The real rf.sav must actually BRANCH on the LIA feature bank:
+    for most of the 47 features, the sf0.01 values straddle at least
+    one trained split threshold (all-below or all-above a feature's
+    every threshold would make that feature a constant routing)."""
+    from pyspark.sql import functions as F
+
+    from fink_science_spark.operators.lia_stats import (
+        lia_features_per_group,
+    )
+    from fink_science_spark.operators.sklearn_forest import load_checkpoint
+    from fink_science_spark.queries import _events_us
+
+    ev = _events_us(spark, sf_smoke).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    lc = ev.select(
+        "user_id",
+        "event_type",
+        (F.col("ts_us") / F.lit(86400e6)).alias("t_days"),
+        (F.col("value") / F.lit(64.0)).alias("m"),
+        (
+            (F.get_json_object("props", "$.k").cast("double") + 1.0)
+            / F.lit(64.0)
+        ).alias("err"),
+    )
+    feats = lia_features_per_group(
+        lc, ["user_id", "event_type"], "t_days", "m", "err", min_points=10
+    )
+    # bounded-collect: one row per (user, band) at smoke SF (28 groups
+    # clear the >= 10-point gate at sf0.001)
+    pdf = feats.toPandas()
+    assert len(pdf) >= 20
+
+    rf = load_checkpoint("mulens_rf")
+    th_by_feat: dict[int, list[float]] = {}
+    for t in rf["trees"]:
+        for f, th in zip(t["feature"], t["threshold"]):
+            if f >= 0:
+                th_by_feat.setdefault(int(f), []).append(float(th))
+    exercised = 0
+    for j in range(47):
+        col = pdf[f"f{j}"].dropna()
+        if not len(col) or j not in th_by_feat:
+            continue
+        lo, hi = float(col.min()), float(col.max())
+        if any(lo < th < hi for th in th_by_feat[j]):
+            exercised += 1
+    assert exercised >= 30, f"only {exercised}/47 features split"
