@@ -225,6 +225,7 @@ HEADLINE = [
     # wave 20: real features into real heads (round 7)
     "anomaly_real_lc",
     "mulens_real_lia",
+    "superluminous_real",
 ]
 
 

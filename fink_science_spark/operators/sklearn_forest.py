@@ -64,6 +64,19 @@ def load_checkpoint(name: str) -> dict:
             "onnx_tree_ensemble_sum",
         ):
             prepped["trees"] = [_prep_tree(t, False) for t in art["trees"]]
+        elif art["kind"] == "xgb_binary_logistic":
+            prepped["trees"] = [
+                {
+                    "feature": np.asarray(t["feature"], dtype=np.int64),
+                    "threshold": np.asarray(t["threshold"], dtype=np.float64),
+                    "left": np.asarray(t["left"], dtype=np.int64),
+                    "right": np.asarray(t["right"], dtype=np.int64),
+                    "default_left": np.asarray(
+                        t["default_left"], dtype=np.int64
+                    ),
+                }
+                for t in art["trees"]
+            ]
         elif art["kind"] == "pipeline":
             steps = []
             for s in art["steps"]:
@@ -125,6 +138,59 @@ def gbt_proba(X: np.ndarray, ckpt: dict) -> np.ndarray:
     for t in ckpt["trees"]:
         raw = raw + lr * t["value"][_tree_leaf_rows(X, t), 0]
     return 1.0 / (1.0 + np.exp(-raw))
+
+
+def xgb_proba(X: np.ndarray, ckpt: dict) -> np.ndarray:
+    """P(class 1) for a binary:logistic XGBoost booster (the
+    superluminous head): per tree, descend with x < threshold -> left,
+    NaN -> the recorded default child; leaf value lives in
+    split_conditions at leaves; p = sigmoid(logit(base_score) + sum)."""
+    X = np.asarray(X, dtype=np.float64)
+    base = float(ckpt["base_score"])
+    raw = np.full(len(X), float(np.log(base / (1.0 - base))))
+    for t in ckpt["trees"]:
+        feature, thr = t["feature"], t["threshold"]
+        left, right = t["left"], t["right"]
+        dleft = t["default_left"]
+        node = np.zeros(len(X), dtype=np.int64)
+        while True:
+            internal = left[node] >= 0  # xgboost leaves: left == -1
+            if not internal.any():
+                break
+            f = np.where(internal, feature[node], 0)
+            fx = X[np.arange(len(X)), f]
+            isnan = np.isnan(fx)
+            go_left = np.where(
+                isnan, dleft[node] == 1, fx < thr[node]
+            )
+            nxt = np.where(go_left, left[node], right[node])
+            node = np.where(internal, nxt, node)
+        raw = raw + thr[node]  # leaf value rides in split_conditions
+    return 1.0 / (1.0 + np.exp(-raw))
+
+
+def xgb_proba_sql(ckpt: dict, feats: list[str]) -> str:
+    """The booster as one SQL expression (list_sum over per-tree nested
+    CASEs — strict < comparisons; a NULL feature fails both comparisons
+    and falls to the ELSE branch, which encodes the default child)."""
+
+    def node(t: dict, i: int) -> str:
+        if t["left"][i] < 0:
+            return repr(float(t["threshold"][i]))
+        f = feats[t["feature"][i]]
+        thr = repr(float(t["threshold"][i]))
+        lft = node(t, int(t["left"][i]))
+        rgt = node(t, int(t["right"][i]))
+        dflt = lft if t["default_left"][i] == 1 else rgt
+        return (
+            f"CASE WHEN ({f}) < ({thr}) THEN {lft} "
+            f"WHEN ({f}) >= ({thr}) THEN {rgt} ELSE {dflt} END"
+        )
+
+    terms = ",".join(f"({node(t, 0)})" for t in ckpt["trees"])
+    base = float(ckpt["base_score"])
+    logit = float(np.log(base / (1.0 - base)))
+    return f"(1.0/(1.0+exp(-({logit!r} + list_sum([{terms}])))))"
 
 
 def onnx_ensemble_raw(X: np.ndarray, ckpt: dict) -> np.ndarray:

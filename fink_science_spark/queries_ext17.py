@@ -1355,6 +1355,246 @@ LEFT JOIN score_r sr ON sr.user_id = u.user_id
 
 
 # --------------------------------------------------------------------------
+# superluminous_real: the REAL superluminous (SLSN) XGBoost head
+# (superluminous_classifier.joblib — ztf/superluminous/kernel.py:21,
+# processor.py:226-233: joblib-pickled XGBClassifier, binary:logistic,
+# 100 trees, 27 named features, custom optimal_threshold attribute)
+# extracted with tools/extract_xgb.py (stub unpickler + stdlib UBJSON
+# decoder of the booster's public model format). The veto cascade is
+# the reference's: ineligible curves take the -1.0 sentinel WITHOUT
+# reaching the head (default probas = -1, processor.py:214), scored
+# rows additionally emit the is_slsn mask (proba > optimal_threshold,
+# processor.py:236). Features: the 7 genuinely statistical members of
+# feature_names (max_slope, flux_amplitude, skew, duration, std_flux,
+# q15, q85) are computed REAL from the per-user curves with native
+# expressions; the 20 Rainbow/SALT-fit and external-catalog parameters
+# (iterative fits / dust maps / photo-z services, not reproducible
+# here) take the documented span recipe — per-user mixes placed inside
+# each feature's trained threshold span, exact in both engines.
+# --------------------------------------------------------------------------
+
+_SLSN_REAL_FEATS = {
+    "max_slope",
+    "flux_amplitude",
+    "skew",
+    "duration",
+    "std_flux",
+    "q15",
+    "q85",
+}
+# dyadic mixing constants for the synthetic fit/external parameters
+_SLSN_C = [((j * 13) % 16 + 1) / 16.0 for j in range(27)]
+_SLSN_D = [((j * 9) % 8 + 1) / 32.0 for j in range(27)]
+
+
+def _slsn_bounds() -> dict[int, tuple[float, float]]:
+    from fink_science_spark.operators.sklearn_forest import load_checkpoint
+
+    ckpt = load_checkpoint("superluminous_xgb")
+    lo: dict[int, float] = {}
+    hi: dict[int, float] = {}
+    for t in ckpt["trees"]:
+        for f, th, lc in zip(t["feature"], t["threshold"], t["left"]):
+            if lc >= 0:  # internal node
+                f = int(f)
+                lo[f] = min(lo.get(f, float("inf")), float(th))
+                hi[f] = max(hi.get(f, float("-inf")), float(th))
+    return {f: (lo[f], hi[f]) for f in lo}
+
+
+def q_superluminous_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        xgb_proba,
+    )
+
+    ckpt = load_checkpoint("superluminous_xgb")
+    names = ckpt["feature_names"]
+    bounds = _slsn_bounds()
+    thr = float(ckpt["optimal_threshold"])
+
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "value")
+    rows = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts_us",
+        F.avg("value").over(Window.partitionBy("user_id")).alias("__mean"),
+        (
+            (F.col("value") - F.lag("value").over(w))
+            / ((F.col("ts_us") - F.lag("ts_us").over(w)) / F.lit(86400e6))
+        ).alias("__slope"),
+    )
+    per_user = rows.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_err"
+        ),
+        F.sum("value").alias("vsum"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.stddev_samp("value").alias("std_flux"),
+        F.expr("percentile(value, 0.15)").alias("q15"),
+        F.expr("percentile(value, 0.85)").alias("q85"),
+        F.avg(F.pow(F.col("value") - F.col("__mean"), 2)).alias("m2"),
+        F.avg(F.pow(F.col("value") - F.col("__mean"), 3)).alias("m3"),
+        ((F.max("ts_us") - F.min("ts_us")) / F.lit(86400e6)).alias(
+            "duration"
+        ),
+        F.max(F.abs("__slope")).alias("max_slope"),
+    )
+    real_cols = {
+        "max_slope": F.col("max_slope"),
+        "flux_amplitude": F.col("vmax") - F.col("vmin"),
+        "skew": F.when(
+            F.col("m2") > 0, F.col("m3") / F.pow(F.col("m2"), 1.5)
+        ),
+        "duration": F.col("duration"),
+        "std_flux": F.col("std_flux"),
+        "q15": F.col("q15"),
+        "q85": F.col("q85"),
+    }
+    fexprs = []
+    for j, nm in enumerate(names):
+        if nm in _SLSN_REAL_FEATS:
+            e = real_cols[nm]
+        else:
+            lo, hi = bounds.get(j, (0.0, 1.0))
+            mix = F.col("vsum") * F.lit(_SLSN_C[j]) + F.col("vmax") * F.lit(
+                _SLSN_D[j]
+            )
+            u = mix - F.floor(mix)
+            e = F.lit(lo) + u * F.lit(hi - lo)
+        fexprs.append(F.round(e, 6).alias(f"f{j}"))
+    # transient-likeness veto analog: the corpus's mean error share is
+    # 20%, so the *5 cut vetoes error-heavy users while leaving a rich
+    # scored population at every SF (the *8 sentinel cut left 1 scored
+    # user at sf0.001)
+    eligible = (
+        (F.col("n_err") * 5 < F.col("n"))
+        & (F.col("duration") >= 25.0)
+        & (F.col("n") >= 20)
+    )
+    feats = per_user.select(
+        "user_id", "n", eligible.alias("__ok"), *fexprs
+    )
+
+    from pyspark.sql.types import BooleanType
+
+    fcols = [f"f{j}" for j in range(27)]
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("ok", BooleanType()),
+            StructField("proba", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        art = load_checkpoint("superluminous_xgb")
+        for pdf in batches:
+            out = pdf[["user_id", "n"]].copy()
+            out["ok"] = pdf["__ok"].to_numpy(dtype=bool)
+            if len(pdf):
+                X = pdf[fcols].to_numpy(dtype=np.float64)
+                out["proba"] = np.round(xgb_proba(X, art), 6)
+            else:
+                out["proba"] = np.zeros(0)
+            yield out
+
+    scored = feats.mapInPandas(kernel, schema=schema)
+    return scored.select(
+        "user_id",
+        "n",
+        F.when(F.col("ok"), F.col("proba"))
+        .otherwise(F.lit(-1.0))
+        .alias("proba"),
+        (F.col("ok") & (F.col("proba") > F.lit(thr))).alias("is_slsn"),
+    )
+
+
+def _oracle_superluminous_real() -> str:
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        xgb_proba_sql,
+    )
+
+    ckpt = load_checkpoint("superluminous_xgb")
+    names = ckpt["feature_names"]
+    bounds = _slsn_bounds()
+    thr = float(ckpt["optimal_threshold"])
+
+    real_sql = {
+        "max_slope": "max_slope",
+        "flux_amplitude": "(vmax - vmin)",
+        "skew": "(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END)",
+        "duration": "duration",
+        "std_flux": "std_flux",
+        "q15": "q15",
+        "q85": "q85",
+    }
+    fdefs = []
+    for j, nm in enumerate(names):
+        if nm in _SLSN_REAL_FEATS:
+            e = real_sql[nm]
+        else:
+            lo, hi = bounds.get(j, (0.0, 1.0))
+            mix = f"(vsum * ({_SLSN_C[j]!r}) + vmax * ({_SLSN_D[j]!r}))"
+            u = f"({mix} - floor({mix}))"
+            e = f"(({lo!r}) + {u} * ({hi - lo!r}))"
+        fdefs.append(f"round({e}, 6) AS f{j}")
+    feats = [f"f{j}" for j in range(27)]
+    proba = xgb_proba_sql(ckpt, feats)
+    return f"""
+WITH rows_w AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+         avg(value) OVER (PARTITION BY user_id) AS mean_w,
+         (value - lag(value) OVER w)
+           / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 86400e6)
+           AS slope
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), value)
+),
+per_user AS (
+  SELECT user_id, count(*) AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+         sum(value) AS vsum, min(value) AS vmin, max(value) AS vmax,
+         stddev_samp(value) AS std_flux,
+         quantile_cont(value, 0.15) AS q15,
+         quantile_cont(value, 0.85) AS q85,
+         avg(pow(value - mean_w, 2)) AS m2,
+         avg(pow(value - mean_w, 3)) AS m3,
+         (max(ts_us) - min(ts_us)) / 86400e6 AS duration,
+         max(abs(slope)) AS max_slope
+  FROM rows_w GROUP BY user_id
+),
+feats AS (
+  SELECT user_id, n,
+         (n_err * 5 < n AND duration >= 25.0 AND n >= 20) AS ok,
+         {", ".join(fdefs)}
+  FROM per_user
+),
+scored AS (
+  SELECT user_id, n, ok, round({proba}, 6) AS proba FROM feats
+)
+SELECT user_id, n,
+       CASE WHEN ok THEN proba ELSE -1.0 END AS proba,
+       (ok AND proba > ({thr!r})) AS is_slsn
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
 # cats_real: the REAL CATS broad classifier (517,541 params from the
 # reference's TensorFlow SavedModel, rubin/cats/processor.py:36-169;
 # extraction: tools/extract_tf_cats.py). A CNN+SE / bi-LSTM hybrid over
@@ -1460,6 +1700,7 @@ def _lazy_oracles() -> dict[str, str]:
         "kn_rf_real": _oracle_kn_rf_real(),
         "anomaly_real": _oracle_anomaly_real(),
         "anomaly_real_lc": _oracle_anomaly_real_lc(),
+        "superluminous_real": _oracle_superluminous_real(),
     }
 
 
@@ -1471,6 +1712,7 @@ QUERIES_EXT17 = {
     "kn_rf_real": q_kn_rf_real,
     "anomaly_real": q_anomaly_real,
     "anomaly_real_lc": q_anomaly_real_lc,
+    "superluminous_real": q_superluminous_real,
     "cats_real": q_cats_real,
 }
 

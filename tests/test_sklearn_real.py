@@ -253,6 +253,7 @@ def test_real_forest_queries_non_degenerate(spark, sf_smoke):
         ("anomaly_real", "anomaly"),
         ("anomaly_real_lc", "anomaly"),
         ("mulens_real_lia", "p_ml_g"),
+        ("superluminous_real", "proba"),
     ]:
         vals = [
             r[0]
@@ -331,3 +332,95 @@ def test_lia_features_exercise_trained_splits(spark, sf_smoke):
         if any(lo < th < hi for th in th_by_feat[j]):
             exercised += 1
     assert exercised >= 30, f"only {exercised}/47 features split"
+
+
+SLSN_JOBLIB = os.path.join(MODELS_DIR, "superluminous_classifier.joblib")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SLSN_JOBLIB), reason="reference joblib absent"
+)
+def test_superluminous_xgb_checkpoint_verbatim():
+    """Fresh stub-unpickle + stdlib-UBJSON decode of the reference's
+    XGBClassifier joblib equals the committed checkpoint exactly
+    (every tree array, base_score, feature names, the pickled
+    optimal_threshold)."""
+    from extract_xgb import load_xgb_joblib
+
+    fresh = load_xgb_joblib(SLSN_JOBLIB)
+    art = _ckpt_raw("superluminous_xgb")
+    assert art["objective"] == fresh["objective"] == "binary:logistic"
+    assert art["base_score"] == fresh["base_score"]
+    assert art["feature_names"] == fresh["feature_names"]
+    assert art["optimal_threshold"] == fresh["optimal_threshold"]
+    assert len(art["trees"]) == len(fresh["trees"]) == 100
+    for a, b in zip(art["trees"], fresh["trees"]):
+        assert a == b
+
+
+def test_xgb_proba_matches_scalar_walk():
+    """The vectorized XGBoost kernel against an independent scalar
+    descent (strict <, NaN routed to the recorded default child,
+    leaf value in split_conditions, sigmoid(logit(base) + sum))."""
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        xgb_proba,
+    )
+
+    ckpt = load_checkpoint("superluminous_xgb")
+
+    def scalar(x):
+        base = ckpt["base_score"]
+        raw = math.log(base / (1.0 - base))
+        for t in ckpt["trees"]:
+            i = 0
+            while t["left"][i] >= 0:
+                v = x[t["feature"][i]]
+                if v != v:  # NaN
+                    i = int(
+                        t["left"][i]
+                        if t["default_left"][i] == 1
+                        else t["right"][i]
+                    )
+                elif v < t["threshold"][i]:
+                    i = int(t["left"][i])
+                else:
+                    i = int(t["right"][i])
+            raw += float(t["threshold"][i])
+        return 1.0 / (1.0 + math.exp(-raw))
+
+    rng = np.random.default_rng(11)
+    X = rng.uniform(-3, 1200, size=(13, 27))
+    X[3, 5] = np.nan
+    X[7, 0] = np.nan
+    X[7, 21] = np.nan
+    got = xgb_proba(X, ckpt)
+    for r in range(13):
+        assert abs(got[r] - scalar(X[r])) < 1e-12
+    assert len(set(np.round(got, 6))) >= 8
+
+
+def test_ubjson_decoder_roundtrip():
+    """The stdlib UBJSON decoder against hand-built spec examples
+    (typed arrays, mixed objects, all numeric widths)."""
+    import struct
+
+    from extract_xgb import ubjson_decode
+
+    # {"a": [int16 300, float32 1.5], "b": "hi", "c": true}
+    buf = (
+        b"{"
+        + b"U\x01a[" + b"I" + struct.pack(">h", 300) + b"d"
+        + struct.pack(">f", 1.5) + b"]"
+        + b"U\x01bSU\x02hi"
+        + b"U\x01cT"
+        + b"}"
+    )
+    assert ubjson_decode(buf) == {"a": [300, 1.5], "b": "hi", "c": True}
+    # typed+counted array: [$d#U\x03 ...3 float32...]
+    buf2 = b"[$d#U\x03" + struct.pack(">fff", 1.0, -2.5, 0.25)
+    assert ubjson_decode(buf2) == [1.0, -2.5, 0.25]
+    # counted object with int64 values
+    buf3 = b"{#U\x02" + b"U\x01xL" + struct.pack(">q", -7) + \
+        b"U\x01yL" + struct.pack(">q", 2**40)
+    assert ubjson_decode(buf3) == {"x": -7, "y": 2**40}
