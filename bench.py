@@ -226,6 +226,7 @@ HEADLINE = [
     "anomaly_real_lc",
     "mulens_real_lia",
     "superluminous_real",
+    "kn_legacy_real",
 ]
 
 

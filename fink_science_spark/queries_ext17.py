@@ -937,6 +937,204 @@ FROM feats
 
 
 # --------------------------------------------------------------------------
+# kn_legacy_real: the reference repo's OTHER two shipped kilonova
+# forests (kilonova_model.pkl — 100 trees over 8 features, and the
+# kn_diff_pc_sets.pkl variant), extracted with the same stub unpickler.
+# Neither is referenced by current reference code (the production path
+# imports partial.pkl from the external kndetect package,
+# ztf/kilonova/processor.py:31,165), so this query completes the
+# shipped-artifact coverage: the trained split-threshold signature of
+# kilonova_model.pkl reads as per-band [point count (splits 1.5-9.5),
+# three FLUX-scale PC coefficients (splits to ±3e4)] x (g, r) — served
+# here with the REAL kndetect PC basis (peak-aligned projections x the
+# band's curve max restores flux scale) and a documented count
+# placement (2 + n % 8) that lands inside the trained count span.
+# --------------------------------------------------------------------------
+
+
+def q_kn_legacy_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        rf_proba,
+    )
+    from fink_science_spark.queries_ext8 import (
+        _KN_PCS,
+        _kn_coef_col,
+        _kn_prep_cols,
+    )
+
+    ev = _events_us(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    curves = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
+            ).alias("h")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("h.value").alias("vals"),
+            F.size("h").alias("npts"),
+        )
+    )
+    g = curves.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("vals").alias("g_vals"), F.col("npts").alias("n_g")
+    )
+    r = curves.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("vals").alias("r_vals"), F.col("npts").alias("n_r")
+    )
+    both = g.join(r, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n_g", F.lit(0)).alias("n_g"),
+        F.coalesce("n_r", F.lit(0)).alias("n_r"),
+        "g_vals",
+        "r_vals",
+    )
+    prepped = both.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        ((F.col("n_g") >= 2) & (F.col("n_r") >= 2)).alias("__ok"),
+        *_kn_prep_cols("g_vals", "kg"),
+        *_kn_prep_cols("r_vals", "kr"),
+    )
+
+    def flux_coef(prefix: str, k: int):
+        band = "g" if prefix == "kg" else "r"
+        c = _kn_coef_col(
+            f"{prefix}_s", f"{prefix}_m", f"{prefix}_sh",
+            _KN_PCS[band][k], 1.0,
+        )
+        return F.round(c * F.col(f"{prefix}_m"), 6)
+
+    feats = prepped.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        "__ok",
+        F.round(F.lit(2.0) + (F.col("n_g") % 8), 6).alias("f0"),
+        flux_coef("kg", 0).alias("f1"),
+        flux_coef("kg", 1).alias("f2"),
+        flux_coef("kg", 2).alias("f3"),
+        F.round(F.lit(2.0) + (F.col("n_r") % 8), 6).alias("f4"),
+        flux_coef("kr", 0).alias("f5"),
+        flux_coef("kr", 1).alias("f6"),
+        flux_coef("kr", 2).alias("f7"),
+    )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_g", IntegerType()),
+            StructField("n_r", IntegerType()),
+            StructField("__ok", DoubleType()),
+            StructField("p_kn", DoubleType()),
+        ]
+    )
+    names = [f"f{j}" for j in range(8)]
+
+    def kernel(batches):
+        rf = load_checkpoint("kilonova_rf")
+        one = rf["classes"].index("1")
+        for pdf in batches:
+            X = pdf[names].to_numpy(dtype=np.float64)
+            out = pdf[["user_id", "n_g", "n_r"]].copy()
+            out["__ok"] = pdf["__ok"].astype(float)
+            out["p_kn"] = (
+                np.round(rf_proba(X, rf)[:, one], 6)
+                if len(X)
+                else np.zeros(0)
+            )
+            yield out
+
+    scored = feats.mapInPandas(kernel, schema=schema)
+    return scored.select(
+        "user_id",
+        "n_g",
+        "n_r",
+        F.when(F.col("__ok") > 0.5, F.col("p_kn"))
+        .otherwise(F.lit(0.0))
+        .alias("p_kn"),
+    )
+
+
+def _oracle_kn_legacy_real() -> str:
+    from fink_science_spark.operators.sklearn_forest import (
+        load_checkpoint,
+        rf_proba_sql,
+    )
+    from fink_science_spark.queries_ext8 import (
+        _KN_PCS,
+        _KN_PREP_G,
+        _KN_PREP_R,
+        _kn_coef_sql,
+    )
+
+    rf = load_checkpoint("kilonova_rf")
+
+    def flux_coef(prefix: str, band: str, k: int) -> str:
+        c = _kn_coef_sql(
+            f"{prefix}_s", f"{prefix}_m", f"{prefix}_sh",
+            _KN_PCS[band][k], 1.0,
+        )
+        return f"round({c} * {prefix}_m, 6)"
+
+    feats = [
+        "round(2.0 + (n_g % 8), 6)",
+        flux_coef("kg", "g", 0),
+        flux_coef("kg", "g", 1),
+        flux_coef("kg", "g", 2),
+        "round(2.0 + (n_r % 8), 6)",
+        flux_coef("kr", "r", 0),
+        flux_coef("kr", "r", 1),
+        flux_coef("kr", "r", 2),
+    ]
+    fdefs = ", ".join(f"{e} AS f{j}" for j, e in enumerate(feats))
+    p = rf_proba_sql(rf, [f"f{j}" for j in range(8)], rf["classes"].index("1"))
+    return f"""
+WITH curves AS (
+  SELECT user_id, event_type,
+         list(value ORDER BY epoch_us(ts), value) AS vals,
+         count(*) AS npts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id, event_type
+),
+both_bands AS (
+  SELECT coalesce(g.user_id, r.user_id) AS user_id,
+         coalesce(g.npts, 0) AS n_g, coalesce(r.npts, 0) AS n_r,
+         g.vals AS g_vals, r.vals AS r_vals
+  FROM (SELECT * FROM curves WHERE event_type = 'click') g
+  FULL OUTER JOIN (SELECT * FROM curves WHERE event_type = 'purchase') r
+    ON g.user_id = r.user_id
+),
+prepped AS (
+  SELECT user_id, n_g, n_r,
+         {_KN_PREP_G[0]} AS kg_s, {_KN_PREP_G[1]} AS kg_m,
+         {_KN_PREP_G[2]} AS kg_sh,
+         {_KN_PREP_R[0]} AS kr_s, {_KN_PREP_R[1]} AS kr_m,
+         {_KN_PREP_R[2]} AS kr_sh
+  FROM both_bands
+),
+feats AS (SELECT user_id, n_g, n_r, {fdefs} FROM prepped)
+SELECT user_id, n_g, n_r,
+       CASE WHEN n_g >= 2 AND n_r >= 2 THEN round({p}, 6)
+            ELSE 0.0 END AS p_kn
+FROM feats
+"""
+
+
+# --------------------------------------------------------------------------
 # anomaly_real: the REAL AAD anomaly-detection forests — two ONNX
 # TreeEnsembleRegressors (150 depth-12 trees, ~150k nodes per band,
 # forest_{g,r}_AAD_beta.onnx read with the stdlib protobuf walker in
@@ -1429,9 +1627,13 @@ def q_superluminous_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "ts_us",
         F.avg("value").over(Window.partitionBy("user_id")).alias("__mean"),
-        (
+        # dt > 0 guard: replicated/real data DOES carry tied timestamps
+        # per user, and ANSI mode turns the 0-divide into a task error
+        # (found by the x64 scalecheck, not by sf0.01 — no ties there)
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > 0,
             (F.col("value") - F.lag("value").over(w))
-            / ((F.col("ts_us") - F.lag("ts_us").over(w)) / F.lit(86400e6))
+            / ((F.col("ts_us") - F.lag("ts_us").over(w)) / F.lit(86400e6)),
         ).alias("__slope"),
     )
     per_user = rows.groupBy("user_id").agg(
@@ -1559,9 +1761,10 @@ def _oracle_superluminous_real() -> str:
 WITH rows_w AS (
   SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
          avg(value) OVER (PARTITION BY user_id) AS mean_w,
-         (value - lag(value) OVER w)
-           / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 86400e6)
-           AS slope
+         CASE WHEN (epoch_us(ts) - lag(epoch_us(ts)) OVER w) > 0
+              THEN (value - lag(value) OVER w)
+                   / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 86400e6)
+         END AS slope
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), value)
 ),
@@ -1701,6 +1904,7 @@ def _lazy_oracles() -> dict[str, str]:
         "anomaly_real": _oracle_anomaly_real(),
         "anomaly_real_lc": _oracle_anomaly_real_lc(),
         "superluminous_real": _oracle_superluminous_real(),
+        "kn_legacy_real": _oracle_kn_legacy_real(),
     }
 
 
@@ -1713,6 +1917,7 @@ QUERIES_EXT17 = {
     "anomaly_real": q_anomaly_real,
     "anomaly_real_lc": q_anomaly_real_lc,
     "superluminous_real": q_superluminous_real,
+    "kn_legacy_real": q_kn_legacy_real,
     "cats_real": q_cats_real,
 }
 

@@ -254,6 +254,7 @@ def test_real_forest_queries_non_degenerate(spark, sf_smoke):
         ("anomaly_real_lc", "anomaly"),
         ("mulens_real_lia", "p_ml_g"),
         ("superluminous_real", "proba"),
+        ("kn_legacy_real", "p_kn"),
     ]:
         vals = [
             r[0]
@@ -424,3 +425,19 @@ def test_ubjson_decoder_roundtrip():
     buf3 = b"{#U\x02" + b"U\x01xL" + struct.pack(">q", -7) + \
         b"U\x01yL" + struct.pack(">q", 2**40)
     assert ubjson_decode(buf3) == {"x": -7, "y": 2**40}
+
+
+@needs_ref
+def test_kn_legacy_checkpoints_verbatim():
+    """The two legacy kilonova forests (shipped but unreferenced by
+    current reference code) transcribe bit-exactly."""
+    for src, name, n_trees in (
+        ("kilonova_model.pkl", "kilonova_rf", 100),
+        ("kn_diff_pc_sets.pkl", "kn_diff_pc_rf", 30),
+    ):
+        rf = _fresh(src)
+        art = _ckpt_raw(name)
+        assert art["classes"] == [str(c) for c in rf.classes_]
+        assert len(art["trees"]) == len(rf.estimators_) == n_trees
+        for jt, est in list(zip(art["trees"], rf.estimators_))[::9]:
+            _assert_tree_matches(jt, est.tree_)

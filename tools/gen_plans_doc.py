@@ -286,6 +286,33 @@ COMMENTARY = {
         "load once per executor (ExecutorRegistry); the full-outer band "
         "join is key-bounded (users), never data-bounded."
     ),
+    "anomaly_real_lc": (
+        "The real forests behind REAL features: the 27-column band "
+        "extractor is the band_features shape (one groupBy + sorted "
+        "collect_list + a scalar Arrow kernel over array columns), the "
+        "per-band frames re-join on user_id, and both ONNX forests "
+        "evaluate in ONE MapInPandas stage. Every exchange is keyed on "
+        "user_id; AQE coalesces the small band frames. Curve length is "
+        "the only data-bounded axis (x64 replica curve in SCALING.md)."
+    ),
+    "mulens_real_lia": (
+        "47 LIA statistics per (user, band) from ONE shuffle (sorted "
+        "collect_list -> scalar Arrow kernel), the 1000-tree forest in "
+        "ONE MapInPandas stage per the kernel's executor-memoized "
+        "checkpoint. The oracle walks a single MATERIALIZED node table "
+        "per band (recursive CTE) instead of 8,000 nested-CASE trees. "
+        "The universe aggregate and both band joins share the user_id "
+        "key; gates are pure column algebra above the kernel."
+    ),
+    "superluminous_real": (
+        "Veto cascade + real XGBoost head: one window pass (per-user "
+        "mean + lagged slope, single user_id partitioning) feeds one "
+        "hash aggregation producing all 27 features natively; the "
+        "100-tree booster evaluates in ONE MapInPandas stage. Vetoed "
+        "rows short-circuit to the -1.0 sentinel in column algebra — "
+        "the kernel scores everything it receives, the mask applies "
+        "above (same rows both engines)."
+    ),
 }
 
 

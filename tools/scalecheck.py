@@ -126,6 +126,20 @@ QUERIES = [
     "stream_heavy_hitters",
     "stream_sequence_packing",
     "stream_dedup_lsh",
+    # round-7: REAL-model kernels (state-free map work over per-user
+    # aggregates; event_id-offset replication grows CURVE LENGTH per
+    # user — the feature-extraction axis — while the scored population
+    # stays constant, so expect ≈linear agg cost + constant kernel cost)
+    "snn_ia_real",
+    "mulens_real",
+    "mulens_real_lia",
+    "orphan_real",
+    "kn_rf_real",
+    "anomaly_real",
+    "anomaly_real_lc",
+    "superluminous_real",
+    "kn_legacy_real",
+    "cats_real",
 ]
 
 OFFSET = 1 << 40
