@@ -292,11 +292,16 @@ def lia_stats_curve(
 
 
 def _longest_run(mask: np.ndarray) -> float:
-    best = cur = 0
-    for v in mask:
-        cur = cur + 1 if v else 0
-        best = max(best, cur)
-    return float(best)
+    """Longest run of True, vectorized (run edges via diff of the
+    padded mask — a python per-point loop was the kernel's hot spot on
+    long replicated curves)."""
+    if not mask.any():
+        return 0.0
+    m = np.concatenate(([False], mask, [False]))
+    d = np.diff(m.astype(np.int8))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    return float((ends - starts).max())
 
 
 def lia_features_per_group(
