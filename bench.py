@@ -227,6 +227,7 @@ HEADLINE = [
     "mulens_real_lia",
     "superluminous_real",
     "kn_legacy_real",
+    "t2_real",
 ]
 
 

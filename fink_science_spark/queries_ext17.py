@@ -1894,6 +1894,116 @@ def q_cats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# t2_real: the REAL quantized T2 transformer from the shipped .tflite
+# (operators/t2_transformer.py; extraction tools/extract_tflite.py —
+# stdlib FlatBuffer walker, int8 dequantized with verified symmetric
+# per-tensor scales). 14-class attention model over a [100, 2] (g, r)
+# series; attention is not SQL-expressible, so this is a rows-only
+# contract by documented design (like cats_real); value-level evidence
+# lives in tests/test_t2_real.py (bit-exact transcription pin,
+# probability-simplex/determinism/sensitivity checks). Scores a
+# 1-in-10 user cohort: each curve costs a fixed 100-step attention
+# block regardless of its true length.
+# --------------------------------------------------------------------------
+
+_T2_COHORT_MOD = 10
+
+
+def q_t2_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fink_science_spark.operators.t2_transformer import (
+        T2_N_CLASSES,
+        T2_SEQ_LEN,
+        checkpoint_path,
+        load_t2,
+        t2_forward_batch,
+    )
+
+    ev = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("user_id") % _T2_COHORT_MOD == 0)
+    )
+    grouped = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
+            ).alias("h")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.slice(F.col("h.value"), 1, T2_SEQ_LEN).alias("vals"),
+        )
+    )
+    g = grouped.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("vals").alias("g_vals")
+    )
+    r = grouped.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("vals").alias("r_vals")
+    )
+    both = g.join(r, "user_id", "full_outer")
+    model_path = checkpoint_path()
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_g", IntegerType()),
+            StructField("n_r", IntegerType()),
+            StructField("t2_class", IntegerType()),
+            StructField("p_max", DoubleType()),
+            StructField("preds", ArrayType(DoubleType())),
+        ]
+    )
+
+    def kernel(batches):
+        art = load_t2(model_path)
+        for pdf in batches:
+            B = len(pdf)
+            out = pdf[["user_id"]].copy()
+            if B:
+                X = np.zeros((B, T2_SEQ_LEN, 2))
+                ng = np.zeros(B, dtype=np.int32)
+                nr = np.zeros(B, dtype=np.int32)
+                for i in range(B):
+                    for c, col, n_arr in (
+                        (0, "g_vals", ng),
+                        (1, "r_vals", nr),
+                    ):
+                        v = pdf[col].iloc[i]
+                        if v is not None:
+                            arr = np.asarray(v, dtype=np.float64)
+                            n_arr[i] = len(arr)
+                            X[i, : len(arr), c] = arr
+                probs = t2_forward_batch(X, art)
+                out["n_g"], out["n_r"] = ng, nr
+                out["t2_class"] = probs.argmax(axis=1).astype(np.int32)
+                out["p_max"] = np.round(probs.max(axis=1), 6)
+                out["preds"] = [
+                    [round(float(x), 6) for x in row] for row in probs
+                ]
+            else:
+                out["n_g"] = np.zeros(0, dtype=np.int32)
+                out["n_r"] = np.zeros(0, dtype=np.int32)
+                out["t2_class"] = np.zeros(0, dtype=np.int32)
+                out["p_max"] = np.zeros(0)
+                out["preds"] = []
+            yield out
+
+    return both.mapInPandas(kernel, schema=schema).select(
+        "user_id", "n_g", "n_r", "t2_class", "p_max", "preds"
+    )
+
+
 def _lazy_oracles() -> dict[str, str]:
     return {
         "snn_ia_real": _oracle_snn_real(),
@@ -1918,6 +2028,7 @@ QUERIES_EXT17 = {
     "anomaly_real_lc": q_anomaly_real_lc,
     "superluminous_real": q_superluminous_real,
     "kn_legacy_real": q_kn_legacy_real,
+    "t2_real": q_t2_real,
     "cats_real": q_cats_real,
 }
 
