@@ -73,9 +73,26 @@ def _layer_norm(x: np.ndarray, gamma, beta, eps: float) -> np.ndarray:
     return (x - mu) / np.sqrt(var + eps) * gamma + beta
 
 
-def t2_forward_batch(X: np.ndarray, art: dict) -> np.ndarray:
-    """(B, 100, 2) → (B, 14) class probabilities."""
-    X = np.asarray(X, dtype=np.float64)
+# Executor-lifetime scratch buffers for the attention temporaries. The
+# (B,H,T,T) score tensor is the one large allocation of the model; on
+# this class of VM, FIRST-TOUCH page faults on fresh large mmap'ed
+# buffers cost ~0.5 ms/page (measured: np.exp over a fresh 192 MB array
+# 36 s vs 0.08 s into warm memory), so the kernel (a) processes rows in
+# chunks small enough that every temporary stays modest and (b) reuses
+# the same buffers across chunks, batches, and queries via out=.
+_SCRATCH: dict = {}
+_CHUNK = 16
+
+
+def _buf(key: str, shape: tuple) -> np.ndarray:
+    b = _SCRATCH.get(key)
+    if b is None or b.shape != shape:
+        b = np.empty(shape)
+        _SCRATCH[key] = b
+    return b
+
+
+def _forward_chunk(X: np.ndarray, art: dict) -> np.ndarray:
     B, T, _ = X.shape
     H, D = int(art["num_heads"]), int(art["head_dim"])
     eps = float(art["ln_eps"])
@@ -84,17 +101,19 @@ def t2_forward_batch(X: np.ndarray, art: dict) -> np.ndarray:
     h = h + art["pos2d"]
 
     def heads(m):
-        # [B,T,32] → [B,H,T,D]
+        # [B,T,HD] → [B,H,T,D]
         return m.reshape(B, T, H, D).transpose(0, 2, 1, 3)
 
     q = heads(h @ art["wq"].T + art["bq"])
     k = heads(h @ art["wk"].T + art["bk"])
     v = heads(h @ art["wv"].T + art["bv"])
-    scores = (q @ k.transpose(0, 1, 3, 2)) * float(art["attn_scale"])
-    scores = scores - scores.max(axis=-1, keepdims=True)
-    e = np.exp(scores)
-    attn = e / e.sum(axis=-1, keepdims=True)
-    ctx = (attn @ v).transpose(0, 2, 1, 3).reshape(B, T, H * D)
+    scores = _buf("scores", (B, H, T, T))
+    np.matmul(q, k.transpose(0, 1, 3, 2), out=scores)
+    scores *= float(art["attn_scale"])
+    scores -= scores.max(axis=-1, keepdims=True)
+    np.exp(scores, out=scores)
+    scores /= scores.sum(axis=-1, keepdims=True)
+    ctx = (scores @ v).transpose(0, 2, 1, 3).reshape(B, T, H * D)
     out = ctx @ art["wo"].T + art["bo"]
     h = _layer_norm(h + out, art["ln1_gamma"], art["ln1_beta"], eps)
 
@@ -107,3 +126,15 @@ def t2_forward_batch(X: np.ndarray, art: dict) -> np.ndarray:
     logits = logits - logits.max(axis=-1, keepdims=True)
     ez = np.exp(logits)
     return ez / ez.sum(axis=-1, keepdims=True)
+
+
+def t2_forward_batch(X: np.ndarray, art: dict) -> np.ndarray:
+    """(B, 100, 2) → (B, 14) class probabilities (chunked; see
+    _SCRATCH note)."""
+    X = np.asarray(X, dtype=np.float64)
+    B = len(X)
+    out = np.empty((B, int(art["n_classes"])))
+    for s in range(0, B, _CHUNK):
+        e = min(s + _CHUNK, B)
+        out[s:e] = _forward_chunk(X[s:e], art)
+    return out
