@@ -20,6 +20,21 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Fixed pre-touched heap (r8 optimization). Measured host property: lazy
+# first-touch page faults on this VM class cost ~40-500 µs/page, and G1
+# uncommits heap after concurrent cycles (MaxHeapFreeRatio), so a
+# grow-shrink-regrow heap re-pays multi-second fault storms all session —
+# observed as 6-8× inflated task times on identical work (curated_corpus
+# 3 s ↔ 24 s within one session; see OPTIMIZATION_r08.md "Host memory
+# pathology"). -Xms=-Xmx stops the uncommit/recommit churn and
+# -XX:+AlwaysPreTouch bulk-faults the whole heap at JVM start (~1.7
+# µs/page sequential vs ~43 µs/page scattered — 25× cheaper), so queries
+# run against warm memory from the first task. 8 GiB holds the suite's
+# peak (observed 5.7 GiB capacity under the old 48 GiB default) with
+# headroom; SPARK_DRIVER_MEMORY overrides for bigger runs (×64
+# scalechecks), keeping Xms pinned to the same value.
+DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+
 
 def get_session(
     app_name: str = "fink_science_spark",
@@ -50,7 +65,21 @@ def get_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEMORY)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{DEFAULT_DRIVER_MEMORY} -XX:+AlwaysPreTouch",
+        )
+        # Python workers are reused (explicit: the default, but a worker
+        # that dies mid-suite must not flip it off) and their glibc heaps
+        # must stay warm: by default glibc mmaps blocks >128 KiB and
+        # returns them to the OS on free, so every big numpy buffer
+        # re-pays the host's slow first-touch faults. Raising the mmap
+        # and trim thresholds keeps blocks ≤256 MiB in the (already
+        # faulted) heap for reuse across batches and tasks.
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
