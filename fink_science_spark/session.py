@@ -59,6 +59,19 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor (default 1m) collapses sub-megabyte
+        # shuffles to ONE partition, serializing every downstream stage —
+        # including cache-materialization and broadcast-build jobs whose
+        # upstream is a whole tokenize/hash pipeline (measured: two
+        # 0.8 s single-task broadcast builds inside dedup_jaccard_ppjoin;
+        # 13-query heavy subset 52.7 s → 34.7 s with a 64k floor). The
+        # floor is scale-adaptive by construction: AQE still targets
+        # max(bytes/parallelism, floor), so at production shuffle sizes
+        # the 64k floor is inert and the advisory size governs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
