@@ -292,6 +292,8 @@ def _emit_record(
     cal_mid_samples: list[float],
     runs_used: int,
     runs_requested: int,
+    spike_resamples: dict[str, list[float]] | None = None,
+    retried_ok: dict[str, float] | None = None,
 ) -> None:
     """Print the full record + the compact tail summary from whatever
     samples exist SO FAR.  Called after EVERY counted round (cumulative —
@@ -333,6 +335,12 @@ def _emit_record(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                # failure names FIRST: the driver's bench capture keeps a
+                # bounded stdout tail, and BENCH_r07 recorded n_failed=2
+                # with the names truncated out of the tail (round-7
+                # verdict item 1b) — the failure map must never again
+                # trail the long medians maps.
+                "failed": {k: v[:80] for k, v in failed.items()},
                 "unit": "sec",
                 "queries": timings,
                 "queries_cal_norm": queries_cal_norm,
@@ -343,6 +351,8 @@ def _emit_record(
                 "cal_mid_rounds": [round(c, 3) for c in cal_mid_samples],
                 "runs_used": runs_used,
                 "runs_requested": runs_requested,
+                "spike_resamples": spike_resamples or {},
+                "retried_ok": retried_ok or {},
                 "rows_per_s": rows_per_s,
                 "sf": _sf_from_dir(SF_DIR),
             },
@@ -363,6 +373,9 @@ def _emit_record(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                # failure names immediately after the headline number —
+                # this compact line is what a bounded tail always keeps
+                "failed": {k: v[:60] for k, v in failed.items()},
                 "unit": "sec",
                 "n_queries": sum(1 for t in timings.values() if t >= 0),
                 "n_failed": len(failed),
@@ -430,11 +443,21 @@ def main() -> None:
     failed: dict[str, str] = {}
     cal_samples: list[float] = []
     cal_mid_samples: list[float] = []
+    # host-spike self-defense (round-7 verdict item 3): when a counted
+    # sample exceeds SPIKE_FACTOR × the query's warm-up-round time, take
+    # ONE immediate extra sample so the median is not a single host
+    # spike. Bounded per round so a globally degraded window cannot
+    # double the round's wall.
+    warm0: dict[str, float] = {}
+    spike_resamples: dict[str, list[float]] = {}
+    SPIKE_FACTOR = 5.0
+    MAX_RESAMPLES_PER_ROUND = 8
     runs_used = 0
     mid_idx = len(HEADLINE) // 2
     rnd = 0
     while rnd <= runs:
         round_start = time.perf_counter()
+        resamples_left = MAX_RESAMPLES_PER_ROUND
         # one calibration probe per round, interleaved with the suite so
         # it samples the same contention window the queries ran under
         try:
@@ -470,8 +493,31 @@ def main() -> None:
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                if rnd > 0:
-                    samples[name].append(time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                if rnd == 0:
+                    warm0[name] = dt
+                else:
+                    samples[name].append(dt)
+                    base = warm0.get(name, 0.0)
+                    if (
+                        base > 0
+                        and dt > SPIKE_FACTOR * max(base, 0.2)
+                        and resamples_left > 0
+                    ):
+                        # one immediate extra sample: a single host spike
+                        # must not be the only evidence for this query
+                        resamples_left -= 1
+                        spark.catalog.clearCache()
+                        t1 = time.perf_counter()
+                        fn(spark, SF_DIR).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        dt2 = time.perf_counter() - t1
+                        samples[name].append(dt2)
+                        spike_resamples.setdefault(name, []).append(
+                            round(dt, 3)
+                        )
+                        spike_resamples[name].append(round(dt2, 3))
             except Exception as exc:  # noqa: BLE001 - a failed query must not hide the rest
                 # a failure in the DISCARDED warm-up round must not cost
                 # the query its benchmark: only counted-round failures
@@ -489,6 +535,7 @@ def main() -> None:
             _emit_record(
                 _medians(samples, failed), failed,
                 cal_samples, cal_mid_samples, runs_used, runs,
+                spike_resamples,
             )
         # Wall-budget guard: BENCH_r06 died rc=124 because 1 warm-up + 3
         # counted rounds × ~350 s outgrew the driver's time budget on a
@@ -508,6 +555,30 @@ def main() -> None:
             )
             break
         rnd += 1
+    # End-of-suite retry for failed queries (round-7 verdict item 1b):
+    # the observed failure class is transient worker-spawn errors on a
+    # loaded host, so one retry at the end — when the fork storm has
+    # passed — usually recovers a real timing. A recovered query moves
+    # from `failed` to the medians with its retry time as its sample;
+    # `retried_ok` documents the recovery.
+    retried_ok: dict[str, float] = {}
+    for name in list(failed):
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            retried_ok[name] = round(dt, 3)
+            del failed[name]
+            print(f"bench: {name} recovered on end-of-suite retry: {dt:.3f}s",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 - retry is best-effort
+            failed[name] = f"retry: {exc}"
+            print(f"bench: {name} failed retry too: {exc}", file=sys.stderr)
     # stop the session BEFORE the final emission: Spark's shutdown
     # (streaming temp checkpoint cleanup in particular) writes log noise
     # to the captured output, and anything printed after the JSON line
@@ -521,6 +592,7 @@ def main() -> None:
     _emit_record(
         _medians(samples, failed), failed,
         cal_samples, cal_mid_samples, runs_used, runs,
+        spike_resamples, retried_ok,
     )
 
 

@@ -40,16 +40,42 @@ WEEK_US = 7 * 24 * 3600 * 1_000_000
 DAY_US = 24 * 3600 * 1_000_000
 
 
+# Per-session DataFrame memo for the base tables (r8 optimization): each
+# spark.read.parquet builds a fresh InMemoryFileIndex + reads the footer
+# for schema inference — pure per-query fixed overhead when 195 bench
+# queries re-open the same ten immutable test tables. Re-using the
+# *unresolved read plan* skips that metadata work; NO results or data are
+# cached (every action still scans the parquet), and the memo is keyed
+# weakly by session so a stopped session's entries die with it. The test
+# inputs are immutable fixtures; anything written mid-query (scratch
+# dirs) goes through plain spark.read, not _t.
+import weakref
+
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet has shipped as both timestamp[ns]-as-int64 and
-    # timestamp[us]; nanosAsLong lets the former load (PARQUET_TYPE_ILLEGAL
-    # otherwise) and the UTC pin makes TIMESTAMP_NTZ→TIMESTAMP casts
-    # timezone-stable no matter which session the caller built. Queries must
-    # run on ANY caller-provided session (the driver builds its own), so pin
-    # the runtime confs here — idempotent, scan-planning only.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    per_session = _TABLE_MEMO.get(spark)
+    if per_session is None:
+        per_session = {}
+        _TABLE_MEMO[spark] = per_session
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is None:
+        # events.parquet has shipped as both timestamp[ns]-as-int64 and
+        # timestamp[us]; nanosAsLong lets the former load
+        # (PARQUET_TYPE_ILLEGAL otherwise) and the UTC pin makes
+        # TIMESTAMP_NTZ→TIMESTAMP casts timezone-stable no matter which
+        # session the caller built. Queries must run on ANY
+        # caller-provided session (the driver builds its own), so pin the
+        # runtime confs here — idempotent, scan-planning only.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        per_session[key] = df
+    return df
 
 
 def _ts_us_col(df: DataFrame):

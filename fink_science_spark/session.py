@@ -91,6 +91,12 @@ def get_session(
         # and trim thresholds keeps blocks ≤256 MiB in the (already
         # faulted) heap for reuse across batches and tasks.
         .config("spark.python.worker.reuse", "true")
+        # worker connect-back/auth timeout 15s → 60s: BENCH_r07 lost two
+        # streaming queries to transient "Python worker failed to connect
+        # back" under a fork-storm on a loaded host (round-7 verdict
+        # item 1a) — micro-batches fork fresh workers and are the most
+        # spawn-latency-sensitive path in the suite.
+        .config("spark.python.authenticate.socketTimeout", "60s")
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
     )
