@@ -14,6 +14,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fink_science_spark.queries import _t
 from fink_science_spark.queries_ext import (
     ORACLE_DEDUP_MINHASH_LSH as _ORACLE_MINHASH,
     ORACLE_DEDUP_NGRAM_JACCARD as _ORACLE_JACCARD,
@@ -50,8 +51,8 @@ _BLOOM_K = 4
 
 
 def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
 
     dim = orders.filter(
         (F.col("o_orderpriority") == "1-URGENT")
@@ -102,7 +103,7 @@ _HQ_BINS = 256
 
 
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lineitem = _t(spark, sf_dir, "lineitem")
     return histogram_quantiles(
         lineitem, "l_returnflag", "l_extendedprice", bins=_HQ_BINS
     ).orderBy("l_returnflag")
@@ -125,7 +126,7 @@ _HH_M = 35
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     return heavy_hitters(docs, "text", m=_HH_M).orderBy("token")
 
 
@@ -176,7 +177,7 @@ def _lm_quant(col):
 
 
 def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select("doc_id", toks.alias("toks"))
     pairs = (
@@ -685,7 +686,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fink_science_spark.streaming.shell import scoped_shuffle_partitions
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    schema = _t(spark, sf_dir, "documents").schema
 
     def update(key, pdfs, state: GroupState):
         (n,) = state.get if state.exists else (0,)
@@ -976,7 +977,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_science_spark.functions.hashing import hash64
     from fink_science_spark.queries_ext6 import _U_DENOM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     # weight: longer documents are more valuable (n_chars as the
     # quality proxy); u in (0, 1] via (h + 1) / 2^60
     u = (hash64(F.col("doc_id").cast("string"), seed="wsample") + F.lit(1)) / F.lit(
@@ -1128,7 +1129,7 @@ _QT_BINS = 256
 def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("double")
     bounds = li.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
     bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
@@ -1189,7 +1190,7 @@ _PMI_TOPK = 20
 
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select(toks.alias("toks"))
     pairs = (
@@ -1862,7 +1863,7 @@ def q_stream_dedup_lsh(
         state.update((hashes_out, flat_out, offs_out))
         yield pd.DataFrame({"content_a": a_out, "content_b": b_out})
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    schema = _t(spark, sf_dir, "documents").schema
     # stateful-stage width: with bucket-level state there are only
     # bands × _SDL_STATE_BUCKETS (= 256) physical groups and the
     # per-partition cost is dominated by state-store instance overhead
@@ -2000,8 +2001,6 @@ def q_stream_dedup_lsh(
     # quadratic-in-clone-multiplicity is ever verified or shuffled: the
     # ×64 replica stress (64-way clone groups) previously blew the
     # driver result cap through a forced-broadcast id-level melt.
-    from fink_science_spark.queries import _t
-
     docs_content = (
         _t(spark, sf_dir, "documents")
         .select(
@@ -2456,7 +2455,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fink_science_spark.functions.hashing import hash64
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     tok = docs.select(
         "doc_id",
@@ -2894,7 +2893,7 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _t(spark, sf_dir, "lineitem")
     # one pruned single-column scan per profiled column, unioned — the
     # columnar-native shape: each branch reads ONE parquet column and
     # its single countDistinct plans as a two-phase partial-distinct
@@ -3001,7 +3000,7 @@ _CHI2_Q = float(1 << 20)
 
 
 def q_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
     row_tot = obs.groupBy("lang").agg(F.sum("o").alias("__rt"))
     col_tot = obs.groupBy("source").agg(F.sum("o").alias("__ct"))
@@ -3318,10 +3317,10 @@ _CSQ_BRANDS = ("Brand#1", "Brand#2")
 
 
 def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "__csq_lineitem"
     )
-    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+    _t(spark, sf_dir, "part").createOrReplaceTempView(
         "__csq_part"
     )
     brands = ", ".join(f"'{b}'" for b in _CSQ_BRANDS)
@@ -3373,7 +3372,7 @@ ORDER BY p.p_brand
 
 
 def q_grouping_sets_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(
         "__gs_orders"
     )
     return spark.sql(
@@ -3413,7 +3412,7 @@ ORDER BY gid, o_orderstatus, o_orderpriority
 
 
 def q_set_ops_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _t(spark, sf_dir, "orders")
     a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     both = a.intersectAll(b).groupBy("o_custkey").agg(
@@ -3472,10 +3471,10 @@ ORDER BY o_custkey
 def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _t(spark, sf_dir, "events").select(
         F.col("user_id").alias("k"), "value"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"), "o_totalprice"
     )
     # cogroup by HASH BUCKET, not by raw key: FlatMapCoGroupsInPandas
@@ -3578,7 +3577,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fink_science_spark.queries import _events_us
 
-    snap = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    snap = _t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_name",
         F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),

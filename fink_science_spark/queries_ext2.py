@@ -411,7 +411,7 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _t(spark, sf_dir, "events").schema
     with scoped_shuffle_partitions(spark, 8):
         from fink_science_spark.streaming.shell import stream_table_load
 
@@ -471,7 +471,7 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_science_spark.streaming.shell import scoped_shuffle_partitions
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _t(spark, sf_dir, "events").schema
 
     def update(key, pdfs, state: GroupState):
         n, vmax = state.get if state.exists else (0, float("-inf"))

@@ -211,7 +211,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _t(spark, sf_dir, "events").schema
     with scoped_shuffle_partitions(spark, 8):
         from fink_science_spark.streaming.shell import stream_table_load
 
@@ -278,7 +278,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _t(spark, sf_dir, "events").schema
     with scoped_shuffle_partitions(spark, 8):
         from fink_science_spark.streaming.shell import stream_table_load
 

@@ -521,7 +521,7 @@ def q_stream_foreachbatch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_path, ignore_errors=True)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _t(spark, sf_dir, "events").schema
 
     def enrich(batch_df: DataFrame) -> DataFrame:
         k = F.get_json_object("props", "$.k").cast("int")
