@@ -62,17 +62,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         per_session = {}
         _TABLE_MEMO[spark] = per_session
     key = (sf_dir, name)
+    # events.parquet has shipped as both timestamp[ns]-as-int64 and
+    # timestamp[us]; nanosAsLong lets the former load
+    # (PARQUET_TYPE_ILLEGAL otherwise) and the UTC pin makes
+    # TIMESTAMP_NTZ→TIMESTAMP casts timezone-stable no matter which
+    # session the caller built. Queries must run on ANY caller-provided
+    # session (the driver builds its own), so pin the runtime confs on
+    # EVERY call, not only on memo miss: the timezone affects each
+    # query's own analysis time, so a caller flipping it between calls
+    # must still get UTC semantics (cheap, idempotent conf sets).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = per_session.get(key)
     if df is None:
-        # events.parquet has shipped as both timestamp[ns]-as-int64 and
-        # timestamp[us]; nanosAsLong lets the former load
-        # (PARQUET_TYPE_ILLEGAL otherwise) and the UTC pin makes
-        # TIMESTAMP_NTZ→TIMESTAMP casts timezone-stable no matter which
-        # session the caller built. Queries must run on ANY
-        # caller-provided session (the driver builds its own), so pin the
-        # runtime confs here — idempotent, scan-planning only.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         per_session[key] = df
     return df

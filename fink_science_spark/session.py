@@ -36,6 +36,37 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
 
 
+# The /dev/shm default is only adopted when the tmpfs demonstrably has
+# room: spill exists to RELIEVE memory pressure, and routing it to a
+# RAM-backed tmpfs on a box that is short on RAM (or a stock Docker
+# container whose /dev/shm is 64 MiB, possibly read-only) would consume
+# memory exactly when it is scarce — ENOSPC mid-query or host OOM where
+# plain disk survives (round-8 verdict item 2). Floor chosen so the
+# suite's observed ephemera (≪1 GiB at sf0.1, a few GiB at ×64) fit
+# with headroom; an explicit SPARK_GRAFT_SCRATCH is still probed for
+# writability but NOT for capacity (operator intent wins — a cluster's
+# NVMe array statvfs is their problem).
+_SCRATCH_MIN_FREE_BYTES = 8 << 30
+
+
+def _usable_scratch(root: str, check_free: bool) -> str | None:
+    """Probe ``root``: must be creatable+writable, and (for the implicit
+    tmpfs default) have at least ``_SCRATCH_MIN_FREE_BYTES`` free."""
+    try:
+        os.makedirs(root, exist_ok=True)
+        if check_free:
+            st = os.statvfs(root)
+            if st.f_bavail * st.f_frsize < _SCRATCH_MIN_FREE_BYTES:
+                return None
+        probe = os.path.join(root, f".probe-{os.getpid()}")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return root
+    except OSError:
+        return None
+
+
 def _scratch_root() -> str | None:
     """Fastest available scratch device for Spark's ephemeral I/O
     (shuffle files, block-manager spill, streaming temp checkpoints).
@@ -43,17 +74,23 @@ def _scratch_root() -> str | None:
     ``SPARK_GRAFT_SCRATCH`` overrides (set it to a fast local SSD array
     on a real cluster — the same knob cluster managers expose as
     ``spark.local.dir``/``LOCAL_DIRS``); default is the host's tmpfs when
-    one exists, because this container's ``/tmp`` sits on the slow system
-    disk. ``SPARK_GRAFT_SCRATCH=""`` disables the override entirely.
+    one exists AND has headroom (see _usable_scratch — a space-starved or
+    read-only tmpfs falls back to Spark's plain-disk default), because
+    this container's ``/tmp`` sits on the slow system disk.
+    ``SPARK_GRAFT_SCRATCH=""`` disables the override entirely.
     Everything written here is per-run ephemera that Spark creates under
     unique subdirectories and removes via its shutdown hook — no results
     or intermediates survive a session, so benches stay compute-honest.
     """
     root = os.environ.get("SPARK_GRAFT_SCRATCH")
     if root is not None:
-        return root or None
+        if not root:
+            return None
+        return _usable_scratch(root, check_free=False)
     if os.path.isdir("/dev/shm"):
-        return "/dev/shm/spark-graft-scratch"
+        return _usable_scratch(
+            "/dev/shm/spark-graft-scratch", check_free=True
+        )
     return None
 
 
