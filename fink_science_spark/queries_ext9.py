@@ -1165,13 +1165,25 @@ def _bpe_prepare(spark: SparkSession, sf_dir: str, extra: list) -> DataFrame:
 def _bpe_rounds(cur: DataFrame, extra: list):
     """Run the merge-training rounds; returns (final sequences DF with
     ``extra`` columns intact, list of 1-row merge DFs (round, pair,
-    freq))."""
+    freq)).
+
+    Job shape (r9 optimization, guide §1.2/§5): ONE distributed
+    count+argmax job per merge round, nothing else. The prepared corpus
+    is checkpointed once (the regex char-split is the expensive part,
+    consumed by every round); each round's merge APPLY stays a LAZY
+    replace+recanonicalize layer over that checkpoint — it is evaluated
+    inside the next round's count job (and, for bpe_encode_stats, once
+    in the final encode), never materialized on its own. The 1-row
+    ``best`` IS eagerly checkpointed: it is consumed twice (merge output
+    + the broadcast rewrite) and checkpointing it keeps the apply
+    chain's lineage depth linear in rounds — each layer references a
+    1-row checkpoint, not the previous round's whole aggregation (the
+    connected_components lesson). vs the previous per-round eager corpus
+    checkpoints: 3 fewer full-corpus materializations per query, and the
+    LAST round's apply is never computed at all for bpe_train (its
+    output is only the merge table). At 100 TB that is the difference
+    between 2×rounds corpus passes and rounds+1."""
     merges = []
-    # per-round localCheckpoints keep the cost LINEAR in rounds: without
-    # them round k's plan embeds rounds 1..k-1 (and the 1-row `best` is
-    # consumed twice — merge output + the broadcast rewrite), so the
-    # corpus would be re-tokenized O(rounds²) times across the final
-    # union (the connected_components lesson applied to the merge loop)
     cur = cur.localCheckpoint(eager=True)
     for rnd in range(1, _BPE_ROUNDS + 1):
         toks = F.split(F.trim(F.col("seq")), " +")
@@ -1204,7 +1216,11 @@ def _bpe_rounds(cur: DataFrame, extra: list):
         applied = cur.crossJoin(
             F.broadcast(best.select("pair"))
         ).select(*extra, F.replace(F.col("seq"), pat, rep).alias("seq"))
-        # re-canonicalize to the double-space form for the next round
+        # re-canonicalize to the double-space form for the next round's
+        # replace (the pattern needs exact double-space token boundaries;
+        # the SPLIT in the count step is spacing-robust either way) —
+        # lazy: one narrow string layer fused into whatever job consumes
+        # it next
         cur = applied.select(
             *extra,
             F.concat(
@@ -1212,7 +1228,7 @@ def _bpe_rounds(cur: DataFrame, extra: list):
                 F.array_join(F.split(F.trim(F.col("seq")), " +"), "  "),
                 F.lit(" "),
             ).alias("seq"),
-        ).localCheckpoint(eager=True)
+        )
     return cur, merges
 
 
