@@ -297,10 +297,8 @@ def block_index(path: str) -> tuple[dict, str, bytes, list[tuple[int, int, int]]
     return schema, codec, sync, blocks
 
 
-def read_block(path: str, schema, codec: str, sync: bytes, offset: int):
-    """Decode one block's records, seeking straight to its offset."""
-    names: dict = {}
-    _register_names(schema, names)
+def _read_block_payload(path: str, codec: str, sync: bytes, offset: int):
+    """Seek to a block and return (n_records, decompressed payload)."""
     with open(path, "rb") as f:
         f.seek(offset)
         n = _read_varint(f)
@@ -312,8 +310,165 @@ def read_block(path: str, schema, codec: str, sync: bytes, offset: int):
         payload = zlib.decompress(payload, -15)
     elif codec != "null":
         raise ValueError(f"unsupported codec {codec!r}")
+    return n, payload
+
+
+def read_block(path: str, schema, codec: str, sync: bytes, offset: int):
+    """Decode one block's records, seeking straight to its offset."""
+    names: dict = {}
+    _register_names(schema, names)
+    n, payload = _read_block_payload(path, codec, sync, offset)
     buf = io.BytesIO(payload)
     return [_read_datum(buf, schema, names) for _ in range(n)]
+
+
+# --------------------------------------------------------------------------
+# Compiled columnar block decode — the hot read path (guide §4.2: do the
+# heavy lifting in tight native-ish code, move columns not rows). The
+# generic _read_datum interpreter pays, per VALUE, a schema resolve, a
+# type dispatch, and byte-at-a-time BytesIO reads (one method call + one
+# bytes allocation per byte of varint); for the flat primitive records
+# the replay sources serve, a per-schema compiled decoder over a plain
+# bytes object with integer indexing decodes the same block ~10× faster
+# and emits COLUMNS, which feed pyarrow directly without the
+# list-of-dicts → from_pylist detour. Falls back to None (callers use
+# the interpreter) for any schema outside the supported surface, so
+# correctness never depends on this path.
+# --------------------------------------------------------------------------
+
+_COL_DECODER_MEMO: dict = {}
+
+
+def _compile_field_decoder(ftype, names: dict):
+    """field schema → f(payload: bytes, pos: int) -> (value, pos), or
+    None when the type needs the generic interpreter."""
+    ftype = _resolve(ftype, names)
+    if isinstance(ftype, list):
+        if len(ftype) == 2 and "null" in ftype:
+            other = ftype[0] if ftype[1] == "null" else ftype[1]
+            null_branch = ftype.index("null")
+            inner = _compile_field_decoder(other, names)
+            if inner is None:
+                return None
+
+            def dec_nullable(b, pos):
+                v = b[pos]
+                pos += 1
+                if v & 0x80:  # branch index never needs >1 byte here
+                    raise ValueError("bad union branch varint")
+                if (v >> 1) ^ -(v & 1) == null_branch:
+                    return None, pos
+                return inner(b, pos)
+
+            return dec_nullable
+        return None
+    t = ftype["type"] if isinstance(ftype, dict) else ftype
+    if t in ("int", "long"):
+
+        def dec_varint(b, pos):
+            shift = acc = 0
+            while True:
+                v = b[pos]
+                pos += 1
+                acc |= (v & 0x7F) << shift
+                if not v & 0x80:
+                    return (acc >> 1) ^ -(acc & 1), pos
+                shift += 7
+
+        return dec_varint
+    if t == "string":
+
+        def dec_string(b, pos):
+            shift = acc = 0
+            while True:
+                v = b[pos]
+                pos += 1
+                acc |= (v & 0x7F) << shift
+                if not v & 0x80:
+                    break
+                shift += 7
+            n = (acc >> 1) ^ -(acc & 1)
+            return b[pos : pos + n].decode("utf-8"), pos + n
+
+        return dec_string
+    if t == "bytes":
+
+        def dec_bytes(b, pos):
+            shift = acc = 0
+            while True:
+                v = b[pos]
+                pos += 1
+                acc |= (v & 0x7F) << shift
+                if not v & 0x80:
+                    break
+                shift += 7
+            n = (acc >> 1) ^ -(acc & 1)
+            return b[pos : pos + n], pos + n
+
+        return dec_bytes
+    if t == "double":
+        unpack_d = struct.Struct("<d").unpack_from
+
+        def dec_double(b, pos):
+            return unpack_d(b, pos)[0], pos + 8
+
+        return dec_double
+    if t == "float":
+        unpack_f = struct.Struct("<f").unpack_from
+
+        def dec_float(b, pos):
+            return unpack_f(b, pos)[0], pos + 4
+
+        return dec_float
+    if t == "boolean":
+
+        def dec_bool(b, pos):
+            return b[pos] == 1, pos + 1
+
+        return dec_bool
+    return None
+
+
+def compile_block_columns_decoder(schema):
+    """For a top-level record of compilable fields, return
+    f(payload: bytes, n: int) -> {field: [values]}; None otherwise.
+    Memoized per schema identity (the replay sources hold one schema
+    object per container)."""
+    key = id(schema)
+    hit = _COL_DECODER_MEMO.get(key)
+    if hit is not None and hit[0] is schema:
+        return hit[1]
+    names: dict = {}
+    _register_names(schema, names)
+    resolved = _resolve(schema, names)
+    decoder = None
+    if (
+        isinstance(resolved, dict)
+        and resolved.get("type") == "record"
+    ):
+        fields = [f["name"] for f in resolved["fields"]]
+        decs = [
+            _compile_field_decoder(f["type"], names)
+            for f in resolved["fields"]
+        ]
+        if all(d is not None for d in decs):
+            pairs = list(zip(fields, decs))
+
+            def decode_columns(payload: bytes, n: int) -> dict:
+                cols: dict = {name: [] for name, _ in pairs}
+                appends = [(cols[name].append, dec) for name, dec in pairs]
+                pos = 0
+                for _ in range(n):
+                    for append, dec in appends:
+                        v, pos = dec(payload, pos)
+                        append(v)
+                return cols
+
+            decoder = decode_columns
+    _COL_DECODER_MEMO[key] = (schema, decoder)
+    if len(_COL_DECODER_MEMO) > 64:
+        _COL_DECODER_MEMO.pop(next(iter(_COL_DECODER_MEMO)))
+    return decoder
 
 
 def read_container(path: str) -> tuple[dict, list]:

@@ -33,7 +33,9 @@ from pyspark.sql.datasource import (
 )
 
 from fink_science_spark.sources.avro_codec import (
+    _read_block_payload,
     block_index,
+    compile_block_columns_decoder,
     read_block,
     to_spark_type,
 )
@@ -190,14 +192,35 @@ def _read_run(partition, codecs, avro_schema, spark_type, arrow_schema):
         try:
             import pyarrow as pa
 
+            # compiled columnar decode when the schema supports it
+            # (flat primitive records — the replay fixtures): one tight
+            # bytes-indexing loop per block straight into Arrow arrays,
+            # skipping both the per-value interpreter and the
+            # list-of-dicts → from_pylist conversion (guide §4.2). Any
+            # failure anywhere falls back to the interpreter row path
+            # below, so correctness never depends on this.
+            col_decoder = compile_block_columns_decoder(avro_schema)
             buffered = 0
             for path, off in items:
                 codec, sync = codecs[(path, off)]
-                records = read_block(path, avro_schema, codec, sync, off)
-                if records:
-                    b = pa.RecordBatch.from_pylist(
-                        records, schema=arrow_schema
+                if col_decoder is not None:
+                    n, payload = _read_block_payload(path, codec, sync, off)
+                    if n:
+                        b = pa.RecordBatch.from_pydict(
+                            col_decoder(payload, n), schema=arrow_schema
+                        )
+                    else:
+                        b = None
+                else:
+                    records = read_block(path, avro_schema, codec, sync, off)
+                    b = (
+                        pa.RecordBatch.from_pylist(
+                            records, schema=arrow_schema
+                        )
+                        if records
+                        else None
                     )
+                if b is not None:
                     batches.append(b)
                     buffered += b.nbytes
                     if buffered > _RUN_BUFFER_CAP:
