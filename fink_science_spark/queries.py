@@ -80,6 +80,63 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk size of a test table (bare file or replica part-dir)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return None  # non-local URI: size unknown, leave the scan alone
+
+
+def _fan_out(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    df: DataFrame,
+    key: str,
+    bytes_per_task: int = 2 << 20,
+) -> DataFrame:
+    """Spread heavy per-row work across the cluster when the SCAN cannot.
+
+    The test tables are single-row-group parquet files, so a scan is ONE
+    task no matter the core count — every expensive projection chained on
+    it (tokenize/shingle HOF pipelines, hashing) runs serially (measured:
+    two 0.95 s single-task jobs inside dup_span_profile at sf0.1 on 32
+    cores). Hash-repartition the NARROW pre-projection rows by ``key``
+    (deterministic under retries, no round-robin pre-sort) sized to the
+    data (~2 MB of input per task, floor 8, cap cluster parallelism),
+    guide §2.5 "input skew: one huge unsplittable file … repartition
+    immediately after the read".
+
+    Scale-adaptive, not local-tuned: when the input is big enough that
+    the scan itself already yields >= parallelism splits (bytes >=
+    par × maxPartitionBytes), this is a no-op — a 100 TB scan is never
+    re-shuffled; only the undersplittable-small-input case pays the
+    (tiny, narrow) exchange."""
+    size = _table_bytes(sf_dir, name)
+    if size is None:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    try:
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+                  or (128 << 20))
+    except Exception:  # noqa: BLE001 - conf parse (e.g. "128m") -> default
+        mpb = 128 << 20
+    if size >= par * mpb:
+        return df  # scan already saturates the cluster
+    n = max(8, min(par, size // bytes_per_task + 1))
+    if size // mpb + 1 >= n:
+        return df  # repartition would not add parallelism
+    return df.repartition(n, F.col(key))
+
+
 def _ts_us_col(df: DataFrame):
     """events.ts as epoch MICROseconds, across both source schemas.
 

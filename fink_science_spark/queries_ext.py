@@ -50,7 +50,7 @@ from fink_science_spark.operators.spatial import (
     nearest_join_1d,
     range_count_join_1d,
 )
-from fink_science_spark.queries import _events_us, _t, _ts_event_col
+from fink_science_spark.queries import _events_us, _fan_out, _t, _ts_event_col
 
 # Shared oracle CTE: tokenized + 3-gram-shingled documents
 _DOCS_TOK_CTE = f"""
@@ -66,9 +66,15 @@ sh AS (
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", "text", tokens("text").alias("toks")
+    # fan the narrow (doc_id, text) rows out BEFORE the tokenize/shingle
+    # HOF chain: the single-row-group test files scan as ONE task, which
+    # serialized every downstream doc-prep pipeline (see queries._fan_out)
+    base = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
     )
+    return base.select("doc_id", "text", tokens("text").alias("toks"))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

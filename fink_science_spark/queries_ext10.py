@@ -14,7 +14,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fink_science_spark.queries import _t
+from fink_science_spark.queries import _fan_out, _t
 from fink_science_spark.queries_ext import (
     ORACLE_DEDUP_MINHASH_LSH as _ORACLE_MINHASH,
     ORACLE_DEDUP_NGRAM_JACCARD as _ORACLE_JACCARD,
@@ -2002,7 +2002,11 @@ def q_stream_dedup_lsh(
     # ×64 replica stress (64-way clone groups) previously blew the
     # driver result cap through a forced-broadcast id-level melt.
     docs_content = (
-        _t(spark, sf_dir, "documents")
+        _fan_out(
+            spark, sf_dir, "documents",
+            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            key="doc_id",
+        )
         .select(
             "doc_id",
             F.array_distinct(word_shingles(tokens("text"), 3)).alias(
@@ -2019,7 +2023,12 @@ def q_stream_dedup_lsh(
     groups = docs_content.groupBy("content").agg(
         F.array_sort(F.collect_list("doc_id")).alias("members"),
         F.first("shingles").alias("shingles"),
-    )
+    # consumed THREE times below (ga, gb broadcast builds + clones):
+    # without the checkpoint each consumer re-ran the whole
+    # scan→shingle→md5→agg subtree as its own single-task job (measured
+    # 2×1.5 s inside this query at sf0.1); one eager materialization of
+    # the content-group table (LSH-bounded, pair-scale) feeds all three
+    ).localCheckpoint(eager=True)
     cpairs = pairs.dropDuplicates(["content_a", "content_b"])
     ga = groups.select(
         F.col("content").alias("content_a"),

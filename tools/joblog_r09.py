@@ -59,14 +59,27 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
+    # Spark 4 event-log layouts: single file `<appid>[.inprogress]` or the
+    # rolling dir `eventlog_v2_<appid>/events_*`
     path = os.path.join(logdir, app_id)
     if not os.path.exists(path):
-        cands = [p for p in os.listdir(logdir) if p.startswith(app_id)]
+        cands = [p for p in os.listdir(logdir) if app_id in p]
         path = os.path.join(logdir, cands[0])
+    if os.path.isdir(path):
+        parts = sorted(
+            p for p in os.listdir(path) if p.startswith("events_")
+        )
+        lines = []
+        for p in parts:
+            with open(os.path.join(path, p)) as fh:
+                lines.extend(fh)
+    else:
+        with open(path) as fh:
+            lines = list(fh)
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(path) as fh:
-        for line in fh:
+    if True:
+        for line in lines:
             ev = json.loads(line)
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
