@@ -734,18 +734,19 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("token").orderBy(F.col("cnt").desc())
-    state_rows = (
+    final = (
         spark.table(name)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("token", "cnt")
-        # bounded-collect: BPE merge-state, m-bounded token table (row_number==1)
-        .collect()
+        # executor-side materialization (vocabulary-sized) instead of the
+        # previous collect()+createDataFrame driver round-trip: same
+        # sink-release effect (the checkpointed RDD no longer references
+        # the memory sink) without funneling the token table through the
+        # driver twice (r9, guide §5 "the driver should do no data work")
+        .localCheckpoint(eager=True)
     )
     spark.catalog.dropTempView(name)
-    final = spark.createDataFrame(
-        [(r["token"], r["cnt"]) for r in state_rows], "token string, cnt long"
-    )
     totals = final.agg(F.sum("cnt").alias("__nt"))
     return (
         final.join(F.broadcast(totals))
