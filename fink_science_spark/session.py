@@ -142,6 +142,16 @@ def get_session(
         .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # DataFrame-debugging call-site capture (on by default) wraps
+        # EVERY PySpark DataFrame/Column API call with a getActiveSession
+        # + a conf.get + a PySparkCurrentOrigin.set — 2-3 py4j round
+        # trips per call, pure plan-BUILD overhead (guide §1.2 per-task →
+        # §7.3 driver work). Measured: dedup_simhash's Python-side plan
+        # construction 1.97 s → 0.68 s, curated_corpus 1.10 → 0.75 s with
+        # it off; the suite builds ~200 plans per bench pass. Cost of
+        # disabling: error messages lose the Python call-site line — the
+        # standard production posture.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", DEFAULT_DRIVER_MEMORY)
         # Python workers are reused (explicit: the default, but a worker
