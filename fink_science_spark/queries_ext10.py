@@ -1316,9 +1316,11 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_science_spark.queries import _t
     from fink_science_spark.queries_ext6 import _DECON_MOD, _DECON_N
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
-    )
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    ).select("doc_id", tokens("text").alias("toks"))
     grams = (
         docs.select(
             "doc_id",

@@ -479,9 +479,13 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fink_science_spark.queries import _t
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
-    )
+    from fink_science_spark.queries import _fan_out
+
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    ).select("doc_id", tokens("text").alias("toks"))
     grams = docs.select(
         "doc_id", F.explode(word_shingles(F.col("toks"), _PM_N)).alias("g")
     )

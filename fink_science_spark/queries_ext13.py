@@ -82,9 +82,11 @@ _BM25_K = 20
 def _bm25_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row (dl, tf per query term) — HOF counts, no explode. Shared
     by bm25_topk and rrf_fusion so the column algebra cannot drift."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
-    )
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    ).select("doc_id", tokens("text").alias("toks"))
 
     def _tf(term: str) -> F.Column:
         # single-arg lambda on purpose: a two-arg lambda would select

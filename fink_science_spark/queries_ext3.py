@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from fink_science_spark.functions.hashing import hash64, hash64_sql
 from fink_science_spark.functions.text import tokens, tokens_sql, word_shingles, word_shingles_sql
 from fink_science_spark.operators.similarity import ivf_topk_blocked
-from fink_science_spark.queries import _events_us, _t, _ts_event_col
+from fink_science_spark.queries import _events_us, _fan_out, _t, _ts_event_col
 
 DAY_US = 24 * 3600 * 1_000_000
 
@@ -789,9 +789,11 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guarantees shared fingerprints for any shared run of ≥ w+n-1 tokens —
     the plagiarism/near-dup detection classic (SURVEY M7 doc
     fingerprinting)."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
-    )
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    ).select("doc_id", tokens("text").alias("toks"))
     sh = docs.select(
         "doc_id", word_shingles(F.col("toks"), 3).alias("sh")
     )

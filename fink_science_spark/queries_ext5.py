@@ -11,7 +11,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fink_science_spark.queries import _events_us, _t, _ts_event_col
+from fink_science_spark.queries import _events_us, _fan_out, _t, _ts_event_col
 
 # --------------------------------------------------------------------------
 # §2.8 model scoring: frozen-weight MLP, end-to-end (closes the one "no"
@@ -699,9 +699,11 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays in whole-stage codegen. Both shuffles share the doc_id key."""
     from fink_science_spark.functions.text import tokens, word_shingles
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("tok")
-    )
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    ).select("doc_id", tokens("text").alias("tok"))
     # Two scans by design: carrying the per-row array metrics through the
     # explode looks like it saves a scan, but CollapseProject inlines the
     # (expensive) bigram expressions into the Generate's child and they

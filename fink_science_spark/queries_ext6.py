@@ -26,7 +26,7 @@ from fink_science_spark.functions.text import (
     word_shingles,
     word_shingles_sql,
 )
-from fink_science_spark.queries import _events_us, _t
+from fink_science_spark.queries import _events_us, _fan_out, _t
 
 # --------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap against an eval split)
@@ -50,9 +50,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (uniform doc_id key, map-side partial). n-grams travel as 60-bit
     md5-derived hashes (~8 B each), never as strings.
     """
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
-    )
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    ).select("doc_id", tokens("text").alias("toks"))
     grams = (
         docs.select(
             "doc_id",
@@ -560,9 +562,11 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — see operators/dedup.span_dedup_docs for the skew story."""
     from fink_science_spark.operators.dedup import span_dedup_docs
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
-    )
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    ).select("doc_id", tokens("text").alias("toks"))
     out = span_dedup_docs(docs, "doc_id", "toks", span=_SPAN_W)
     return out.select("doc_id", "n_kept", "dedup_text")
 
@@ -607,9 +611,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/models.py for the kernel contract."""
     from fink_science_spark.operators.models import ft_score_col
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", tokens("text").alias("toks")
-    )
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        key="doc_id",
+    ).select("doc_id", "source", tokens("text").alias("toks"))
     grams = F.concat(F.col("toks"), word_shingles(F.col("toks"), 2))
     return docs.select(
         "doc_id",
@@ -712,7 +718,11 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     data card: doc counts, char volume, token-count percentiles, and
     type-token ratio (lexical diversity). Two map-combinable aggs — doc
     grain and token grain — joined on the 20-row source key."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        key="doc_id",
+    ).select(
         "source",
         F.length("text").alias("n_chars"),
         tokens("text").alias("toks"),
