@@ -217,18 +217,32 @@ def test_hg1g2_native_single_shuffle_no_python(spark, registry):
 
 def test_dedup_spans_two_aggs_no_join(spark, registry):
     """Span dedup is two hash aggregations and nothing else: no join
-    (winner set IS the min-code agg), no Python, exactly two shuffles."""
+    (winner set IS the min-code agg), no Python, exactly two AGG
+    shuffles — plus the small-input fan-out repartition (queries._fan_out,
+    r9), which must be the ONLY other Exchange and must hash on doc_id
+    with REPARTITION_BY_NUM (it is a no-op at scale, so the two-shuffle
+    contract is the 100 TB shape)."""
     plan = plan_of(registry["dedup_spans"](spark, SF))
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    fan = re.findall(
+        r"hashpartitioning\(doc_id#\d+L?, \d+\), REPARTITION_BY_NUM", plan
+    )
+    assert len(fan) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2 + len(fan), plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
 
 
 def test_quality_classifier_pure_map(spark, registry):
     """The hashed-n-gram classifier is a per-row map at scan speed: no
-    Exchange, no Python, no join."""
+    Python, no join, and no Exchange EXCEPT the small-input fan-out
+    repartition (queries._fan_out, r9 — a no-op at scale, so the
+    exchange-free contract is the 100 TB shape)."""
     plan = plan_of(registry["quality_classifier"](spark, SF))
-    assert "Exchange" not in plan, plan
+    fan = re.findall(
+        r"hashpartitioning\(doc_id#\d+L?, \d+\), REPARTITION_BY_NUM", plan
+    )
+    assert len(fan) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == len(fan), plan
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
 
