@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fink_science_spark.queries import _events_us
+from fink_science_spark.queries import _events_us, _fan_out
 
 # --------------------------------------------------------------------------
 # snn_ia_real
@@ -405,6 +405,11 @@ def q_mulens_real_lia(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     universe = ev.groupBy("user_id").agg(F.count("*").alias("n_tot"))
     both = universe.join(gb, "user_id", "left").join(rb, "user_id", "left")
+    # the per-user feature row count tracks the events table, but its
+    # BYTES sit under AQE's coalesce floor at small SF, so the forest
+    # kernel below otherwise runs in ONE post-join task (measured 0.9 s
+    # serial ONNX scoring); events-sized fan-out, no-op at scale
+    both = _fan_out(spark, sf_dir, "events", both, key="user_id")
 
     schema = StructType(
         [
@@ -1442,6 +1447,11 @@ def q_anomaly_real_lc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     universe = ev.select("user_id").distinct()
     both = universe.join(gb, "user_id", "left").join(rb, "user_id", "left")
+    # the per-user feature row count tracks the events table, but its
+    # BYTES sit under AQE's coalesce floor at small SF, so the forest
+    # kernel below otherwise runs in ONE post-join task (measured 0.9 s
+    # serial ONNX scoring); events-sized fan-out, no-op at scale
+    both = _fan_out(spark, sf_dir, "events", both, key="user_id")
 
     gcols = [f"g{j}" for j in range(len(_ANOM_LC_FEATS))]
     rcols = [f"r{j}" for j in range(len(_ANOM_LC_FEATS))]

@@ -45,7 +45,7 @@ from fink_science_spark.operators.spatial import (
     parent_pixel,
     parent_pixel_sql,
 )
-from fink_science_spark.queries import _events_us, _t
+from fink_science_spark.queries import _events_us, _fan_out, _t
 
 # --------------------------------------------------------------------------
 # mulens_score: microlensing-module lifecycle.
@@ -1143,7 +1143,16 @@ _BPE_PREFIX = 64  # chars of each doc considered (bounds the explode)
 def _bpe_prepare(spark: SparkSession, sf_dir: str, extra: list) -> DataFrame:
     """Normalized char-level sequences in the double-space canonical form,
     carrying ``extra`` passthrough columns."""
-    docs = _t(spark, sf_dir, "documents").select(
+    # fan out before the char-split prep: the prepared corpus is
+    # checkpointed ONCE and consumed by every merge round's count job,
+    # so a 1-partition checkpoint (inherited from the single-row-group
+    # scan) serialized every round (measured: per-round 1-task jobs of
+    # 0.17-0.28 s in bpe_encode_stats)
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", *extra, "text"),
+        key="doc_id",
+    ).select(
         *extra,
         F.regexp_replace(
             F.lower(F.substring("text", 1, _BPE_PREFIX)), "[^a-z]", ""
