@@ -393,18 +393,28 @@ def q_mulens_real_lia(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         *[F.round(F.col(c), 6).alias(c) for c in fcols],
     )
-    gb = rounded.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("n").alias("nb_g"),
-        *[F.col(c).alias(f"g{j}") for j, c in enumerate(fcols)],
-    )
-    rb = rounded.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("n").alias("nb_r"),
-        *[F.col(c).alias(f"r{j}") for j, c in enumerate(fcols)],
+    # single-pass pivot: the 47-statistic LIA kernel subtree used to be
+    # consumed by two filtered branches (click/purchase), each recomputing
+    # the full shuffle + Arrow extraction; a conditional aggregation by
+    # user_id computes it ONCE (guide §2.2 shuffle fewer bytes / §4 run the
+    # expensive kernel once). Exactly one row per (user_id, event_type)
+    # exists below, so max(when(...)) is the row's value or NULL — the same
+    # columns the old left joins produced.
+    isg = F.col("event_type") == "click"
+    wide = rounded.groupBy("user_id").agg(
+        F.max(F.when(isg, F.col("n"))).alias("nb_g"),
+        *[
+            F.max(F.when(isg, F.col(c))).alias(f"g{j}")
+            for j, c in enumerate(fcols)
+        ],
+        F.max(F.when(~isg, F.col("n"))).alias("nb_r"),
+        *[
+            F.max(F.when(~isg, F.col(c))).alias(f"r{j}")
+            for j, c in enumerate(fcols)
+        ],
     )
     universe = ev.groupBy("user_id").agg(F.count("*").alias("n_tot"))
-    both = universe.join(gb, "user_id", "left").join(rb, "user_id", "left")
+    both = universe.join(wide, "user_id", "left")
     # the per-user feature row count tracks the events table, but its
     # BYTES sit under AQE's coalesce floor at small SF, so the forest
     # kernel below otherwise runs in ONE post-join task (measured 0.9 s
@@ -754,40 +764,28 @@ def q_kn_rf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_us(spark, sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
     )
-    curves = (
-        ev.groupBy("user_id", "event_type")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
-            ).alias("h")
-        )
-        .select(
-            "user_id",
-            "event_type",
-            F.col("h.value").alias("vals"),
-            F.size("h").alias("npts"),
-        )
-    )
-    g = curves.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("vals").alias("g_vals"), F.col("npts").alias("n_g")
-    )
-    r = curves.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("vals").alias("r_vals"), F.col("npts").alias("n_r")
+    # single-pass pivot: the per-band collect_list aggregate used to run
+    # twice (click/purchase branches) and meet again in a full_outer
+    # sort-merge join; one conditional collect per band in a single
+    # groupBy(user_id) yields identical columns (collect_list skips the
+    # NULLs the when() leaves for the other band; empty band → size 0 and
+    # NULL vals, the old full_outer + coalesce semantics).
+    isg = F.col("event_type") == "click"
+    pt = F.struct(F.col("ts_us"), F.col("value"))
+    curves = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.when(isg, pt))).alias("hg"),
+        F.array_sort(F.collect_list(F.when(~isg, pt))).alias("hr"),
     )
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    both = (
-        g.join(r, "user_id", "full_outer")
-        .join(F.broadcast(cust), "user_id", "left")
-        .select(
-            "user_id",
-            F.coalesce("n_g", F.lit(0)).alias("n_g"),
-            F.coalesce("n_r", F.lit(0)).alias("n_r"),
-            "g_vals",
-            "r_vals",
-            "c_mktsegment",
-        )
+    both = curves.join(F.broadcast(cust), "user_id", "left").select(
+        "user_id",
+        F.size("hg").alias("n_g"),
+        F.size("hr").alias("n_r"),
+        F.when(F.size("hg") > 0, F.col("hg.value")).alias("g_vals"),
+        F.when(F.size("hr") > 0, F.col("hr.value")).alias("r_vals"),
+        "c_mktsegment",
     )
     eligible = (
         (F.col("n_g") >= 2)
@@ -979,32 +977,20 @@ def q_kn_legacy_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_us(spark, sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
     )
-    curves = (
-        ev.groupBy("user_id", "event_type")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
-            ).alias("h")
-        )
-        .select(
-            "user_id",
-            "event_type",
-            F.col("h.value").alias("vals"),
-            F.size("h").alias("npts"),
-        )
+    # single-pass pivot (same rewrite as kn_rf_real): one conditional
+    # collect per band instead of two aggregate branches + full_outer join.
+    isg = F.col("event_type") == "click"
+    pt = F.struct(F.col("ts_us"), F.col("value"))
+    curves = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.when(isg, pt))).alias("hg"),
+        F.array_sort(F.collect_list(F.when(~isg, pt))).alias("hr"),
     )
-    g = curves.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("vals").alias("g_vals"), F.col("npts").alias("n_g")
-    )
-    r = curves.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("vals").alias("r_vals"), F.col("npts").alias("n_r")
-    )
-    both = g.join(r, "user_id", "full_outer").select(
+    both = curves.select(
         "user_id",
-        F.coalesce("n_g", F.lit(0)).alias("n_g"),
-        F.coalesce("n_r", F.lit(0)).alias("n_r"),
-        "g_vals",
-        "r_vals",
+        F.size("hg").alias("n_g"),
+        F.size("hr").alias("n_r"),
+        F.when(F.size("hg") > 0, F.col("hg.value")).alias("g_vals"),
+        F.when(F.size("hr") > 0, F.col("hr.value")).alias("r_vals"),
     )
     prepped = both.select(
         "user_id",
@@ -1215,31 +1201,28 @@ def q_anomaly_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_us(spark, sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
     )
-    per_band = ev.groupBy("user_id", "event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("value").alias("vsum"),
-        F.max("value").alias("vmax"),
-    )
-    g = per_band.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("n").alias("n_g"),
-        F.col("vsum").alias("gsum"),
-        F.col("vmax").alias("gmax"),
-    )
-    r = per_band.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("n").alias("n_r"),
-        F.col("vsum").alias("rsum"),
-        F.col("vmax").alias("rmax"),
-    )
-    both = g.join(r, "user_id", "full_outer").select(
-        "user_id",
-        F.coalesce("n_g", F.lit(0)).alias("n_g"),
-        F.coalesce("n_r", F.lit(0)).alias("n_r"),
-        F.coalesce("gsum", F.lit(0.0)).alias("gsum"),
-        F.coalesce("gmax", F.lit(0.0)).alias("gmax"),
-        F.coalesce("rsum", F.lit(0.0)).alias("rsum"),
-        F.coalesce("rmax", F.lit(0.0)).alias("rmax"),
+    # single-pass pivot: the per-band aggregate used to be computed twice
+    # (click/purchase filter branches) and stitched back with a full_outer
+    # sort-merge join; ONE conditional aggregation by user_id over the same
+    # filtered rows yields the identical columns (count(when) is 0 and
+    # sum/max(when) NULL→coalesce 0.0 when a band has no rows, exactly the
+    # old full_outer + coalesce semantics) with one scan and no join.
+    isg = F.col("event_type") == "click"
+    both = ev.groupBy("user_id").agg(
+        F.count(F.when(isg, F.lit(1))).alias("n_g"),
+        F.count(F.when(~isg, F.lit(1))).alias("n_r"),
+        F.coalesce(F.sum(F.when(isg, F.col("value"))), F.lit(0.0)).alias(
+            "gsum"
+        ),
+        F.coalesce(F.max(F.when(isg, F.col("value"))), F.lit(0.0)).alias(
+            "gmax"
+        ),
+        F.coalesce(F.sum(F.when(~isg, F.col("value"))), F.lit(0.0)).alias(
+            "rsum"
+        ),
+        F.coalesce(F.max(F.when(~isg, F.col("value"))), F.lit(0.0)).alias(
+            "rmax"
+        ),
     )
     feats = both.select(
         "user_id",
@@ -1437,16 +1420,25 @@ def q_anomaly_real_lc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         *[F.round(F.col(c), 6).alias(c) for c in _ANOM_LC_FEATS],
     )
-    gb = rounded.filter(F.col("event_type") == "click").select(
-        "user_id",
-        *[F.col(c).alias(f"g{j}") for j, c in enumerate(_ANOM_LC_FEATS)],
-    )
-    rb = rounded.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        *[F.col(c).alias(f"r{j}") for j, c in enumerate(_ANOM_LC_FEATS)],
+    # single-pass pivot (same rewrite as mulens_real_lia): the band-features
+    # Arrow kernel subtree used to be recomputed by both filtered branches;
+    # one conditional aggregation by user_id runs it once — at most one row
+    # per (user_id, event_type) exists, so max(when(...)) reproduces the old
+    # join columns exactly (value, NaN included, or NULL when the band row
+    # is absent).
+    isg = F.col("event_type") == "click"
+    wide = rounded.groupBy("user_id").agg(
+        *[
+            F.max(F.when(isg, F.col(c))).alias(f"g{j}")
+            for j, c in enumerate(_ANOM_LC_FEATS)
+        ],
+        *[
+            F.max(F.when(~isg, F.col(c))).alias(f"r{j}")
+            for j, c in enumerate(_ANOM_LC_FEATS)
+        ],
     )
     universe = ev.select("user_id").distinct()
-    both = universe.join(gb, "user_id", "left").join(rb, "user_id", "left")
+    both = universe.join(wide, "user_id", "left")
     # the per-user feature row count tracks the events table, but its
     # BYTES sit under AQE's coalesce floor at small SF, so the forest
     # kernel below otherwise runs in ONE post-join task (measured 0.9 s
@@ -1943,26 +1935,23 @@ def q_t2_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("click", "purchase"))
         .filter(F.col("user_id") % _T2_COHORT_MOD == 0)
     )
-    grouped = (
-        ev.groupBy("user_id", "event_type")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
-            ).alias("h")
-        )
-        .select(
-            "user_id",
-            "event_type",
-            F.slice(F.col("h.value"), 1, T2_SEQ_LEN).alias("vals"),
-        )
+    # single-pass pivot (same rewrite as kn_rf_real): one conditional
+    # collect per band instead of two aggregate branches + full_outer join.
+    isg = F.col("event_type") == "click"
+    pt = F.struct(F.col("ts_us"), F.col("value"))
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.when(isg, pt))).alias("hg"),
+        F.array_sort(F.collect_list(F.when(~isg, pt))).alias("hr"),
     )
-    g = grouped.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("vals").alias("g_vals")
+    both = grouped.select(
+        "user_id",
+        F.when(
+            F.size("hg") > 0, F.slice(F.col("hg.value"), 1, T2_SEQ_LEN)
+        ).alias("g_vals"),
+        F.when(
+            F.size("hr") > 0, F.slice(F.col("hr.value"), 1, T2_SEQ_LEN)
+        ).alias("r_vals"),
     )
-    r = grouped.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("vals").alias("r_vals")
-    )
-    both = g.join(r, "user_id", "full_outer")
     model_path = checkpoint_path()
     schema = StructType(
         [
