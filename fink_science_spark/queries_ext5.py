@@ -53,6 +53,10 @@ def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.expr(_MODEL_MASK_SQL).alias("__sel"),
     )
+    # the single-row-group test file puts ALL 600k rows in one ranged
+    # split, so the Arrow kernel ran in ONE task (joblog: summed task
+    # time == job wall); narrow fan-out before the kernel, no-op at scale
+    li = _fan_out(spark, sf_dir, "lineitem", li, key="l_orderkey")
     scored = apply_masked_pandas_kernel(
         li,
         mask=F.col("__sel"),
@@ -130,6 +134,8 @@ def q_model_score_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.expr(_FOREST_MASK_SQL).alias("__sel"),
     )
+    # same single-task-scan fan-out as q_model_score (no-op at scale)
+    li = _fan_out(spark, sf_dir, "lineitem", li, key="l_orderkey")
     scored = apply_masked_pandas_kernel(
         li,
         mask=F.col("__sel"),

@@ -119,40 +119,29 @@ def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_us(spark, sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
     )
-    curves = (
-        ev.groupBy("user_id", "event_type")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("ts_us"), F.col("value")))
-            ).alias("h")
-        )
-        .select(
-            "user_id",
-            "event_type",
-            F.col("h.value").alias("vals"),
-            F.size("h").alias("npts"),
-        )
-    )
-    g = curves.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("vals").alias("g_vals"), F.col("npts").alias("n_g")
-    )
-    r = curves.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("vals").alias("r_vals"), F.col("npts").alias("n_r")
+    # single-pass pivot (same rewrite as kn_rf_real, queries_ext17): the
+    # per-band collect_list aggregate used to run twice (click/purchase
+    # filter branches) and meet again in a full_outer sort-merge join; one
+    # conditional collect per band in a single groupBy(user_id) yields
+    # identical columns (collect_list skips the when()-nulls of the other
+    # band; empty band -> size 0 and NULL vals, the old full_outer +
+    # coalesce semantics).
+    isg = F.col("event_type") == "click"
+    pt = F.struct(F.col("ts_us"), F.col("value"))
+    curves = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.when(isg, pt))).alias("hg"),
+        F.array_sort(F.collect_list(F.when(~isg, pt))).alias("hr"),
     )
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    both = (
-        g.join(r, "user_id", "full_outer")
-        .join(F.broadcast(cust), "user_id", "left")
-        .select(
-            "user_id",
-            F.coalesce("n_g", F.lit(0)).alias("n_g"),
-            F.coalesce("n_r", F.lit(0)).alias("n_r"),
-            "g_vals",
-            "r_vals",
-            "c_mktsegment",
-        )
+    both = curves.join(F.broadcast(cust), "user_id", "left").select(
+        "user_id",
+        F.size("hg").alias("n_g"),
+        F.size("hr").alias("n_r"),
+        F.when(F.size("hg") > 0, F.col("hg.value")).alias("g_vals"),
+        F.when(F.size("hr") > 0, F.col("hr.value")).alias("r_vals"),
+        "c_mktsegment",
     )
     eligible = (
         (F.col("n_g") >= 2)
