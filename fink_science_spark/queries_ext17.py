@@ -373,10 +373,17 @@ def q_mulens_real_lia(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("ts_us") / F.lit(86400e6)).alias("t_days"),
         (F.lit(16.0) + F.col("value") / F.lit(64.0)).alias("m"),
-        (
-            (F.get_json_object("props", "$.k").cast("double") + 1.0)
-            / F.lit(64.0)
-        ).alias("err"),
+        "props",
+    )
+    # fan out BEFORE the per-row JSON parse and the collect_list map side
+    # (see q_band_features, queries_ext3); no-op at scale
+    lc = _fan_out(
+        spark, sf_dir, "events", lc, key="user_id",
+        bytes_per_task=64 << 10,
+    ).withColumn(
+        "err",
+        (F.get_json_object("props", "$.k").cast("double") + 1.0)
+        / F.lit(64.0),
     )
     feats = lia_features_per_group(
         lc,
@@ -1402,8 +1409,15 @@ def q_anomaly_real_lc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_us(spark, sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
     )
-    lc = ev.withColumn(
-        "t_days", F.col("ts_us") / F.lit(86400e6)
+    lc = ev.withColumn("t_days", F.col("ts_us") / F.lit(86400e6))
+    # fan out BEFORE the per-row JSON parse and the collect_list map side
+    # (both otherwise run in the single scan task; the subset-key
+    # repartition also satisfies the groupBy distribution — see
+    # q_band_features, queries_ext3); no-op at scale
+    lc = _fan_out(
+        spark, sf_dir, "events",
+        lc.select("user_id", "event_type", "t_days", "value", "props"),
+        key="user_id", bytes_per_task=64 << 10,
     ).withColumn(
         "err", F.get_json_object("props", "$.k").cast("double") + 1.0
     )

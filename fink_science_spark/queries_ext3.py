@@ -433,6 +433,18 @@ def q_band_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events_us(spark, sf_dir).withColumn(
         "t_days", F.col("ts_us") / F.lit(86400e6)
+    )
+    # the per-row JSON parse (err) and the map side of the collect_list
+    # agg both ran inside the ONE scan task of the single-row-group test
+    # file; fan the narrow rows out FIRST (props still unparsed), parse
+    # err in parallel after, and the groupBy(user_id, event_type)
+    # distribution is already satisfied (subset key) so no second
+    # exchange appears. Interleaved A/B: 1.32 -> 1.07 s median (no-op at
+    # scale, see queries._fan_out).
+    ev = _fan_out(
+        spark, sf_dir, "events",
+        ev.select("user_id", "event_type", "t_days", "value", "props"),
+        key="user_id", bytes_per_task=64 << 10,
     ).withColumn(
         "err", F.get_json_object("props", "$.k").cast("double") + 1.0
     )
