@@ -142,11 +142,14 @@ def minhash_lsh_pairs(
     # (native expression), then num_hashes affine permutations folded by
     # partial-aggregating MIN — no interpreted lambdas anywhere.
     ex = _exploded_hashes(reps, id_col, tokens_col, hash28)
+    # one F.expr per permutation (SQL text parses to the identical
+    # Catalyst expression as the Column form but costs 1 py4j round trip
+    # instead of ~7 — the plan-build finding, see simhash_pairs)
     sig = ex.groupBy("__id").agg(
         *[
-            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-                f"__m{i}"
-            )
+            F.expr(
+                "min((%d * __h + %d) %% %d)" % (a, b, MINHASH_PRIME)
+            ).alias(f"__m{i}")
             for i, (a, b) in enumerate(minhash_perm_coeffs(num_hashes))
         ]
     )
@@ -265,11 +268,12 @@ def minhash_band_index(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
     ex = _exploded_hashes(df, id_col, tokens_col, hash28)
+    # SQL-text permutations: see minhash_lsh_pairs (1 py4j call each)
     sig = ex.groupBy("__id").agg(
         *[
-            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-                f"__m{i}"
-            )
+            F.expr(
+                "min((%d * __h + %d) %% %d)" % (a, b, MINHASH_PRIME)
+            ).alias(f"__m{i}")
             for i, (a, b) in enumerate(minhash_perm_coeffs(num_hashes))
         ]
     )
@@ -388,29 +392,35 @@ def simhash_pairs(
     lane_width = 16
     n_groups = (bits + lanes_per_long - 1) // lanes_per_long
     ex = _exploded_hashes(df, id_col, tokens_col, hash64)
+    # the per-bit expression trees are built as SQL text, ONE F.expr per
+    # aggregate / per signature: the Column-by-Column form issued ~6 py4j
+    # round trips per bit (~400 per build at ~0.4 ms each — measured
+    # 1.4 s of pure plan-build time for dedup_simhash); the parsed
+    # Catalyst expressions are identical
     packed_aggs = []
     for g in range(n_groups):
-        packed = None
-        for lane in range(min(lanes_per_long, bits - g * lanes_per_long)):
-            j = g * lanes_per_long + lane
-            bit = F.shiftright("__h", j).bitwiseAND(F.lit(1)).cast("long")
-            term = F.shiftleft(bit, lane * lane_width)
-            packed = term if packed is None else packed + term
-        packed_aggs.append(F.sum(packed).alias(f"__s{g}"))
+        terms = [
+            "shiftleft(CAST((shiftright(__h, %d) & 1) AS BIGINT), %d)"
+            % (g * lanes_per_long + lane, lane * lane_width)
+            for lane in range(min(lanes_per_long, bits - g * lanes_per_long))
+        ]
+        packed_aggs.append(
+            F.expr("sum(%s)" % " + ".join(terms)).alias(f"__s{g}")
+        )
     votes = ex.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__n"), *packed_aggs
     )
     lane_mask = (1 << lane_width) - 1
-    sim = None
+    bit_terms = []
     for j in range(bits):
         g, lane = divmod(j, lanes_per_long)
-        cnt = F.shiftright(F.col(f"__s{g}"), lane * lane_width).bitwiseAND(
-            F.lit(lane_mask)
+        bit_terms.append(
+            "(CASE WHEN (shiftright(__s%d, %d) & %d) * 2 > __n "
+            "THEN shiftleft(CAST(1 AS BIGINT), %d) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            % (g, lane * lane_width, lane_mask, j)
         )
-        bit = F.when(
-            cnt * 2 > F.col("__n"), F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
+    sim = F.expr(" | ".join(bit_terms))
     # ENFORCED lane-capacity bound: a doc with ≥ 2¹⁶ tokens would carry
     # lane counts into the neighbouring lane and silently corrupt the
     # signature — fail the job loudly instead (F.when on the assert's

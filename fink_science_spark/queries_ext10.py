@@ -2489,6 +2489,14 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
+    # fan the narrow (doc_id, lang, text) rows out BEFORE tokenize/
+    # explode/hash64 — the whole chain ran in the ONE scan task (joblog:
+    # 0.87 s single-task job ahead of the persist); no-op at scale
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        docs.select("doc_id", "lang", "text"),
+        key="doc_id",
+    )
     tok = docs.select(
         "doc_id",
         "lang",

@@ -398,7 +398,7 @@ def q_mulens_real_lia(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "n",
-        *[F.round(F.col(c), 6).alias(c) for c in fcols],
+        *[F.expr(f"round({c}, 6) AS {c}") for c in fcols],
     )
     # single-pass pivot: the 47-statistic LIA kernel subtree used to be
     # consumed by two filtered branches (click/purchase), each recomputing
@@ -407,18 +407,18 @@ def q_mulens_real_lia(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive kernel once). Exactly one row per (user_id, event_type)
     # exists below, so max(when(...)) is the row's value or NULL — the same
     # columns the old left joins produced.
-    isg = F.col("event_type") == "click"
+    # Expressions as SQL text: one py4j round trip per aggregate instead
+    # of ~6 (plan-build finding; identical parsed Catalyst expressions).
+    def _mx(cond: str, c: str, alias: str):
+        return F.expr(
+            f"max(CASE WHEN event_type {cond} 'click' THEN {c} END)"
+        ).alias(alias)
+
     wide = rounded.groupBy("user_id").agg(
-        F.max(F.when(isg, F.col("n"))).alias("nb_g"),
-        *[
-            F.max(F.when(isg, F.col(c))).alias(f"g{j}")
-            for j, c in enumerate(fcols)
-        ],
-        F.max(F.when(~isg, F.col("n"))).alias("nb_r"),
-        *[
-            F.max(F.when(~isg, F.col(c))).alias(f"r{j}")
-            for j, c in enumerate(fcols)
-        ],
+        _mx("=", "n", "nb_g"),
+        *[_mx("=", c, f"g{j}") for j, c in enumerate(fcols)],
+        _mx("!=", "n", "nb_r"),
+        *[_mx("!=", c, f"r{j}") for j, c in enumerate(fcols)],
     )
     universe = ev.groupBy("user_id").agg(F.count("*").alias("n_tot"))
     both = universe.join(wide, "user_id", "left")
@@ -1169,14 +1169,20 @@ def _anom_bounds(band: str) -> list[tuple[float, float]]:
     return list(zip(lo, hi))
 
 
-def _anom_feat_cols(band: str, vsum, vmax):
+def _anom_feat_cols(band: str, vsum: str, vmax: str):
+    # SQL text (one py4j round trip per feature instead of ~14 — the
+    # plan-build finding); the D suffix forces DOUBLE literals so the
+    # arithmetic is bit-identical to the old F.lit(double) Columns
+    # (Spark parses bare decimals as DECIMAL).
     bounds = _anom_bounds(band)
     cols = []
     for j, (lo, hi) in enumerate(bounds):
-        mix = vsum * F.lit(_ANOM_C[j]) + vmax * F.lit(_ANOM_D[j])
-        u = mix - F.floor(mix)
+        mix = f"({vsum} * {_ANOM_C[j]!r}D + {vmax} * {_ANOM_D[j]!r}D)"
+        u = f"({mix} - floor({mix}))"
         cols.append(
-            F.round(F.lit(lo) + u * F.lit(hi - lo), 6).alias(f"{band}{j}")
+            F.expr(f"round({lo!r}D + {u} * {hi - lo!r}D, 6)").alias(
+                f"{band}{j}"
+            )
         )
     return cols
 
@@ -1235,8 +1241,8 @@ def q_anomaly_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_g",
         "n_r",
-        *_anom_feat_cols("g", F.col("gsum"), F.col("gmax")),
-        *_anom_feat_cols("r", F.col("rsum"), F.col("rmax")),
+        *_anom_feat_cols("g", "gsum", "gmax"),
+        *_anom_feat_cols("r", "rsum", "rmax"),
     )
     gcols = [f"g{j}" for j in range(_ANOM_N_FEATS)]
     rcols = [f"r{j}" for j in range(_ANOM_N_FEATS)]
@@ -1432,7 +1438,7 @@ def q_anomaly_real_lc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded = feats.select(
         "user_id",
         "event_type",
-        *[F.round(F.col(c), 6).alias(c) for c in _ANOM_LC_FEATS],
+        *[F.expr(f"round({c}, 6) AS {c}") for c in _ANOM_LC_FEATS],
     )
     # single-pass pivot (same rewrite as mulens_real_lia): the band-features
     # Arrow kernel subtree used to be recomputed by both filtered branches;
@@ -1440,16 +1446,15 @@ def q_anomaly_real_lc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per (user_id, event_type) exists, so max(when(...)) reproduces the old
     # join columns exactly (value, NaN included, or NULL when the band row
     # is absent).
-    isg = F.col("event_type") == "click"
+    # SQL-text aggregates: 1 py4j round trip each (plan-build finding)
+    def _mx(cond: str, c: str, alias: str):
+        return F.expr(
+            f"max(CASE WHEN event_type {cond} 'click' THEN {c} END)"
+        ).alias(alias)
+
     wide = rounded.groupBy("user_id").agg(
-        *[
-            F.max(F.when(isg, F.col(c))).alias(f"g{j}")
-            for j, c in enumerate(_ANOM_LC_FEATS)
-        ],
-        *[
-            F.max(F.when(~isg, F.col(c))).alias(f"r{j}")
-            for j, c in enumerate(_ANOM_LC_FEATS)
-        ],
+        *[_mx("=", c, f"g{j}") for j, c in enumerate(_ANOM_LC_FEATS)],
+        *[_mx("!=", c, f"r{j}") for j, c in enumerate(_ANOM_LC_FEATS)],
     )
     universe = ev.select("user_id").distinct()
     both = universe.join(wide, "user_id", "left")
