@@ -1237,6 +1237,11 @@ def q_anomaly_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rmax"
         ),
     )
+    # the pivot's single agg output is tiny in BYTES, so AQE coalesces it
+    # to ~1 partition and the ONNX kernel below would score serially
+    # (the old full_outer join left more partitions by accident);
+    # events-sized fan-out like the rest of the family, no-op at scale
+    both = _fan_out(spark, sf_dir, "events", both, key="user_id")
     feats = both.select(
         "user_id",
         "n_g",
