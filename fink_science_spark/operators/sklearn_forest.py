@@ -118,15 +118,75 @@ def _tree_leaf_rows(X: np.ndarray, t: dict) -> np.ndarray:
         node = np.where(internal, nxt, node)
 
 
+def _stacked_trees(ckpt: dict) -> tuple:
+    """Pad the per-tree node tables into (T, max_nodes) matrices so the
+    descent below runs ONE numpy op per level for the whole forest
+    instead of per tree (the per-tree loop was numpy-call-overhead bound:
+    1000 tiny trees x ~5 levels x ~6 ops = 30k interpreter round trips
+    per kernel batch). Cached on the (ExecutorRegistry-cached) checkpoint
+    dict, so each worker pays the packing once. Padding slots carry
+    feature = -2 (leaf) and are never reached — descent stays inside each
+    tree's real node range."""
+    st = ckpt.get("_stacked")
+    if st is None:
+        trees = ckpt["trees"]
+        tn = len(trees)
+        mx = max(len(t["feature"]) for t in trees)
+        feat = np.full((tn, mx), -2, dtype=np.int64)
+        thr = np.zeros((tn, mx), dtype=np.float64)
+        left = np.zeros((tn, mx), dtype=np.int64)
+        right = np.zeros((tn, mx), dtype=np.int64)
+        k = trees[0]["value"].shape[1] if trees[0]["value"].ndim > 1 else 1
+        vals = np.zeros((tn, mx, k), dtype=np.float64)
+        for i, t in enumerate(trees):
+            m = len(t["feature"])
+            feat[i, :m] = t["feature"]
+            thr[i, :m] = t["threshold"]
+            left[i, :m] = t["left"]
+            right[i, :m] = t["right"]
+            v = t["value"]
+            vals[i, :m] = v if v.ndim > 1 else v[:, None]
+        st = (feat, thr, left, right, vals)
+        ckpt["_stacked"] = st
+    return st
+
+
+def _forest_leaf_rows(X: np.ndarray, ckpt: dict) -> np.ndarray:
+    """(T, n) leaf node index per (tree, row): the level-synchronous
+    descent of _tree_leaf_rows vectorized across the whole forest.
+    Per-element comparisons and routing are identical to the per-tree
+    form — only the numpy call count changes."""
+    feat, thr, left, right, _ = _stacked_trees(ckpt)
+    tn, n = feat.shape[0], len(X)
+    node = np.zeros((tn, n), dtype=np.int64)
+    tidx = np.arange(tn)[:, None]
+    ridx = np.arange(n)[None, :]
+    while True:
+        f = feat[tidx, node]
+        internal = f >= 0
+        if not internal.any():
+            return node
+        fx = X[ridx, np.where(internal, f, 0)]
+        nxt = np.where(fx <= thr[tidx, node], left[tidx, node], right[tidx, node])
+        node = np.where(internal, nxt, node)
+
+
 def rf_proba(X: np.ndarray, ckpt: dict) -> np.ndarray:
     """(n, k) class probabilities, sklearn predict_proba semantics.
     Accumulates tree-by-tree in declaration order (the SQL twin's sum
-    order)."""
+    order — the vectorized descent only finds the leaves; the value sum
+    stays a sequential left fold for bit-exactness)."""
     X = np.asarray(X, dtype=np.float64)
     trees = ckpt["trees"]
+    nodes = _forest_leaf_rows(X, ckpt)
+    vals = _stacked_trees(ckpt)[4]
+    # one fancy-index gathers every (tree, row) leaf value; the fold over
+    # trees stays a sequential left fold (in-place += is the same IEEE
+    # operation order as the old per-tree `acc = acc + v` loop)
+    leaf = vals[np.arange(len(trees))[:, None], nodes]
     acc = np.zeros((len(X), trees[0]["value"].shape[1]))
-    for t in trees:
-        acc = acc + t["value"][_tree_leaf_rows(X, t)]
+    for i in range(len(trees)):
+        acc += leaf[i]
     return acc / float(len(trees))
 
 
@@ -135,8 +195,12 @@ def gbt_proba(X: np.ndarray, ckpt: dict) -> np.ndarray:
     X = np.asarray(X, dtype=np.float64)
     raw = np.full(len(X), float(ckpt["init_raw"]))
     lr = float(ckpt["learning_rate"])
-    for t in ckpt["trees"]:
-        raw = raw + lr * t["value"][_tree_leaf_rows(X, t), 0]
+    nodes = _forest_leaf_rows(X, ckpt)
+    leaf = _stacked_trees(ckpt)[4][
+        np.arange(len(ckpt["trees"]))[:, None], nodes, 0
+    ]
+    for i in range(len(ckpt["trees"])):
+        raw = raw + lr * leaf[i]
     return 1.0 / (1.0 + np.exp(-raw))
 
 
@@ -200,8 +264,12 @@ def onnx_ensemble_raw(X: np.ndarray, ckpt: dict) -> np.ndarray:
     x <= threshold routes to the true/left branch)."""
     X = np.asarray(X, dtype=np.float64)
     raw = np.full(len(X), float(ckpt["base"]))
-    for t in ckpt["trees"]:
-        raw = raw + t["value"][_tree_leaf_rows(X, t), 0]
+    nodes = _forest_leaf_rows(X, ckpt)
+    leaf = _stacked_trees(ckpt)[4][
+        np.arange(len(ckpt["trees"]))[:, None], nodes, 0
+    ]
+    for i in range(len(ckpt["trees"])):
+        raw = raw + leaf[i]
     return raw
 
 

@@ -86,3 +86,37 @@ def test_perturbed_checkpoint_changes_scores(spark, tmp_path):
         from_file("x1", "x2", "x3", "x4").alias("b"),
     ).collect()
     assert all(r["a"] != r["b"] for r in out)
+
+
+def test_stacked_forest_descent_bit_identical_to_per_tree():
+    """The across-trees vectorized descent (round-9 optimization) must
+    route every row to the same leaf and fold the same values in the
+    same order as the per-tree reference loop."""
+    import numpy as np
+
+    from fink_science_spark.operators.sklearn_forest import (
+        _tree_leaf_rows,
+        load_checkpoint,
+        onnx_ensemble_raw,
+        rf_proba,
+    )
+
+    rng = np.random.RandomState(7)
+
+    ck = load_checkpoint("anomaly_forest_g")
+    X = rng.rand(257, 25) * 4 - 2
+    ref = np.full(len(X), float(ck["base"]))
+    for t in ck["trees"]:
+        ref = ref + t["value"][_tree_leaf_rows(X, t), 0]
+    assert np.array_equal(onnx_ensemble_raw(X, ck), ref)
+
+    ck = load_checkpoint("mulens_rf")
+    X = rng.rand(131, 47) * 2
+    ref = np.zeros((len(X), ck["trees"][0]["value"].shape[1]))
+    for t in ck["trees"]:
+        ref = ref + t["value"][_tree_leaf_rows(X, t)]
+    ref = ref / float(len(ck["trees"]))
+    assert np.array_equal(rf_proba(X, ck), ref)
+
+    # empty batch stays well-shaped
+    assert rf_proba(np.zeros((0, 47)), ck).shape == (0, 4)
