@@ -255,6 +255,10 @@ def q_mulens_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("vmax"),
     )
     feats = base.select("user_id", "n", *_mulens_feat_cols())
+    # AQE coalesces the tiny per-user agg output to ~1 partition, which
+    # serialized the 1000-tree RF kernel (0.53 s single-task job);
+    # events-sized fan-out like the rest of the family, no-op at scale
+    feats = _fan_out(spark, sf_dir, "events", feats, key="user_id")
     schema = StructType(
         [
             StructField("user_id", LongType()),
