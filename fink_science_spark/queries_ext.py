@@ -552,6 +552,9 @@ def q_blob_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (strlen + md5) straight from the text, so a wrong roundtrip anywhere
     (compress, Arrow binary transfer, gunzip) breaks the hash match."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan out before the gzip kernel: the single-row-group scan ran it
+    # in ONE task (joblog: 0.42 s 1-task job); no-op at scale
+    docs = _fan_out(spark, sf_dir, "documents", docs, key="doc_id")
 
     @F.pandas_udf("binary")
     def gz(text: pd.Series) -> pd.Series:

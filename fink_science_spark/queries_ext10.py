@@ -126,7 +126,13 @@ _HH_M = 35
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # fan out before the candidate tokenize pass (one 0.39 s single-task
+    # collect under the single-row-group scan); no-op at scale
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    )
     return heavy_hitters(docs, "text", m=_HH_M).orderBy("token")
 
 
@@ -1209,7 +1215,14 @@ _PMI_TOPK = 20
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
-    base = docs.select(toks.alias("toks"))
+    # fan out before tokenize/explode: the bigram and unigram branches
+    # each re-ran the chain in the ONE scan task (joblog: two 0.47 s
+    # single-task jobs); no-op at scale (queries._fan_out)
+    base = _fan_out(
+        spark, sf_dir, "documents",
+        docs.select("doc_id", "text"),
+        key="doc_id",
+    ).select(toks.alias("toks"))
     pairs = (
         base.filter(F.size("toks") >= 2)
         .select(

@@ -173,9 +173,19 @@ def q_audio_silence_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # video_scene_cuts): they have no decodable windows, and reporting
     # n_windows=8 / n_silent=0 for them would claim analysis that never
     # happened (round-5 advice item).
-    wins = (
+    from fink_science_spark.queries import _fan_out
+
+    # fan out before the windows explode + per-window md5 (ran in the
+    # ONE scan task: 0.60 s 1-task job); no-op at scale
+    docs_nn = _fan_out(
+        spark, sf_dir, "documents",
         _t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
+        .select("doc_id", "text"),
+        key="doc_id",
+    )
+    wins = (
+        docs_nn
         .select(
             "doc_id",
             "text",

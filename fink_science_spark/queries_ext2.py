@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from fink_science_spark.functions.arrays import trapezoid_integral
 from fink_science_spark.operators.aggregates import fit_features_per_group
 from fink_science_spark.operators.spatial import nearest_join_sky
-from fink_science_spark.queries import _events_us, _t, _ts_event_col
+from fink_science_spark.queries import _events_us, _fan_out, _t, _ts_event_col
 
 DAY_US = 24 * 3600 * 1_000_000
 WEEK_US = 7 * DAY_US
@@ -76,6 +76,9 @@ def q_crossmatch_sky(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ra("c_custkey", *_CUST_RA).alias("ra"),
         _dec("c_custkey", *_CUST_DEC).alias("dec"),
     )
+    # fan out the probe side: grid-expand + haversine refine otherwise
+    # run in the ONE scan task (0.41 s 1-task job); no-op at scale
+    cust = _fan_out(spark, sf_dir, "customer", cust, key="c_custkey")
     supp = _t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         _ra("s_suppkey", *_SUPP_RA).alias("ra"),

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fink_science_spark.operators.remote import local_table_resolver, service_xmatch
-from fink_science_spark.queries import _events_us, _t
+from fink_science_spark.queries import _events_us, _fan_out, _t
 
 from fink_science_spark.queries_ext2 import _SCRATCH
 _XMATCH_RADIUS = 10.0
@@ -52,6 +52,9 @@ def q_remote_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         radius=_XMATCH_RADIUS,
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # fan out the batched-transport kernel (ran in the ONE scan task:
+    # 0.78 s 1-task job); no-op at scale
+    cust = _fan_out(spark, sf_dir, "customer", cust, key="c_custkey")
     out = service_xmatch(
         cust, "c_custkey", ["c_acctbal"], transport, out_col="xmatch"
     )
@@ -469,6 +472,9 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.unhex(F.md5("text")).alias("blob")
     )
+    # fan out before the numpy kernel (ran in the ONE scan task); no-op
+    # at scale
+    docs = _fan_out(spark, sf_dir, "documents", docs, key="doc_id")
     stats = image_matrix_stats(docs, "doc_id", "blob", width=4, height=4)
     return stats.select(
         "doc_id",

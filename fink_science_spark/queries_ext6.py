@@ -228,8 +228,19 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over doc_id — the same key the tf agg already shuffled on, so AQE
     reuses the partitioning. Ties break on term for determinism.
     """
+    from fink_science_spark.queries import _fan_out
+
+    # fan out before tokenize/explode: the tf subtree is re-evaluated by
+    # the two broadcast builds below (dfreq, n_docs), each a serial
+    # 0.33 s single-task job under the single-row-group scan; no-op at
+    # scale
+    docs = _fan_out(
+        spark, sf_dir, "documents",
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    )
     terms = (
-        _t(spark, sf_dir, "documents")
+        docs
         .select("doc_id", F.explode_outer(tokens("text")).alias("term"))
         .filter(F.col("term").isNotNull())
     )
